@@ -1,0 +1,135 @@
+"""GraphWindowStream — windowed graph discretization ("graph slices").
+
+Reference parity: GraphWindowStream + slice()
+(REF:src/main/java/org/apache/flink/graph/streaming/GraphWindowStream.java [H];
+slice at REF:.../SimpleEdgeStream.java:~400 [H]). ``slice(size, direction)``
+keys edges per vertex — OUT keys on src, IN on dst, ALL duplicates each
+edge both ways — and discretizes them into tumbling event-time windows.
+The three neighborhood operators mirror the reference UDF interfaces:
+
+- reduce_on_edges  ≙ EdgesReduce  (REF:.../EdgesReduce.java [H])
+- fold_neighbors   ≙ EdgesFold    (REF:.../EdgesFold.java [H])
+- apply_on_neighbors ≙ EdgesApply (REF:.../EdgesApply.java [H])
+
+Spark-first: a slice is just ``groupBy(window(ts, size), vertex)``.
+Algebraic reduces/folds compile to built-in hash aggregates (partial +
+final, whole-stage codegen); only the general UDTF-style apply drops to
+Arrow-batched ``applyInPandas``. Sliding and session windows — absent in
+the reference (tumbling-only) — come free from Spark and are exposed via
+``slide=`` and ``session_slice``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import TYPE_CHECKING, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.group import GroupedData
+
+if TYPE_CHECKING:
+    from gelly_streaming_spark.operators.graphstream import GraphStream
+
+_DIRECTIONS = {"out": "src", "in": "dst"}
+
+
+class GraphWindowStream:
+    """Edges keyed per (window, vertex); vertex column exposed as ``id``,
+    neighbor column as ``nbr``, window start as ``bucket``."""
+
+    def __init__(self, windowed: DataFrame):
+        self.windowed = windowed  # columns: bucket, id, nbr, val (+extras)
+
+    @classmethod
+    def from_stream(
+        cls,
+        stream: "GraphStream",
+        size: str,
+        direction: str = "out",
+        slide: Optional[str] = None,
+        ts_col: str = "ts",
+    ) -> "GraphWindowStream":
+        direction = direction.lower()
+        if direction == "all":
+            # ALL duplicates each edge to both endpoints (reference slices
+            # the self-unioned reversed stream).
+            stream = stream.undirected()
+            direction = "out"
+        key = _DIRECTIONS[direction]
+        nbr = "dst" if key == "src" else "src"
+        e = stream.edges
+        win = F.window(F.col(ts_col), size, slide) if slide else F.window(F.col(ts_col), size)
+        extras = [c for c in e.columns if c not in ("src", "dst", ts_col)]
+        df = e.select(
+            win.start.alias("bucket"),
+            F.col(key).alias("id"),
+            F.col(nbr).alias("nbr"),
+            *[F.col(c) for c in extras],
+        )
+        return cls(df)
+
+    @classmethod
+    def session_slice(
+        cls,
+        stream: "GraphStream",
+        gap: str,
+        direction: str = "out",
+        ts_col: str = "ts",
+    ) -> "GraphWindowStream":
+        """Session-window slice (extension; reference is tumbling-only).
+        Bucket is the per-(vertex) session window start."""
+        direction = direction.lower()
+        if direction == "all":
+            stream = stream.undirected()
+            direction = "out"
+        key = _DIRECTIONS[direction]
+        nbr = "dst" if key == "src" else "src"
+        e = stream.edges
+        extras = [c for c in e.columns if c not in ("src", "dst", ts_col)]
+        df = e.select(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(key).alias("id"),
+            F.col(nbr).alias("nbr"),
+            *[F.col(c) for c in extras],
+        ).select(F.col("w.start").alias("bucket"), "id", "nbr", *extras)
+        return cls(df)
+
+    # ------------------------------------------------------------------
+    def _grouped(self) -> GroupedData:
+        return self.windowed.groupBy("bucket", "id")
+
+    def reduce_on_edges(self, *aggs: Column) -> DataFrame:
+        """W2 reduceOnEdges — commutative reduce over incident edge values
+        per (vertex, window) (REF:.../GraphWindowStream.java:~60 [H]).
+        Any Spark aggregate expression qualifies; compiles to partial+final
+        hash aggregation — the shuffle carries one partial row per
+        (window, vertex, partition)."""
+        return self._grouped().agg(*aggs)
+
+    def fold_neighbors(self, *aggs: Column) -> DataFrame:
+        """W3 foldNeighbors — seeded fold over (vertex, neighbor, value)
+        (REF:.../GraphWindowStream.java:~45 [H]). Algebraic folds are just
+        aggregate expressions over ``nbr``/``val`` columns; opaque folds
+        use apply_on_neighbors."""
+        return self._grouped().agg(*aggs)
+
+    def apply_on_neighbors(self, fn: Callable, schema) -> DataFrame:
+        """W4 applyOnNeighbors — UDTF over the full neighborhood of one
+        vertex in one window, 0..n output rows
+        (REF:.../GraphWindowStream.java:~75 [H], EdgesApply [H]).
+
+        ``fn(pdf) -> pdf`` receives the group's rows (bucket, id, nbr, …)
+        as an Arrow-backed pandas DataFrame. Scale: one shuffle on
+        (bucket, id); skewed hub vertices are the risk — mitigate upstream
+        with filter/sample, or salt the key and merge."""
+        return self._grouped().applyInPandas(fn, schema=schema)
+
+    def neighborhood(self) -> DataFrame:
+        """Materialize per-(window, vertex) sorted neighbor lists — the
+        declarative fast path for the common applyOnNeighbors uses
+        (collect_list stays JVM-side; no Python boundary)."""
+        return self._grouped().agg(
+            F.array_sort(F.collect_list("nbr")).alias("neighbors"),
+            F.count(F.lit(1)).alias("degree"),
+        )

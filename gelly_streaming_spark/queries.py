@@ -1,0 +1,353 @@
+"""Declared query registry (SURVEY.md §2.10) — the t2 correctness contract.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent DuckDB-runnable ANSI SQL string over the same parquet tables
+(pre-registered views: region nation customer supplier part orders
+lineitem events documents embeddings). Column names are aliased
+identically on both sides — the driver's hash compare sorts columns by
+name before hashing.
+
+Determinism rules applied on BOTH sides:
+- double sums go through DECIMAL(18,2) and back to DOUBLE, so aggregation
+  order can never flip a 6th decimal (IEEE addition is not associative;
+  decimal addition is exact);
+- every float output is rounded; ratios of exact ints are bit-identical;
+- event timestamps are truncated to microseconds (events parquet carries
+  TIMESTAMP(NANOS): Spark reads nanos-as-long, DuckDB casts — FIXTURES.md §3);
+- ties are totally ordered by explicit tie-break columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gelly_streaming_spark.operators.graphstream import GraphStream
+from gelly_streaming_spark.operators.joins import asof_join, top_k
+from gelly_streaming_spark.sources import edges as E
+from gelly_streaming_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle view CTEs (must mirror sources/edges.py exactly)
+# ---------------------------------------------------------------------------
+_VIEW_SQL = {
+    "edges_cust_order": (
+        "SELECT o_custkey AS src, 1000000 + o_orderkey AS dst, "
+        "o_totalprice AS val, o_orderdate AS ts FROM orders"
+    ),
+    "edges_order_part": (
+        "SELECT 1000000 + l_orderkey AS src, 2000000 + l_partkey AS dst, "
+        "l_extendedprice AS val, l_discount AS disc, l_shipdate AS ts FROM lineitem"
+    ),
+    "edges_copart": (
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(1 AS DOUBLE) AS val, "
+        "a.l_shipdate AS ts FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    ),
+    "edges_events": (
+        "SELECT user_id AS src, 100000 + (event_id % 50) AS dst, value AS val, "
+        "CAST(ts AS TIMESTAMP) AS ts FROM events"
+    ),
+}
+
+
+def _with(body: str, *views: str, recursive: bool = False) -> str:
+    kw = "WITH RECURSIVE " if recursive else "WITH "
+    ctes = ", ".join(f"{v} AS ({_VIEW_SQL[v]})" for v in views)
+    sep = ", " if views and recursive else ""
+    return f"{kw}{ctes}{sep}{body}" if views or recursive else f"{kw}{ctes} {body}"
+
+
+def _dec_sum(col, alias: str):
+    """Order-independent double sum: exact decimal accumulate, then double."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+_DEC_SUM_SQL = "CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS {a}"
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # None → non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def _q(name: str, sql: Optional[str], doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Query(fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Q01–Q07: scan + transformations (reference T1–T6, S3)
+# ---------------------------------------------------------------------------
+@_q("q01_scan", _with("SELECT src, dst, val, ts FROM edges_cust_order", "edges_cust_order"),
+    "S3 source parse → canonical edge schema")
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GraphStream(E.edges_cust_order(spark, sf_dir)).edges.select("src", "dst", "val", "ts")
+
+
+@_q("q02_reverse", _with("SELECT dst AS src, src AS dst, val FROM edges_cust_order", "edges_cust_order"),
+    "T4 reverse")
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GraphStream(E.edges_cust_order(spark, sf_dir)).reverse().edges.select("src", "dst", "val")
+
+
+@_q("q03_undirected",
+    _with("SELECT src, dst FROM edges_cust_order UNION ALL SELECT dst, src FROM edges_cust_order",
+          "edges_cust_order"),
+    "T5 undirected")
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GraphStream(E.edges_cust_order(spark, sf_dir)).undirected().edges.select("src", "dst")
+
+
+@_q("q04_filter_edges",
+    _with("SELECT src, dst, val FROM edges_cust_order WHERE val > 150000", "edges_cust_order"),
+    "T2 filterEdges — predicate pushes to parquet scan")
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gs = GraphStream(E.edges_cust_order(spark, sf_dir)).filter_edges(F.col("val") > 150000)
+    return gs.edges.select("src", "dst", "val")
+
+
+@_q("q05_filter_vertices",
+    _with("SELECT src, dst FROM edges_cust_order WHERE src % 10 <> 0 AND dst % 10 <> 0",
+          "edges_cust_order"),
+    "T3 filterVertices — both endpoints must pass")
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gs = GraphStream(E.edges_cust_order(spark, sf_dir)).filter_vertices(lambda v: v % 10 != 0)
+    return gs.edges.select("src", "dst")
+
+
+@_q("q05b_filter_vertices_semi",
+    _with(
+        "SELECT e.src, e.dst FROM edges_cust_order e "
+        "WHERE e.src IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)",
+        "edges_cust_order"),
+    "T3 attribute variant — semi-join against filtered vertex table (broadcast)")
+def q05b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("id"))
+    )
+    e = E.edges_cust_order(spark, sf_dir)
+    out = e.join(cust.hint("broadcast"), e.src == cust.id, "left_semi")
+    return out.select("src", "dst")
+
+
+@_q("q06_map_edges",
+    _with("SELECT src, dst, ROUND(val * (1 - disc), 4) AS mapped_val FROM edges_order_part",
+          "edges_order_part"),
+    "T1 mapEdges — pure column expression, whole-stage codegen")
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gs = GraphStream(E.edges_order_part(spark, sf_dir)).map_edges(
+        F.round(F.col("val") * (1 - F.col("disc")), 4), as_col="mapped_val"
+    )
+    return gs.edges.select("src", "dst", "mapped_val")
+
+
+@_q("q07_distinct",
+    _with("SELECT DISTINCT src, dst FROM edges_copart", "edges_copart"),
+    "T6 distinct — hash-agg dedup")
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GraphStream(E.edges_copart(spark, sf_dir)).distinct().edges.select("src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# Q08–Q11: degrees / counts / set ops (reference A1–A4, U1)
+# ---------------------------------------------------------------------------
+@_q("q08_degrees",
+    _with(
+        "SELECT id, COUNT(*) AS degree FROM "
+        "(SELECT src AS id FROM edges_cust_order UNION ALL SELECT dst FROM edges_cust_order) "
+        "GROUP BY id", "edges_cust_order"),
+    "A1 getDegrees — explode + partial/final hash agg")
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GraphStream(E.edges_cust_order(spark, sf_dir)).degrees()
+
+
+@_q("q09_in_out_degrees",
+    _with(
+        "SELECT COALESCE(i.id, o.id) AS id, COALESCE(i.in_degree, 0) AS in_degree, "
+        "COALESCE(o.out_degree, 0) AS out_degree FROM "
+        "(SELECT dst AS id, COUNT(*) AS in_degree FROM edges_cust_order GROUP BY dst) i "
+        "FULL OUTER JOIN "
+        "(SELECT src AS id, COUNT(*) AS out_degree FROM edges_cust_order GROUP BY src) o "
+        "ON i.id = o.id", "edges_cust_order"),
+    "A2 in/outDegrees")
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gs = GraphStream(E.edges_cust_order(spark, sf_dir))
+    ind = gs.in_degrees().withColumnRenamed("degree", "in_degree")
+    outd = gs.out_degrees().withColumnRenamed("degree", "out_degree")
+    return ind.join(outd, "id", "full_outer").select(
+        "id",
+        F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+    )
+
+
+@_q("q10_counts",
+    _with(
+        "SELECT (SELECT COUNT(*) FROM edges_cust_order) AS m, "
+        "(SELECT COUNT(DISTINCT id) FROM (SELECT src AS id FROM edges_cust_order "
+        "UNION ALL SELECT dst FROM edges_cust_order)) AS n", "edges_cust_order"),
+    "A3/A4 numberOfEdges + numberOfVertices (exact batch)")
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gs = GraphStream(E.edges_cust_order(spark, sf_dir))
+    return gs.number_of_edges().crossJoin(gs.number_of_vertices())
+
+
+_Q11_SQL = (
+    "WITH "
+    + f"edges_cust_order AS ({_VIEW_SQL['edges_cust_order']}), "
+    + f"edges_order_part AS ({_VIEW_SQL['edges_order_part']}), "
+    + "u AS (SELECT src, dst FROM edges_cust_order UNION ALL "
+    + "SELECT src, dst FROM edges_order_part) "
+    + "SELECT id, COUNT(*) AS degree FROM "
+    + "(SELECT src AS id FROM u UNION ALL SELECT dst FROM u) GROUP BY id"
+)
+
+
+@_q("q11_union_degrees", _Q11_SQL, "U1 union → degrees over the union")
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = GraphStream(E.edges_cust_order(spark, sf_dir))
+    b = GraphStream(E.edges_order_part(spark, sf_dir))
+    return a.union(b).degrees()
+
+
+@_q("q11b_intersect_except",
+    "WITH "
+    + f"edges_copart AS ({_VIEW_SQL['edges_copart']}), "
+    + "a AS (SELECT DISTINCT src, dst FROM edges_copart WHERE src % 2 = 0), "
+    + "b AS (SELECT DISTINCT src, dst FROM edges_copart WHERE dst % 3 = 0) "
+    + "SELECT 'intersect' AS which, src, dst FROM (SELECT * FROM a INTERSECT SELECT * FROM b) "
+    + "UNION ALL SELECT 'except', src, dst FROM (SELECT * FROM a EXCEPT SELECT * FROM b)",
+    "set-op extension (absent in reference): INTERSECT / EXCEPT")
+def q11b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = GraphStream(E.edges_copart(spark, sf_dir)).distinct().edges.select("src", "dst")
+    a = e.where(F.col("src") % 2 == 0)
+    b = e.where(F.col("dst") % 3 == 0)
+    return (
+        a.intersect(b).select(F.lit("intersect").alias("which"), "src", "dst")
+        .unionByName(a.exceptAll(b).distinct().select(F.lit("except").alias("which"), "src", "dst"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12–Q14: windowed neighborhood operators (reference W1–W4)
+# ---------------------------------------------------------------------------
+@_q("q12_slice_reduce",
+    _with(
+        "SELECT date_trunc('hour', ts) AS bucket, src AS id, "
+        + _DEC_SUM_SQL.format(c="val", a="sum_val")
+        + ", COUNT(*) AS cnt FROM edges_events GROUP BY 1, 2", "edges_events"),
+    "W1+W2 slice(1h, OUT) → reduceOnEdges(sum, count)")
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gs = GraphStream(E.edges_events(spark, sf_dir))
+    return gs.slice("1 hour", "out").reduce_on_edges(
+        _dec_sum("val", "sum_val"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@_q("q12c_sliding",
+    "WITH "
+    + f"edges_events AS ({_VIEW_SQL['edges_events']}) "
+    + "SELECT time_bucket(INTERVAL 30 MINUTES, ts) - o.m * INTERVAL 30 MINUTES AS bucket, "
+    + "src AS id, COUNT(*) AS cnt, "
+    + _DEC_SUM_SQL.format(c="val", a="sum_val")
+    + " FROM edges_events CROSS JOIN (VALUES (0), (1)) AS o(m) GROUP BY 1, 2",
+    "sliding-window slice extension (1h window / 30m slide; reference is tumbling-only)")
+def q12c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gs = GraphStream(E.edges_events(spark, sf_dir))
+    return gs.slice("1 hour", "out", slide="30 minutes").reduce_on_edges(
+        F.count(F.lit(1)).alias("cnt"), _dec_sum("val", "sum_val")
+    )
+
+
+@_q("q13_fold_neighbors",
+    _with(
+        "SELECT date_trunc('hour', ts) AS bucket, src AS id, COUNT(*) AS cnt, "
+        + _DEC_SUM_SQL.format(c="val", a="sum_val")
+        + ", MIN(dst) AS min_nbr FROM edges_events GROUP BY 1, 2", "edges_events"),
+    "W3 foldNeighbors — algebraic fold = aggregate struct")
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gs = GraphStream(E.edges_events(spark, sf_dir))
+    return gs.slice("1 hour", "out").fold_neighbors(
+        F.count(F.lit(1)).alias("cnt"),
+        _dec_sum("val", "sum_val"),
+        F.min("nbr").alias("min_nbr"),
+    )
+
+
+_Q14_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.TimestampType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("neighbors", T.StringType()),
+    ]
+)
+
+
+def _q14_apply(pdf: pd.DataFrame) -> pd.DataFrame:
+    nbrs = ",".join(str(x) for x in sorted(pdf["nbr"].tolist()))
+    return pd.DataFrame(
+        {"bucket": [pdf["bucket"].iloc[0]], "id": [pdf["id"].iloc[0]], "neighbors": [nbrs]}
+    )
+
+
+@_q("q14_apply_neighbors",
+    _with(
+        "SELECT date_trunc('hour', ts) AS bucket, src AS id, "
+        "string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS neighbors "
+        "FROM edges_events GROUP BY 1, 2", "edges_events"),
+    "W4 applyOnNeighbors — Arrow-batched UDTF per (window, vertex)")
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gs = GraphStream(E.edges_events(spark, sf_dir))
+    return gs.slice("1 hour", "out").apply_on_neighbors(_q14_apply, _Q14_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Q20: sorts / top-k / rollup (absent in reference — Spark surface)
+# ---------------------------------------------------------------------------
+@_q("q20_topk_degrees",
+    _with(
+        "SELECT id, degree FROM (SELECT id, COUNT(*) AS degree FROM "
+        "(SELECT src AS id FROM edges_cust_order UNION ALL SELECT dst FROM edges_cust_order) "
+        "GROUP BY id) ORDER BY degree DESC, id LIMIT 10", "edges_cust_order"),
+    "top-k — TakeOrderedAndProject (per-partition heaps, no full sort)")
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deg = GraphStream(E.edges_cust_order(spark, sf_dir)).degrees()
+    return top_k(deg, [F.desc("degree"), F.asc("id")], 10)
+
+
+@_q("q20b_rollup",
+    "SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, COUNT(*) AS cnt "
+    "FROM events GROUP BY ROLLUP(event_type, hour)",
+    "grouping-sets extension: rollup over (event_type, hour)")
+def q20b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .rollup("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

@@ -1,0 +1,70 @@
+"""SparkSession bootstrap tuned for this engine.
+
+Two entry points:
+
+- ``get_spark()``     — build a session (tests, bench, standalone use).
+- ``prepare_session`` — apply the engine's *runtime* confs to an existing
+  session (the correctness driver owns its own session; every query
+  callable funnels through this so behavior is identical either way).
+
+Scale notes (100 TB target):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned partition counts.
+- Arrow enabled: every pandas-UDF boundary is vectorized.
+- Session timezone pinned to UTC so event-time bucketing (window(),
+  date_trunc) is engine- and host-independent, matching the DuckDB oracle.
+- ``spark.sql.legacy.parquet.nanosAsLong``: the events table carries
+  Parquet TIMESTAMP(NANOS), which Spark 4.x refuses natively; we read the
+  raw nanos as LONG and convert (see sources/tables.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and required) to set on a live session at runtime.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+# Confs that must be set before the session starts.
+BUILD_CONFS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": "8g",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.ui.enabled": "false",
+}
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable on this build — proceed with defaults
+    return spark
+
+
+def get_spark(
+    app_name: str = "gelly-streaming-spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's configuration.
+
+    ``master`` defaults to local[*] when no cluster master is configured;
+    on a real cluster the deploy environment supplies the master and this
+    argument is left None.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    for k, v in {**BUILD_CONFS, **RUNTIME_CONFS, **(extra_confs or {})}.items():
+        builder = builder.config(k, v)
+    return prepare_session(builder.getOrCreate())
