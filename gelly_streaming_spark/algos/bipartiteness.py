@@ -1,0 +1,146 @@
+"""Bipartiteness check (odd-cycle detection).
+
+Reference parity: library/BipartitenessCheck.java + summaries/Candidates.java
+(REF:src/main/java/org/apache/flink/graph/streaming/library/BipartitenessCheck.java:~30 [H];
+REF:.../summaries/Candidates.java:~40-160 [H]; util/SignedVertex.java [M]).
+The reference maintains per-component 2-colorings and fails a component
+when an edge joins same-signed vertices.
+
+Spark-native formulations:
+
+- ``odd_vertex_reach`` — exact parity-reachability fixpoint matching the
+  DuckDB recursive oracle (Q16): a vertex is "odd" iff it reaches itself
+  over an odd-length walk ⇔ its component contains an odd cycle. Output
+  per graph: (is_bipartite, odd_vertices). Intended for bounded fixture
+  graphs (state is O(n²) pairs).
+
+- ``bipartiteness_check`` — the scalable path: components via min-label
+  propagation with parity carried along; a component is non-bipartite iff
+  some edge closes equal parities. O(diameter) joins, state O(V).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gelly_streaming_spark.operators.graphstream import GraphStream
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    e = edges.select("graph", "src", "dst").distinct()
+    return e.unionByName(
+        e.select("graph", F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def odd_vertex_reach(tagged_edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """``tagged_edges``: (graph, src, dst). Returns one row per graph:
+    (graph, is_bipartite, odd_vertices)."""
+    eu = _symmetrize(tagged_edges).localCheckpoint()
+    walk = (
+        eu.select("graph", F.col("src").alias("root"))
+        .distinct()
+        .select("graph", "root", F.col("root").alias("id"), F.lit(0).alias("parity"))
+        .localCheckpoint()
+    )
+    prev = walk.count()
+    for _ in range(max_iter):
+        nxt = (
+            walk.join(eu, (walk.graph == eu.graph) & (walk.id == eu.src))
+            .select(
+                walk.graph, "root", F.col("dst").alias("id"),
+                (F.lit(1) - F.col("parity")).alias("parity"),
+            )
+        )
+        walk = walk.unionByName(nxt).distinct().localCheckpoint()
+        cur = walk.count()
+        if cur == prev:
+            break
+        prev = cur
+
+    odd = (
+        walk.where((F.col("root") == F.col("id")) & (F.col("parity") == 1))
+        .select("graph", "root")
+        .distinct()
+    )
+    graphs = tagged_edges.select("graph").distinct()
+    return (
+        graphs.join(odd, "graph", "left")
+        .groupBy("graph")
+        .agg(F.count("root").alias("odd_vertices"))
+        .select(
+            "graph",
+            (F.col("odd_vertices") == 0).alias("is_bipartite"),
+            "odd_vertices",
+        )
+    )
+
+
+def bipartiteness_check(stream: GraphStream, max_iter: int = 100) -> DataFrame:
+    """Scalable check: rows (component, is_bipartite, conflict_edges).
+
+    Propagates (component, parity) labels: each vertex adopts the min
+    reachable id with the parity of the adopting path. On convergence an
+    edge whose endpoints share component and parity certifies an odd
+    cycle. Same shuffle profile as connected_components (join + min-agg
+    per round)."""
+    e = (
+        stream.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    eu = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    # state: (id, comp, parity) — parity of some shortest adoption path.
+    labels = (
+        eu.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"), F.lit(0).alias("parity"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = eu.join(labels, eu.src == labels.id).select(
+            F.col("dst").alias("id"),
+            F.col("comp"),
+            (F.lit(1) - F.col("parity")).alias("parity"),
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(
+                F.min(F.struct("comp", "parity")).alias("s")
+            )
+            .select("id", F.col("s.comp").alias("comp"), F.col("s.parity").alias("parity"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(
+                (F.col("n.comp") != F.col("o.comp"))
+                | (F.col("n.parity") != F.col("o.parity"))
+            )
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    lab = labels.select("id", "comp", "parity")
+    conflicts = (
+        e.join(lab.withColumnsRenamed({"id": "src", "comp": "c1", "parity": "p1"}), "src")
+        .join(lab.withColumnsRenamed({"id": "dst", "comp": "c2", "parity": "p2"}), "dst")
+        .where((F.col("c1") == F.col("c2")) & (F.col("p1") == F.col("p2")))
+        .groupBy(F.col("c1").alias("component"))
+        .agg(F.count(F.lit(1)).alias("conflict_edges"))
+    )
+    comps = lab.select(F.col("comp").alias("component")).distinct()
+    return comps.join(conflicts, "component", "left").select(
+        "component",
+        F.col("conflict_edges").isNull().alias("is_bipartite"),
+        F.coalesce("conflict_edges", F.lit(0)).alias("conflict_edges"),
+    )

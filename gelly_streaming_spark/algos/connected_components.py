@@ -1,0 +1,145 @@
+"""Connected components.
+
+Reference parity: library/ConnectedComponents.java + summaries/DisjointSet.java
+(REF:src/main/java/org/apache/flink/graph/streaming/library/ConnectedComponents.java:~30 [H];
+REF:.../summaries/DisjointSet.java:~40 [H]) — a windowed union-find summary
+aggregation — and example/IterativeConnectedComponents.java (streaming
+min-label iteration, REF:.../example/IterativeConnectedComponents.java [M]).
+
+Two Spark-native implementations:
+
+1. ``connected_components`` — distributed min-label propagation to
+   fixpoint (Pregel-style driver loop). Each round is one shuffle-join +
+   one partial/final min-agg; lineage is cut with localCheckpoint so the
+   plan doesn't grow with iterations. Converges in O(diameter) rounds —
+   the right trade for the short-diameter graphs this engine targets.
+   For 100 TB adversarial (long-path) graphs, switch to
+   ``connected_components_alternating`` (O(log n) rounds).
+
+2. ``connected_components_summary`` — the reference's exact
+   SummaryAggregation shape: per-bucket union-find folds merged globally
+   (O(num_buckets) forest merge on the driver, never raw edges — fixes
+   the reference's parallelism-1 timeWindowAll funnel, SURVEY.md §7.4.H1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gelly_streaming_spark.operators.aggregation import SummaryAggregation
+from gelly_streaming_spark.operators.graphstream import GraphStream
+
+
+def connected_components(stream: GraphStream, max_iter: int = 100) -> DataFrame:
+    """Per-vertex minimum-reachable-id labels: rows (id, component)."""
+    e = (
+        stream.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    # Symmetrize once; reuse across every iteration.
+    eu = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = (
+        eu.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        msgs = (
+            eu.join(labels, eu.src == labels.id)
+            .select(F.col("dst").alias("id"), F.col("comp"))
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "prev"), "id")
+            .where(F.col("comp") != F.col("prev"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# Union-find summary variant (reference SummaryAggregation shape)
+# ---------------------------------------------------------------------------
+class DisjointSet:
+    """Mergeable union-find forest with path compression + union-by-size
+    (semantics of REF:.../summaries/DisjointSet.java [H]; fresh
+    implementation, dict-based)."""
+
+    __slots__ = ("parent",)
+
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent.setdefault(x, x)
+        while p != self.parent[p]:
+            self.parent[p] = self.parent[self.parent[p]]
+            p = self.parent[p]
+        self.parent[x] = p
+        return p
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if ra > rb:  # min-id root ⇒ deterministic component labels
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+
+    def merge(self, other: "DisjointSet") -> "DisjointSet":
+        for x, p in other.parent.items():
+            self.union(x, p)
+        return self
+
+
+def connected_components_summary(
+    stream: GraphStream, window: str | None = None, num_buckets: int = 64
+) -> DataFrame:
+    """CC via the reference's partial-fold + merge pattern (A6/A7).
+
+    With ``window`` set this is WindowGraphAggregation: one component
+    mapping emitted per tumbling window, state carried across windows
+    (transientState=false, as the reference CC uses)."""
+
+    def fold(s: DisjointSet, pdf: pd.DataFrame) -> DisjointSet:
+        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            s.union(a, b)
+        return s
+
+    def transform(s: DisjointSet) -> list[tuple]:
+        return sorted((x, s.find(x)) for x in s.parent)
+
+    agg = SummaryAggregation(
+        initial=DisjointSet,
+        fold_pdf=fold,
+        combine_fn=lambda a, b: a.merge(b),
+        transform_fn=transform,
+        out_schema=T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("component", T.LongType()),
+            ]
+        ),
+        num_buckets=num_buckets,
+        window=window,
+        transient_state=False,
+    )
+    return stream.aggregate(agg)

@@ -319,6 +319,150 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q15–Q18: library algorithms (reference L1–L5)
+# ---------------------------------------------------------------------------
+_Q15_SQL = """
+WITH RECURSIVE
+sub AS (
+  SELECT o_custkey AS src, 1000000 + o_orderkey AS dst FROM orders WHERE o_orderkey < 200
+  UNION ALL
+  SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem WHERE l_orderkey < 200
+),
+eu AS (SELECT src AS u, dst AS v FROM sub UNION ALL SELECT dst, src FROM sub),
+verts AS (SELECT DISTINCT u AS id FROM eu),
+walk(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN eu e ON e.u = w.id
+)
+SELECT id, MIN(comp) AS component FROM walk GROUP BY id
+"""
+
+
+@_q("q15_connected_components", _Q15_SQL,
+    "L1 connected components — min-label Pregel loop ≡ DuckDB WITH RECURSIVE")
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.connected_components import connected_components
+
+    a = E.edges_cust_order(spark, sf_dir).where(F.col("dst") < 1_000_200)
+    b = E.edges_order_part(spark, sf_dir).where(F.col("src") < 1_000_200)
+    gs = GraphStream(a.select("src", "dst").unionByName(b.select("src", "dst")))
+    return connected_components(gs)
+
+
+def _fixture_union_sql() -> str:
+    from gelly_streaming_spark.sources.fixtures import fixture_rows
+
+    parts = []
+    for g in ("g2", "g3"):
+        vals = ", ".join(f"({s}, {d})" for s, d, _, _ in fixture_rows(g))
+        parts.append(f"SELECT '{g}' AS graph, src, dst FROM (VALUES {vals}) t(src, dst)")
+    return " UNION ALL ".join(parts)
+
+
+_Q16_SQL = f"""
+WITH RECURSIVE
+g AS ({_fixture_union_sql()}),
+eu AS (SELECT graph, src AS u, dst AS v FROM g UNION ALL SELECT graph, dst, src FROM g),
+walk(graph, root, id, parity) AS (
+  SELECT DISTINCT graph, u, u, 0 FROM eu
+  UNION
+  SELECT w.graph, w.root, e.v, 1 - w.parity FROM walk w JOIN eu e ON e.graph = w.graph AND e.u = w.id
+),
+odd AS (SELECT DISTINCT graph, root FROM walk WHERE root = id AND parity = 1)
+SELECT gl.graph, COUNT(o.root) = 0 AS is_bipartite, COUNT(o.root) AS odd_vertices
+FROM (SELECT DISTINCT graph FROM g) gl LEFT JOIN odd o ON o.graph = gl.graph
+GROUP BY gl.graph
+"""
+
+
+@_q("q16_bipartiteness", _Q16_SQL,
+    "L2 bipartiteness — parity-reachability fixpoint on fixtures G2 (K3,3) / G3 (odd cycle)")
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.bipartiteness import odd_vertex_reach
+    from gelly_streaming_spark.sources.fixtures import fixture_graph
+
+    tagged = None
+    for g in ("g2", "g3"):
+        t = fixture_graph(spark, g).select(F.lit(g).alias("graph"), "src", "dst")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return odd_vertex_reach(tagged)
+
+
+_Q17_SQL = _with(
+    "SELECT COUNT(*) AS n_triangles FROM "
+    "(SELECT DISTINCT src, dst FROM edges_copart) a "
+    "JOIN (SELECT DISTINCT src, dst FROM edges_copart) b ON b.src = a.dst "
+    "JOIN (SELECT DISTINCT src, dst FROM edges_copart) c "
+    "ON c.src = a.src AND c.dst = b.dst",
+    "edges_copart",
+)
+
+
+@_q("q17_triangles", _Q17_SQL, "L4 exact triangle count — canonical two-join plan")
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.triangles import triangle_count
+
+    return triangle_count(GraphStream(E.edges_copart(spark, sf_dir)))
+
+
+_Q18_SQL = _with(
+    "SELECT a.bucket, COUNT(*) AS n_triangles FROM "
+    "(SELECT DISTINCT date_trunc('day', ts) AS bucket, src, dst FROM edges_copart) a "
+    "JOIN (SELECT DISTINCT date_trunc('day', ts) AS bucket, src, dst FROM edges_copart) b "
+    "ON b.bucket = a.bucket AND b.src = a.dst "
+    "JOIN (SELECT DISTINCT date_trunc('day', ts) AS bucket, src, dst FROM edges_copart) c "
+    "ON c.bucket = a.bucket AND c.src = a.src AND c.dst = b.dst "
+    "GROUP BY a.bucket",
+    "edges_copart",
+)
+
+
+@_q("q18_windowed_triangles", _Q18_SQL,
+    "L5 windowed triangles — per tumbling day window on the co-purchase graph")
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.triangles import triangle_count_windowed
+
+    return triangle_count_windowed(GraphStream(E.edges_copart(spark, sf_dir)), "1 day")
+
+
+# ---------------------------------------------------------------------------
+# Q19b: as-of join (extension)
+# ---------------------------------------------------------------------------
+_Q19B_SQL = """
+WITH j AS (
+  SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, o.o_orderkey, o.o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+)
+SELECT event_id, ts, o_orderkey AS last_orderkey, o_orderdate AS last_orderdate
+FROM j WHERE rn = 1 OR rn IS NULL
+"""
+
+
+@_q("q19b_asof_join", _Q19B_SQL,
+    "as-of join extension — latest prior order per event, deterministic tie-break")
+def q19b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    out = asof_join(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        tie_breaker="o_orderkey",
+    )
+    return out.select(
+        "event_id", "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q20: sorts / top-k / rollup (absent in reference — Spark surface)
 # ---------------------------------------------------------------------------
 @_q("q20_topk_degrees",

@@ -43,5 +43,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # Parquet TIMESTAMP(NANOS) read as raw nanos; truncate to µs.
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Integer division — double division would round (nanos > 2^53).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
