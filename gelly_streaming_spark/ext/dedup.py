@@ -1,0 +1,117 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension — BASELINE.json): exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+All variants return *decisions* (keep/dup groups or near-dup pairs) as
+DataFrames; nothing is materialized on the driver. Exact dedup is a plain
+hash aggregate (partial+final, one shuffle). Near-dup variants delegate
+to the inverted-index / LSH machinery in ext.similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gelly_streaming_spark.ext.similarity import jaccard_pairs, minhash_lsh_pairs
+from gelly_streaming_spark.ext.text import tokenize
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts by md5: rows (keep_id, dup_count) — keep_id is
+    the minimum id of each identical-content group."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col).cast("binary")).alias("h"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("keep_id", "dup_count")
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (min id) per identical text — the basic hash-groupBy
+    dedup; row-identity via semi-join keeps the full original schema."""
+    keep = (
+        docs.groupBy(F.md5(F.col(text_col).cast("binary")).alias("h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs via shingle→minhash→band→bucket-join (the 100 TB
+    dedup path); pairs are exact-verified, LSH only bounds the candidates."""
+    return minhash_lsh_pairs(
+        docs, id_col, tokenize(F.col(text_col)), threshold, num_hashes, bands
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram (word shingle) Jaccard near-dup pairs."""
+    toks = tokenize(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return jaccard_pairs(docs, id_col, shingles, threshold)
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: rows (id, simhash).
+
+    Per token: 64-bit xxhash; each bit contributes +1/-1 weighted by token
+    frequency; the sign vector packs back into one long. Pure column
+    expressions: explode → 64 conditional sums → bit re-assembly (no UDF,
+    no driver loop). Near-dup test = popcount(xor) ≤ r via ``simhash_near_pairs``."""
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("token"),
+    ).withColumn("h", F.xxhash64("token"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    packed = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return agg.select("id", packed.alias("simhash"))
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs among simhash signatures with Hamming distance ≤ r.
+
+    Scale path: block on 4 16-bit chunks (pigeonhole — any pair within
+    Hamming ≤ 3 agrees exactly on ≥1 chunk), join per chunk, then filter
+    by true popcount. Avoids the all-pairs cross join entirely."""
+    chunks = [
+        F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+        for c in range(4)
+    ]
+    s = sigs.select("id", "simhash", *chunks)
+    pairs = None
+    for c in range(4):
+        a = s.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), F.col(f"c{c}").alias("k"))
+        b = s.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), F.col(f"c{c}").alias("k"))
+        p = a.join(b, "k").where(F.col("a") < F.col("b")).select("a", "b", "ha", "hb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,111 @@
+"""Embedding similarity search (north-star extension — BASELINE.json).
+
+Brute-force cosine top-k is the exactness baseline; LSH (random
+hyperplane) bucketing is the scale path. Cosine is computed with
+JVM-side sequential array folds (F.aggregate / F.zip_with) in DOUBLE —
+deterministic accumulation order, bit-identical to the DuckDB oracle's
+list_cosine_similarity over DOUBLE[] (verified empirically), and no
+Python boundary.
+
+Scale notes: queries are broadcast against the corpus (k·|Q| results,
+never a shuffled cross join); the per-group top-k uses the rank-window
+so Spark inserts a partial window-group-limit below the exchange. The
+IVF/LSH variant bounds each query's candidate set to its bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gelly_streaming_spark.operators.joins import top_k_per_group
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query: rows (qid, vec_id, sim) with a total
+    order (sim DESC, vec_id ASC) inside each query group."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    scored = (
+        q.hint("broadcast")
+        .crossJoin(c)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("qv"), F.col("v")).alias("sim"))
+    )
+    out = top_k_per_group(scored, ["qid"], [F.desc("sim"), F.asc("vec_id")], k)
+    return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"))
+
+
+def lsh_signature(vec, planes: np.ndarray) -> Column:
+    """Random-hyperplane signature: one bit per plane, packed to a long."""
+    packed = None
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return packed
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets, exact rerank within
+    the query's bucket. Recall is property-tested against knn_bruteforce
+    (P-test), never hash-compared. At scale the bucket join replaces the
+    |Q|×|C| score matrix with per-bucket blocks (2^num_planes buckets)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("bucket", lsh_signature(F.col("v"), planes))
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).withColumn("bucket", lsh_signature(F.col("qv"), planes))
+
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("qv"), F.col("v")).alias("sim"))
+    )
+    out = top_k_per_group(scored, ["qid"], [F.desc("sim"), F.asc("vec_id")], k)
+    return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"))

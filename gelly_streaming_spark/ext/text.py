@@ -1,0 +1,98 @@
+"""Text analysis for large-scale training-data pipelines (north-star
+extension — BASELINE.json; no reference counterpart: the reference has no
+scalar function library at all, SURVEY.md §2.8 [H]).
+
+Everything here is built from JVM-side column expressions (split/regexp/
+aggregate) — no Python UDFs in any hot path — so the operators inherit
+whole-stage codegen and scale linearly with partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword marker lists for the n-gram/stopword
+# language-ID heuristic (deterministic, dependency-free).
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "del", "las"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"),
+}
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization (split keeps order; empty tokens filtered)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish subword segmentation: split on word boundaries, digits, and
+    punctuation runs (a regex approximation of byte-pair pretokenizers)."""
+    return F.filter(
+        F.split(F.lower(text), r"(?=[^a-z0-9])|(?<=[^a-z0-9])"), lambda t: t != ""
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokenize(text))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: penalizes extreme length,
+    high punctuation ratio, low alphabetic ratio, and token repetition."""
+    n_chars = F.length(text)
+    toks = tokenize(text)
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    len_ok = F.when((n_chars >= 20) & (n_chars <= 100_000), F.lit(1.0)).otherwise(0.3)
+    punct_ok = 1.0 - F.least(punct / F.greatest(n_chars, F.lit(1)) * 4, F.lit(1.0))
+    alpha_ok = alpha / F.greatest(n_chars, F.lit(1))
+    rep_ok = n_uniq / F.greatest(n_tok, F.lit(1))
+    return F.round((len_ok + punct_ok + alpha_ok + rep_ok) / 4, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker language ID. Scores each candidate language by
+    marker-token hits over the first tokens; deterministic tie-break by
+    language code. Pure array expressions — no UDF."""
+    toks = F.slice(tokenize(F.lower(text)), 1, 64)
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(m) for m in markers]))).alias("hits"),
+            F.lit(-ord(lang[0]) * 256 - ord(lang[1])).alias("tb"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column, shingle: int = 5) -> Column:
+    """Document fingerprint: minimum 64-bit hash over ``shingle``-token
+    rolling windows (winnowing-style min-sampling; equal documents ⇒ equal
+    fingerprints, near-equal documents collide with high probability)."""
+    toks = tokenize(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - shingle + 1, F.lit(1)))
+    shingles = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, shingle)))
+    )
+    return F.array_min(shingles)
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document profile: token count, quality, language,
+    fingerprint — a single projection, zero shuffles."""
+    t = F.col(text_col)
+    return docs.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -489,6 +489,105 @@ def q20b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q21–Q24: training-data pipeline extensions (dedup / similarity /
+# embeddings / text analysis) over the documents + embeddings tables
+# ---------------------------------------------------------------------------
+@_q("q21_exact_dedup",
+    "SELECT COUNT(DISTINCT md5(text)) AS n_unique FROM documents",
+    "exact dedup — distinct content hashes")
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.count_distinct(F.md5(F.col("text").cast("binary"))).alias("n_unique")
+    )
+
+
+@_q("q21b_dedup_groups",
+    "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count FROM documents GROUP BY md5(text)",
+    "exact dedup groups — keep min-id representative per content hash")
+def q21b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_Q22_SQL = """
+WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i FROM tok a
+          JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT a, b, ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95
+"""
+
+
+@_q("q22_jaccard_pairs", _Q22_SQL,
+    "exact Jaccard ≥ 0.95 near-dup pairs via inverted-index join (no cross join)")
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.similarity import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", F.split(F.col("text"), " "), 0.95).select(
+        "a", "b", "jaccard"
+    )
+
+
+_Q23_SQL = """
+WITH scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+  WHERE a.vec_id BETWEEN 1 AND 10
+),
+ranked AS (
+  SELECT qid, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, ROUND(sim, 6) AS sim FROM ranked WHERE rn <= 5
+"""
+
+
+@_q("q23_knn_cosine", _Q23_SQL,
+    "top-5 cosine neighbors of vec_id 1..10 — brute-force baseline (JVM array folds)")
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.embeddings import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, emb.where(F.col("vec_id").between(1, 10)), k=5)
+
+
+_Q24_SQL = """
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+cnt AS (SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+top AS (SELECT lang, token AS top_token FROM
+        (SELECT lang, token, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, token) AS rn
+         FROM cnt) WHERE rn = 1),
+st AS (SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars
+       FROM documents GROUP BY lang)
+SELECT st.lang, st.n_docs, st.avg_chars, top.top_token FROM st JOIN top ON st.lang = top.lang
+"""
+
+
+@_q("q24_text_analysis", _Q24_SQL,
+    "per-language doc count, avg length, top token (deterministic tie-break)")
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.operators.joins import top_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    cnt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    top = top_k_per_group(cnt, ["lang"], [F.desc("c"), F.asc("token")], 1).select(
+        "lang", F.col("token").alias("top_token")
+    )
+    st = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("n_chars"), 6).alias("avg_chars")
+    )
+    return st.join(top, "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

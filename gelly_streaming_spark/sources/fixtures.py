@@ -28,7 +28,8 @@ EDGE_SCHEMA = T.StructType(
     ]
 )
 
-# G1 — Gelly 5-vertex test graph: n=5 m=7, triangles {1,2,3} {3,4,5}, 1 component.
+# G1 — Gelly 5-vertex test graph: n=5 m=7, triangles {1,2,3} {3,4,5} {1,3,5},
+# one component.
 G1 = [(1, 2, 12.0), (1, 3, 13.0), (2, 3, 23.0), (3, 4, 34.0), (3, 5, 35.0), (4, 5, 45.0), (5, 1, 51.0)]
 
 # G2 — bipartite K3,3 ({1,2,3} × {4,5,6}); bipartite=true, 0 triangles.

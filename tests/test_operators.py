@@ -1,0 +1,71 @@
+"""Reference-style golden tests on the canonical G1 fixture (the 5-vertex
+Gelly test graph used by the reference's per-operator ITCases)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from gelly_streaming_spark import GraphStream
+from gelly_streaming_spark.sources.fixtures import fixture_graph
+
+
+@pytest.fixture(scope="module")
+def g1(spark):
+    return GraphStream(fixture_graph(spark, "g1"))
+
+
+def test_degrees_g1(g1):
+    got = {r.id: r.degree for r in g1.degrees().collect()}
+    assert got == {1: 3, 2: 2, 3: 4, 4: 2, 5: 3}
+
+
+def test_in_out_degrees_g1(g1):
+    assert {r.id: r.degree for r in g1.out_degrees().collect()} == {1: 2, 2: 1, 3: 2, 4: 1, 5: 1}
+    assert {r.id: r.degree for r in g1.in_degrees().collect()} == {2: 1, 3: 2, 4: 1, 5: 2, 1: 1}
+
+
+def test_reverse_undirected_counts(g1):
+    assert g1.reverse().edges.count() == 7
+    assert g1.undirected().edges.count() == 14
+    rev = {(r.src, r.dst) for r in g1.reverse().edges.collect()}
+    assert (2, 1) in rev and (1, 5) in rev
+
+
+def test_map_filter(g1):
+    doubled = g1.map_edges(F.col("val") * 2)
+    assert {r.val for r in doubled.edges.collect()} == {24.0, 26.0, 46.0, 68.0, 70.0, 90.0, 102.0}
+    assert g1.filter_edges(F.col("val") > 40).edges.count() == 2
+    assert g1.filter_vertices(lambda v: v != 3).edges.count() == 3
+
+
+def test_counts(g1):
+    assert g1.number_of_edges().collect()[0].m == 7
+    assert g1.number_of_vertices().collect()[0].n == 5
+
+
+def test_union_distinct(g1, spark):
+    doubled = g1.union(g1)
+    assert doubled.edges.count() == 14
+    assert doubled.distinct().edges.count() == 7
+
+
+def test_slice_reduce_on_edges(g1):
+    # 1-minute tumbling windows: each edge lands in its own window.
+    out = g1.slice("1 minute", "out").reduce_on_edges(F.count(F.lit(1)).alias("cnt"))
+    assert out.count() == 7
+    assert all(r.cnt == 1 for r in out.collect())
+    # One big window: per-src neighbor counts.
+    big = g1.slice("1 day", "out").reduce_on_edges(F.count(F.lit(1)).alias("cnt"))
+    got = {r.id: r.cnt for r in big.collect()}
+    assert got == {1: 2, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_slice_all_duplicates_edges(g1):
+    big = g1.slice("1 day", "all").reduce_on_edges(F.count(F.lit(1)).alias("cnt"))
+    got = {r.id: r.cnt for r in big.collect()}
+    assert got == {1: 3, 2: 2, 3: 4, 4: 2, 5: 3}
+
+
+def test_neighborhood_fast_path(g1):
+    nb = g1.slice("1 day", "all").neighborhood()
+    got = {r.id: list(r.neighbors) for r in nb.collect()}
+    assert got[3] == [1, 2, 4, 5]
