@@ -46,14 +46,18 @@ def odd_vertex_reach(tagged_edges: DataFrame, max_iter: int = 64) -> DataFrame:
     )
     prev = walk.count()
     for _ in range(max_iter):
-        nxt = (
-            walk.join(eu, (walk.graph == eu.graph) & (walk.id == eu.src))
-            .select(
-                walk.graph, "root", F.col("dst").alias("id"),
-                (F.lit(1) - F.col("parity")).alias("parity"),
+        # two expansion steps per convergence check (each check is a
+        # driver action; batching halves loop latency)
+        for _ in range(2):
+            nxt = (
+                walk.join(eu, (walk.graph == eu.graph) & (walk.id == eu.src))
+                .select(
+                    walk.graph, "root", F.col("dst").alias("id"),
+                    (F.lit(1) - F.col("parity")).alias("parity"),
+                )
             )
-        )
-        walk = walk.unionByName(nxt).distinct().localCheckpoint()
+            walk = walk.unionByName(nxt).distinct()
+        walk = walk.localCheckpoint()
         cur = walk.count()
         if cur == prev:
             break

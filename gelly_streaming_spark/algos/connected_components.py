@@ -33,8 +33,15 @@ from gelly_streaming_spark.operators.aggregation import SummaryAggregation
 from gelly_streaming_spark.operators.graphstream import GraphStream
 
 
-def connected_components(stream: GraphStream, max_iter: int = 100) -> DataFrame:
-    """Per-vertex minimum-reachable-id labels: rows (id, component)."""
+def connected_components(
+    stream: GraphStream, max_iter: int = 100, check_every: int = 2
+) -> DataFrame:
+    """Per-vertex minimum-reachable-id labels: rows (id, component).
+
+    ``check_every`` label-propagation rounds run between convergence
+    checks — each check is a driver action, so batching rounds roughly
+    halves wall-clock on short-diameter graphs at the cost of ≤1 wasted
+    round after the fixpoint."""
     e = (
         stream.edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
@@ -52,17 +59,21 @@ def connected_components(stream: GraphStream, max_iter: int = 100) -> DataFrame:
         .localCheckpoint()
     )
 
-    for _ in range(max_iter):
-        msgs = (
-            eu.join(labels, eu.src == labels.id)
-            .select(F.col("dst").alias("id"), F.col("comp"))
+    def step(lab: DataFrame) -> DataFrame:
+        msgs = eu.join(lab, eu.src == lab.id).select(
+            F.col("dst").alias("id"), F.col("comp")
         )
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+        return (
+            lab.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
         )
+
+    rounds = 0
+    while rounds < max_iter:
+        new_labels = labels
+        for _ in range(min(check_every, max_iter - rounds)):
+            new_labels = step(new_labels)
+            rounds += 1
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.join(labels.withColumnRenamed("comp", "prev"), "id")
             .where(F.col("comp") != F.col("prev"))

@@ -7,13 +7,19 @@ REF:.../example/WindowTriangles.java:~60-170 [M]), and the one-pass
 sampling estimators (BroadcastTriangleCount / IncidenceSamplingTriangleCount
 [M], Buriol-style).
 
-Spark-first: the batch-exact formulation is the canonical two-join plan
-over id-canonicalized edges (src < dst, distinct) — every triangle
-(x < y < z) is counted exactly once as (x,y)⋈(y,z)⋈(x,z). Catalyst/AQE
-picks the join strategy; both joins are equi-joins that shuffle once on
-the wedge key. The windowed variant adds the window bucket to every join
-key, which also co-partitions by window — wedge state never crosses
-windows (the reference gets the same isolation from per-window state).
+Spark-first: the exact plan is DEGREE-ORDERED edge-iterator counting
+(compact-forward / Latapy orientation): orient each canonical edge from
+its lower-(degree, id) endpoint to the higher one, build each vertex's
+sorted higher-neighbor array once, then count per edge (u,v) the size of
+N⁺(u) ∩ N⁺(v) with a JVM array_intersect — every triangle x≺y≺z is
+found exactly once, at its (x,y) edge. The orientation bounds every
+adjacency array at O(√m) entries regardless of hub skew, and — unlike
+the join-based wedge plan, which materialized 41M wedge rows at sf0.1
+(measured: 25 s naive, 10 s degree-ordered) — nothing wider than the
+edge list is ever shuffled: the adjacency table (one row per vertex) is
+broadcast and edges stream through two hash probes + an in-core
+intersection. The windowed variant adds the window bucket to every key,
+which also co-partitions by window.
 """
 
 from __future__ import annotations
@@ -37,17 +43,59 @@ def _canonical(edges: DataFrame, extra_keys: list[str] | None = None) -> DataFra
     )
 
 
+def _oriented_triangles(e: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows = one per triangle (keyed by ``keys``), via degree orientation.
+    ``e`` must be canonical (src<dst, distinct) with ``keys`` columns."""
+    # e feeds degrees + both wedge sides: materialize once instead of
+    # re-deriving the upstream plan (e.g. the co-purchase self-join) 5x.
+    e = e.localCheckpoint()
+    deg = (
+        e.select(*keys, F.explode(F.array("src", "dst")).alias("id"))
+        .groupBy(*keys, "id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # deg has one row per (keys, vertex) — orders of magnitude smaller
+    # than the wedge volume; broadcast both degree joins.
+    ed = (
+        e.join(
+            deg.select(*keys, F.col("id").alias("src"), F.col("d").alias("ds")).hint("broadcast"),
+            [*keys, "src"],
+        )
+        .join(
+            deg.select(*keys, F.col("id").alias("dst"), F.col("d").alias("dd")).hint("broadcast"),
+            [*keys, "dst"],
+        )
+    )
+    low_first = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    o = ed.select(
+        *keys,
+        F.when(low_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(low_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    ).localCheckpoint()  # feeds the adjacency build + the edge stream
+    adj = o.groupBy(*keys, "u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    au = adj.select(*keys, "u", F.col("nbrs").alias("nu"))
+    av = adj.select(*keys, F.col("u").alias("v"), F.col("nbrs").alias("nv"))
+    per_edge = (
+        o.join(au.hint("broadcast"), [*keys, "u"])
+        .join(av.hint("broadcast"), [*keys, "v"], "left")
+        .select(
+            *keys,
+            F.when(F.col("nv").isNull(), F.lit(0))
+            .otherwise(F.size(F.array_intersect(F.col("nu"), F.col("nv"))))
+            .alias("tri"),
+        )
+    )
+    return per_edge
+
+
 def triangle_count(stream: GraphStream) -> DataFrame:
     """Exact global triangle count: one row (n_triangles)."""
-    e = _canonical(stream.edges)
-    a, b, c = e.alias("a"), e.alias("b"), e.alias("c")
-    wedges = a.join(b, F.col("a.dst") == F.col("b.src"))
-    tri = wedges.join(
-        c,
-        (F.col("c.src") == F.col("a.src")) & (F.col("c.dst") == F.col("b.dst")),
-        "left_semi",
+    per_edge = _oriented_triangles(_canonical(stream.edges), keys=[])
+    return per_edge.groupBy().agg(
+        F.coalesce(F.sum("tri"), F.lit(0)).alias("n_triangles")
     )
-    return tri.groupBy().agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 def triangle_count_windowed(stream: GraphStream, size: str = "1 day") -> DataFrame:
@@ -57,20 +105,11 @@ def triangle_count_windowed(stream: GraphStream, size: str = "1 day") -> DataFra
         stream.edges.withColumn("bucket", F.window("ts", size).start),
         extra_keys=["bucket"],
     )
-    a, b, c = e.alias("a"), e.alias("b"), e.alias("c")
-    wedges = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.dst") == F.col("b.src")),
-    )
-    tri = wedges.join(
-        c,
-        (F.col("c.bucket") == F.col("a.bucket"))
-        & (F.col("c.src") == F.col("a.src"))
-        & (F.col("c.dst") == F.col("b.dst")),
-        "left_semi",
-    )
-    return tri.groupBy(F.col("a.bucket").alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    per_edge = _oriented_triangles(e, keys=["bucket"])
+    return (
+        per_edge.groupBy("bucket")
+        .agg(F.sum("tri").alias("n_triangles"))
+        .where(F.col("n_triangles") > 0)
     )
 
 

@@ -2,21 +2,24 @@
 
 North-star extension (BASELINE.json) — no reference counterpart.
 
-Scale design: the exact path is an inverted-index self-join (explode
-tokens → join on token → count intersections), never an O(n²) cross
-join: only documents sharing ≥1 token ever meet, and the join shuffles on
-the token key. Hot tokens are the skew risk — ``max_token_df`` drops
-tokens whose document frequency exceeds a cap (a stopword that appears in
-every doc contributes nothing to ≥θ Jaccard pairs discrimination but
-quadratic join rows; the cap is a standard prefix-filter trade — at
-θ=0.95 any pair sharing only capped tokens is far below threshold).
+Scale design: the exact path is a PREFIX-FILTERED inverted-index
+self-join (the ppjoin/AllPairs family): tokens are globally ordered by
+(document frequency, token); a pair with Jaccard ≥ θ must share a token
+inside both documents' first ``n - ⌈θ·n⌉ + 1`` tokens of that order
+(else all ⌈θ·n⌉ common tokens would have to fit in a suffix of size
+⌈θ·n⌉ − 1). Only prefix tokens — by construction the *rarest* — enter
+the candidate join, so hot stopwords never explode the shuffle; the
+exact verification join then computes true intersections for candidates
+only. Measured at sf0.1 (5k docs, θ=0.95): 134 s unfiltered → the
+prefix plan cuts the candidate join by ~the prefix/size ratio while
+staying exact. A size filter (⌈θ·|A|⌉ ≤ |B| ≤ ⌊|A|/θ⌋) prunes further.
 The MinHash-LSH path bounds work per document at O(num_hashes) and meets
 only within LSH buckets — the 100 TB path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -33,27 +36,62 @@ def jaccard_pairs(
     id_col: str,
     tokens: Column,
     threshold: float,
-    max_token_df: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact all-pairs Jaccard ≥ threshold: rows (a, b, jaccard), a < b.
 
     jaccard is computed from exact integer set sizes ⇒ bit-identical
-    across engines (int ratio in IEEE double)."""
-    tok = token_sets(docs, id_col, tokens)
-    if max_token_df is not None:
-        hot = tok.groupBy("token").count().where(F.col("count") > max_token_df)
-        tok = tok.join(hot.select("token"), "token", "left_anti")
-    tok = tok.localCheckpoint()
-
+    across engines (int ratio in IEEE double). ``prefix_filter=False``
+    falls back to the naive full inverted-index join (testing aid)."""
+    tok = token_sets(docs, id_col, tokens).localCheckpoint()
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    ta = tok.select(F.col("id").alias("a"), "token")
-    tb = tok.select(F.col("id").alias("b"), "token")
-    inter = (
-        ta.join(tb, "token")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+
+    if prefix_filter:
+        # Global rare-first token order: (df, token); per-doc position by
+        # that order; keep the first n - ceil(t*n) + 1 tokens.
+        tdf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        pos_w = Window.partitionBy("id").orderBy("df", "token")
+        n_w = Window.partitionBy("id")
+        pref = (
+            tok.join(tdf, "token")
+            .withColumn("pos", F.row_number().over(pos_w))
+            .withColumn("n", F.count(F.lit(1)).over(n_w))
+            .where(
+                F.col("pos")
+                <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+            )
+            .select("id", "token", "n")
+        )
+        pa = pref.select(F.col("id").alias("a"), "token", F.col("n").alias("na"))
+        pb = pref.select(F.col("id").alias("b"), "token", F.col("n").alias("nb"))
+        cand = (
+            pa.join(pb, "token")
+            .where(
+                (F.col("a") < F.col("b"))
+                & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na")))
+                & (F.col("nb") <= F.floor(F.col("na") / F.lit(threshold)))
+            )
+            .select("a", "b")
+            .distinct()
+        )
+        ta = tok.select(F.col("id").alias("a"), "token")
+        tb = tok.select(F.col("id").alias("b"), "token")
+        inter = (
+            cand.join(ta, "a")
+            .join(tb, ["b", "token"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+    else:
+        ta = tok.select(F.col("id").alias("a"), "token")
+        tb = tok.select(F.col("id").alias("b"), "token")
+        inter = (
+            ta.join(tb, "token")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+
     sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))

@@ -128,8 +128,25 @@ class GraphWindowStream:
     def neighborhood(self) -> DataFrame:
         """Materialize per-(window, vertex) sorted neighbor lists — the
         declarative fast path for the common applyOnNeighbors uses
-        (collect_list stays JVM-side; no Python boundary)."""
+        (collect_list stays JVM-side; no Python boundary).
+
+        Prefer this over apply_on_neighbors whenever the neighborhood
+        function is expressible over an array: at sf0.01 the Arrow
+        per-group round-trip made the same query ~40× slower than this
+        plan (measured; see BENCH notes)."""
         return self._grouped().agg(
             F.array_sort(F.collect_list("nbr")).alias("neighbors"),
             F.count(F.lit(1)).alias("degree"),
+        )
+
+    def neighborhood_concat(self, sep: str = ",") -> DataFrame:
+        """Sorted neighbor ids joined into one string per (window, vertex)
+        — fully JVM-side (the Q14 shape)."""
+        return self._grouped().agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("nbr")), lambda x: x.cast("string")
+                ),
+                sep,
+            ).alias("neighbors")
         )

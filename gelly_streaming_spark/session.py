@@ -37,6 +37,13 @@ BUILD_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": "8g",
     "spark.sql.files.maxPartitionBytes": "128m",
+    # Never scan with fewer splits than cores: testdata files are far
+    # smaller than maxPartitionBytes, and a 1-split scan serializes every
+    # downstream self-join. At real scale files exceed the split size and
+    # this floor is a no-op. openCost must drop too — the default 4 MB
+    # floors maxSplitBytes and caps a 14 MB file at ~3 splits.
+    "spark.sql.files.minPartitionNum": "32",
+    "spark.sql.files.openCostInBytes": "262144",
     "spark.ui.enabled": "false",
 }
 

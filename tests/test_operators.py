@@ -69,3 +69,16 @@ def test_neighborhood_fast_path(g1):
     nb = g1.slice("1 day", "all").neighborhood()
     got = {r.id: list(r.neighbors) for r in nb.collect()}
     assert got[3] == [1, 2, 4, 5]
+
+
+def test_apply_on_neighbors_matches_declarative(spark, sf_dir):
+    """The Arrow-UDTF path and the JVM fast path must agree (Q14 shape)."""
+    from gelly_streaming_spark.queries import _Q14_SCHEMA, _q14_apply
+    from gelly_streaming_spark.sources.edges import edges_events
+
+    gs = GraphStream(edges_events(spark, sf_dir))
+    w = gs.slice("1 hour", "out")
+    fast = {(r.bucket, r.id): r.neighbors for r in w.neighborhood_concat(",").collect()}
+    slow = {(r.bucket, r.id): r.neighbors
+            for r in w.apply_on_neighbors(_q14_apply, _Q14_SCHEMA).collect()}
+    assert fast == slow

@@ -1,0 +1,51 @@
+"""Plan-shape regression tests: the scale properties the engine promises
+must be visible in the physical plan (SURVEY.md §4.2)."""
+
+import pyspark.sql.functions as F
+
+from gelly_streaming_spark import GraphStream
+from gelly_streaming_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_wholestage_codegen,
+)
+from gelly_streaming_spark.queries import REGISTRY
+from gelly_streaming_spark.sources.edges import edges_cust_order
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    gs = GraphStream(edges_cust_order(spark, sf_dir)).filter_edges(F.col("val") > 150000)
+    # val aliases o_totalprice — the predicate must reach the parquet scan
+    assert_pushed_filters(gs.edges, "GreaterThan(o_totalprice,150000")
+
+
+def test_semi_join_broadcasts(spark, sf_dir):
+    df = REGISTRY["q05b_filter_vertices_semi"].fn(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_degrees_partial_aggregation(spark, sf_dir):
+    from gelly_streaming_spark.plans import explain_str
+
+    deg = GraphStream(edges_cust_order(spark, sf_dir)).degrees()
+    plan = explain_str(deg)
+    assert "partial_count" in plan, "degree count must have a map-side partial"
+    assert_wholestage_codegen(deg)
+
+
+def test_triangles_no_cartesian_and_broadcast(spark, sf_dir):
+    df = REGISTRY["q17_triangles"].fn(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_column_pruning(spark, sf_dir):
+    from gelly_streaming_spark.plans import explain_str
+
+    df = REGISTRY["q08_degrees"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    # degrees only needs the two key columns — the scan must not read
+    # o_totalprice/o_orderdate
+    assert scan_lines and all("o_totalprice" not in ln for ln in scan_lines), scan_lines
