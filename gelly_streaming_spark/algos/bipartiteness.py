@@ -81,8 +81,12 @@ def odd_vertex_reach(tagged_edges: DataFrame, max_iter: int = 64) -> DataFrame:
     )
 
 
-def bipartiteness_check(stream: GraphStream, max_iter: int = 100) -> DataFrame:
+def bipartiteness_check(
+    stream: GraphStream, max_iter: int = 100, return_labels: bool = False
+):
     """Scalable check: rows (component, is_bipartite, conflict_edges).
+    With ``return_labels`` also returns the (id, comp, parity) coloring —
+    the certificate the streaming incremental check carries as state.
 
     Propagates (component, parity) labels: each vertex adopts the min
     reachable id with the parity of the adopting path. On convergence an
@@ -143,8 +147,11 @@ def bipartiteness_check(stream: GraphStream, max_iter: int = 100) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("conflict_edges"))
     )
     comps = lab.select(F.col("comp").alias("component")).distinct()
-    return comps.join(conflicts, "component", "left").select(
+    verdict = comps.join(conflicts, "component", "left").select(
         "component",
         F.col("conflict_edges").isNull().alias("is_bipartite"),
         F.coalesce("conflict_edges", F.lit(0)).alias("conflict_edges"),
     )
+    if return_labels:
+        return lab, verdict
+    return verdict

@@ -597,6 +597,48 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.join(top, "lang")
 
 
+# ---------------------------------------------------------------------------
+# Q25s/Q26s: streaming operators (SURVEY.md §2 M4) — each replays the same
+# bounded edge set as its batch twin through a real Structured Streaming
+# query (file source, micro-batches, available-now trigger) and returns
+# the FINAL state, which must hash-match the same DuckDB oracle. This
+# pins semantic delta D1 (per-micro-batch emission, same fixpoint).
+# ---------------------------------------------------------------------------
+def _replay_tmp(df: DataFrame, num_batches: int = 4) -> DataFrame:
+    import tempfile
+
+    from gelly_streaming_spark.streaming.sources import replay
+
+    return replay(df, tempfile.mkdtemp(prefix="gss_replay_"), num_batches)
+
+
+@_q("q25s_streaming_degrees",
+    _with(
+        "SELECT id, COUNT(*) AS degree FROM "
+        "(SELECT src AS id FROM edges_cust_order UNION ALL SELECT dst FROM edges_cust_order) "
+        "GROUP BY id", "edges_cust_order"),
+    "A1 getDegrees on a live micro-batched stream (complete mode) — final "
+    "state ≡ batch degrees ≡ Q08 oracle")
+def q25s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.streaming.runner import run_to_memory
+
+    stream = _replay_tmp(E.edges_cust_order(spark, sf_dir))
+    return run_to_memory(GraphStream(stream).degrees(), "complete")
+
+
+@_q("q26s_streaming_cc", _Q15_SQL,
+    "L1/L7 incremental connected components over micro-batches "
+    "(foreachBatch contraction) — final mapping ≡ batch CC ≡ Q15 oracle")
+def q26s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.streaming.cc import IncrementalConnectedComponents
+
+    a = E.edges_cust_order(spark, sf_dir).where(F.col("dst") < 1_000_200)
+    b = E.edges_order_part(spark, sf_dir).where(F.col("src") < 1_000_200)
+    edges = a.select("src", "dst").unionByName(b.select("src", "dst"))
+    stream = _replay_tmp(edges.withColumn("ts", F.lit(None).cast("timestamp")))
+    return IncrementalConnectedComponents().run(stream)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,144 @@
+"""Incremental (streaming) connected components & bipartiteness.
+
+Reference parity: library/ConnectedComponents.java — a windowed
+union-find summary aggregation: per-window partial ``DisjointSet`` folds,
+globally merged each merge-window, state persisted across windows so the
+mapping continuously refines (REF:src/main/java/org/apache/flink/graph/
+streaming/library/ConnectedComponents.java:~30 [H]; WindowGraphAggregation
+run(): keyBy → window fold → timeWindowAll → reduce,
+REF:.../WindowGraphAggregation.java:~70-110 [M]). Also
+example/IterativeConnectedComponents.java (streaming min-label iteration
+with a feedback edge, REF:.../example/IterativeConnectedComponents.java [M]).
+
+Spark has no streaming iteration, so the engine runs the refinement in
+``foreachBatch`` (SURVEY.md §7.4.H2): per micro-batch, the new edges are
+unioned with the *contracted* previous state — the (vertex → component)
+mapping itself, viewed as edges — and a batch min-label fixpoint runs on
+that graph. Correctness: contracting a subgraph to its components
+preserves the components of the union, so after every batch the mapping
+equals batch CC over all edges seen so far.
+
+Scale: state between batches is O(#vertices) rows (the mapping), never
+the edge history, and it stays a distributed DataFrame — no driver
+materialization. Each refinement's cost is driven by the *new* edges plus
+|V| mapping edges; the reference instead funnels every partial forest
+through one parallelism-1 subtask per window (its H1 bottleneck).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gelly_streaming_spark.algos.connected_components import connected_components
+from gelly_streaming_spark.operators.graphstream import GraphStream
+from gelly_streaming_spark.streaming.runner import run_foreach_batch
+
+
+class IncrementalConnectedComponents:
+    """Continuously-refined CC over an unbounded edge stream.
+
+    After each micro-batch, ``state`` holds the (id, component) mapping
+    for every vertex seen — equal to batch CC over all edges so far.
+    """
+
+    def __init__(self):
+        self.state: Optional[DataFrame] = None
+        self.batches: int = 0
+
+    def _on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        new_edges = batch_df.select("src", "dst")
+        if self.state is not None:
+            prev_as_edges = self.state.select(
+                F.col("id").alias("src"), F.col("component").alias("dst")
+            )
+            new_edges = new_edges.unionByName(prev_as_edges)
+        mapping = connected_components(GraphStream(new_edges))
+        # pin the refined mapping; cut lineage so plans don't grow per batch
+        self.state = mapping.localCheckpoint()
+        self.batches += 1
+
+    def run(self, edge_stream: DataFrame, timeout_sec: int = 300) -> DataFrame:
+        """Consume all available micro-batches; return the final mapping."""
+        run_foreach_batch(edge_stream, self._on_batch, timeout_sec=timeout_sec)
+        assert self.state is not None, "stream produced no batches"
+        return self.state
+
+
+class IncrementalBipartiteness:
+    """Streaming odd-cycle detection (library/BipartitenessCheck.java [H]).
+
+    State: (id, component, parity) — a 2-coloring certificate per seen
+    vertex — plus a sticky per-component conflict flag. Per batch the new
+    edges are checked against / merged with the coloring: the previous
+    state is contracted into parity-preserving virtual edges (parity 0 ⇒
+    even path ⇒ two edges via a virtual midpoint; parity 1 ⇒ one edge)
+    and the batch parity-propagation fixpoint reruns on the contraction.
+    A component once failed stays failed (odd cycles never disappear),
+    matching the reference's ``Candidates(false)`` absorbing state.
+    """
+
+    #: virtual-midpoint ids live below this (real vertex ids are ≥ 0)
+    _VIRTUAL_BASE = -1
+
+    def __init__(self):
+        self.state: Optional[DataFrame] = None  # (id, comp, parity)
+        self.failed: Optional[DataFrame] = None  # (component,) absorbing
+
+    def _on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from gelly_streaming_spark.algos.bipartiteness import bipartiteness_check
+
+        edges = batch_df.select("src", "dst")
+        if self.state is not None:
+            odd = self.state.where(F.col("parity") == 1).select(
+                F.col("id").alias("src"), F.col("comp").alias("dst")
+            )
+            even = self.state.where(
+                (F.col("parity") == 0) & (F.col("id") != F.col("comp"))
+            )
+            mid = (self._VIRTUAL_BASE - F.col("id")).alias("midpoint")
+            even_half1 = even.select(F.col("id").alias("src"), mid.alias("dst"))
+            even_half2 = even.select(
+                (self._VIRTUAL_BASE - F.col("id")).alias("src"),
+                F.col("comp").alias("dst"),
+            )
+            edges = edges.unionByName(odd).unionByName(even_half1).unionByName(
+                even_half2
+            )
+
+        result = bipartiteness_check(GraphStream(edges), return_labels=True)
+        labels, verdict = result
+        # drop virtual midpoints from carried state
+        self.state = labels.where(F.col("id") >= 0).localCheckpoint()
+        newly_failed = verdict.where(~F.col("is_bipartite")).select("component")
+        if self.failed is None:
+            self.failed = newly_failed.localCheckpoint()
+        else:
+            # remap old failed roots through the refined mapping: a failed
+            # component's root vertex now carries the merged component id
+            remapped = (
+                self.failed.join(
+                    self.state, self.failed.component == self.state.id, "left"
+                )
+                .select(
+                    F.coalesce(F.col("comp"), F.col("component")).alias("component")
+                )
+            )
+            self.failed = (
+                remapped.unionByName(newly_failed).distinct().localCheckpoint()
+            )
+
+    def run(self, edge_stream: DataFrame, timeout_sec: int = 300) -> DataFrame:
+        """Consume the stream; return (component, is_bipartite) for every
+        final component."""
+        run_foreach_batch(edge_stream, self._on_batch, timeout_sec=timeout_sec)
+        assert self.state is not None, "stream produced no batches"
+        comps = self.state.select(F.col("comp").alias("component")).distinct()
+        failed = (self.failed or comps.limit(0)).withColumn(
+            "is_bipartite", F.lit(False)
+        )
+        return comps.join(failed, "component", "left").select(
+            "component", F.coalesce("is_bipartite", F.lit(True)).alias("is_bipartite")
+        )

@@ -1,0 +1,126 @@
+"""M4 streaming parity: every streaming operator's final state must equal
+the batch answer over the same (replayed) edges — the engine's contract
+for semantic delta D1 (SURVEY.md §5.2, §7.4)."""
+
+import pandas as pd
+import pytest
+
+from gelly_streaming_spark import GraphStream
+from gelly_streaming_spark.sources.edges import edges_cust_order
+from gelly_streaming_spark.sources.fixtures import fixture_graph
+from gelly_streaming_spark.streaming import (
+    IncrementalBipartiteness,
+    IncrementalConnectedComponents,
+    replay,
+    run_foreach_batch,
+    run_to_memory,
+    running_degrees,
+    streaming_distinct,
+)
+
+
+@pytest.fixture(scope="module")
+def edge_replay(spark, sf_dir, tmp_path_factory):
+    """sf0.001 customer→order edges as a 4-micro-batch stream."""
+    batch = edges_cust_order(spark, sf_dir)
+    stage = str(tmp_path_factory.mktemp("replay") / "edges")
+    return batch, replay(batch, stage, num_batches=4)
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_degrees_complete_mode(spark, edge_replay):
+    batch, stream = edge_replay
+    got = run_to_memory(GraphStream(stream).degrees(), "complete")
+    want = GraphStream(batch).degrees()
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_streaming_counts(spark, edge_replay):
+    batch, stream = edge_replay
+    got = run_to_memory(GraphStream(stream).number_of_edges(), "complete")
+    assert got.collect()[0]["m"] == batch.count()
+
+
+def test_streaming_slice_reduce(spark, edge_replay):
+    """W1/W2: tumbling per-vertex window agg, streaming vs batch."""
+    batch, stream = edge_replay
+    import pyspark.sql.functions as F
+
+    agg = lambda gw: gw.reduce_on_edges(  # noqa: E731
+        F.sum("val").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    got = run_to_memory(agg(GraphStream(stream).slice("30 days")), "complete")
+    want = agg(GraphStream(batch).slice("30 days"))
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_streaming_distinct_drops_replayed_dupes(spark, tmp_path):
+    """T6 with watermark-bounded state: g1 replayed twice dedups to g1."""
+    g1 = fixture_graph(spark, "g1")
+    doubled = g1.unionByName(g1)
+    stream = replay(doubled, str(tmp_path / "dupes"), num_batches=2)
+    out = run_to_memory(
+        streaming_distinct(stream, "1 minute"), "append"
+    ).select("src", "dst")
+    assert _sorted_rows(out) == _sorted_rows(g1.select("src", "dst"))
+
+
+def test_running_degrees_stateful(spark, edge_replay):
+    """A1 via explicit keyed state: last emitted degree per vertex ==
+    batch degree."""
+    batch, stream = edge_replay
+    final: dict = {}
+
+    def collect_batch(bdf, bid):
+        for row in bdf.collect():
+            final[row["id"]] = row["degree"]
+
+    run_foreach_batch(running_degrees(stream), collect_batch)
+    want = {r["id"]: r["degree"] for r in GraphStream(batch).degrees().collect()}
+    assert final == want
+
+
+def test_incremental_cc_matches_batch(spark, tmp_path):
+    from gelly_streaming_spark.algos.connected_components import (
+        connected_components,
+    )
+
+    g4 = fixture_graph(spark, "g4")
+    stream = replay(g4, str(tmp_path / "g4"), num_batches=3)
+    inc = IncrementalConnectedComponents()
+    got = inc.run(stream)
+    want = connected_components(GraphStream(g4))
+    assert inc.batches >= 2, "replay must exercise >1 micro-batch"
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_incremental_cc_refines_across_batches(spark, tmp_path):
+    """Edges arriving in separate batches must still merge components:
+    a path graph split so every batch bridges two prior components."""
+    rows = [(i, i + 1, None, pd.Timestamp("2024-01-01").to_pydatetime())
+            for i in range(0, 12)]
+    from gelly_streaming_spark.sources.fixtures import EDGE_SCHEMA
+
+    path = spark.createDataFrame(rows, EDGE_SCHEMA)
+    stream = replay(path, str(tmp_path / "path"), num_batches=4)
+    got = IncrementalConnectedComponents().run(stream)
+    assert {r["component"] for r in got.collect()} == {0}
+
+
+def test_incremental_bipartiteness(spark, tmp_path):
+    """G2 (bipartite) stays true; G3 (odd cycle) flips to false and the
+    failure is absorbing across later batches."""
+    g2 = fixture_graph(spark, "g2")
+    got2 = IncrementalBipartiteness().run(
+        replay(g2, str(tmp_path / "g2"), num_batches=3)
+    )
+    assert [r["is_bipartite"] for r in got2.collect()] == [True]
+
+    g3 = fixture_graph(spark, "g3")
+    got3 = IncrementalBipartiteness().run(
+        replay(g3, str(tmp_path / "g3"), num_batches=2)
+    )
+    assert [r["is_bipartite"] for r in got3.collect()] == [False]
