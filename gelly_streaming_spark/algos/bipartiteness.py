@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gelly_streaming_spark.operators.graphstream import GraphStream
+from gelly_streaming_spark.plans.memory import free_checkpoint
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -45,6 +46,7 @@ def odd_vertex_reach(tagged_edges: DataFrame, max_iter: int = 64) -> DataFrame:
         .localCheckpoint()
     )
     prev = walk.count()
+    ckpt = walk  # the live checkpoint backing `walk`
     for _ in range(max_iter):
         # two expansion steps per convergence check (each check is a
         # driver action; batching halves loop latency)
@@ -58,11 +60,16 @@ def odd_vertex_reach(tagged_edges: DataFrame, max_iter: int = 64) -> DataFrame:
             )
             walk = walk.unionByName(nxt).distinct()
         walk = walk.localCheckpoint()
+        # free the superseded checkpoint (leaked blocks = storage-memory
+        # pressure on every later query; an OOM at 100 TB)
+        free_checkpoint(ckpt)
+        ckpt = walk
         cur = walk.count()
         if cur == prev:
             break
         prev = cur
 
+    free_checkpoint(eu)  # the output plan reads only the final walk checkpoint
     odd = (
         walk.where((F.col("root") == F.col("id")) & (F.col("parity") == 1))
         .select("graph", "root")
@@ -134,6 +141,7 @@ def bipartiteness_check(
             .limit(1)
             .count()
         )
+        free_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -146,6 +154,7 @@ def bipartiteness_check(
         .groupBy(F.col("c1").alias("component"))
         .agg(F.count(F.lit(1)).alias("conflict_edges"))
     )
+    free_checkpoint(eu)  # conflicts/labels read only e and the final checkpoint
     comps = lab.select(F.col("comp").alias("component")).distinct()
     verdict = comps.join(conflicts, "component", "left").select(
         "component",

@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 
 from gelly_streaming_spark.operators.aggregation import SummaryAggregation
 from gelly_streaming_spark.operators.graphstream import GraphStream
+from gelly_streaming_spark.plans.memory import free_checkpoint
 
 
 def connected_components(
@@ -80,9 +81,13 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # free the superseded checkpoint — a leaked block per round is
+        # storage-memory pressure now and an OOM at 100 TB
+        free_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
+    free_checkpoint(eu)  # returned plan reads only the final labels checkpoint
     return labels.select("id", F.col("comp").alias("component"))
 
 

@@ -65,6 +65,40 @@ class SummaryAggregation:
     transient_state: bool = True
 
     # ------------------------------------------------------------------
+    def fold_bounded(self, edges: DataFrame) -> Any:
+        """Distributed bucket-fold of a bounded edge DataFrame into ONE
+        merged summary (no windowing) — the per-micro-batch primitive the
+        streaming runner uses (streaming/summary.py). Edges fold in ts
+        order within each bucket when a ts column exists (order-sensitive
+        summaries: spanner)."""
+        cols = [F.col("src"), F.col("dst")]
+        cols.append(
+            F.col("val") if "val" in edges.columns else F.lit(None).alias("val")
+        )
+        if "ts" in edges.columns:
+            cols.append(F.col("ts"))
+        df = edges.select(
+            F.pmod(F.xxhash64("src"), F.lit(self.num_buckets)).alias("pkey"), *cols
+        )
+        init, fold = self.initial, self.fold_pdf
+
+        def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            if "ts" in pdf.columns:
+                pdf = pdf.sort_values("ts")
+            return pd.DataFrame({"summary": [pickle.dumps(fold(init(), pdf))]})
+
+        partials = (
+            df.groupBy("pkey")
+            .applyInPandas(
+                fold_group, schema=T.StructType([T.StructField("summary", T.BinaryType())])
+            )
+            .collect()
+        )
+        out = init()
+        for row in partials:
+            out = self.combine_fn(out, pickle.loads(bytes(row["summary"])))
+        return out
+
     def run(self, stream: GraphStream) -> DataFrame:
         """Batch execution: bucket-fold (distributed) → merge (driver,
         O(num_buckets) pickled summaries) → transform."""

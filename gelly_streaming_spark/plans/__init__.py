@@ -5,6 +5,7 @@ from gelly_streaming_spark.plans.checks import (
     assert_wholestage_codegen,
     explain_str,
 )
+from gelly_streaming_spark.plans.memory import free_checkpoint
 
 __all__ = [
     "assert_broadcast_join",
@@ -12,4 +13,5 @@ __all__ = [
     "assert_pushed_filters",
     "assert_wholestage_codegen",
     "explain_str",
+    "free_checkpoint",
 ]

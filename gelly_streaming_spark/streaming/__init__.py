@@ -19,8 +19,14 @@ from gelly_streaming_spark.streaming.stateful import (
     running_degrees,
     streaming_distinct,
 )
+from gelly_streaming_spark.streaming.summary import (
+    StreamingSummaryAggregation,
+    streaming_spanner_aggregation,
+)
 
 __all__ = [
+    "StreamingSummaryAggregation",
+    "streaming_spanner_aggregation",
     "IncrementalBipartiteness",
     "IncrementalConnectedComponents",
     "rate_edges",

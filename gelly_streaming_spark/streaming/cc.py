@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from gelly_streaming_spark.algos.connected_components import connected_components
 from gelly_streaming_spark.operators.graphstream import GraphStream
+from gelly_streaming_spark.plans.memory import free_checkpoint
 from gelly_streaming_spark.streaming.runner import run_foreach_batch
 
 
@@ -57,7 +58,11 @@ class IncrementalConnectedComponents:
             new_edges = new_edges.unionByName(prev_as_edges)
         mapping = connected_components(GraphStream(new_edges))
         # pin the refined mapping; cut lineage so plans don't grow per batch
+        prev = self.state
         self.state = mapping.localCheckpoint()
+        free_checkpoint(mapping)  # CC's own final checkpoint, now copied
+        if prev is not None:
+            free_checkpoint(prev)
         self.batches += 1
 
     def run(self, edge_stream: DataFrame, timeout_sec: int = 300) -> DataFrame:
@@ -111,6 +116,7 @@ class IncrementalBipartiteness:
         result = bipartiteness_check(GraphStream(edges), return_labels=True)
         labels, verdict = result
         # drop virtual midpoints from carried state
+        prev_state = self.state
         self.state = labels.where(F.col("id") >= 0).localCheckpoint()
         newly_failed = verdict.where(~F.col("is_bipartite")).select("component")
         if self.failed is None:
@@ -118,9 +124,10 @@ class IncrementalBipartiteness:
         else:
             # remap old failed roots through the refined mapping: a failed
             # component's root vertex now carries the merged component id
+            old_failed = self.failed
             remapped = (
-                self.failed.join(
-                    self.state, self.failed.component == self.state.id, "left"
+                old_failed.join(
+                    self.state, old_failed.component == self.state.id, "left"
                 )
                 .select(
                     F.coalesce(F.col("comp"), F.col("component")).alias("component")
@@ -129,6 +136,14 @@ class IncrementalBipartiteness:
             self.failed = (
                 remapped.unionByName(newly_failed).distinct().localCheckpoint()
             )
+            free_checkpoint(old_failed)
+        # every consumer of this batch's inputs has materialized: release
+        # the superseded coloring state and this batch's internal coloring
+        # (verdict reads prev_state via the contraction edges, so the old
+        # state must outlive the failed-set computation above)
+        if prev_state is not None:
+            free_checkpoint(prev_state)
+        free_checkpoint(labels)
 
     def run(self, edge_stream: DataFrame, timeout_sec: int = 300) -> DataFrame:
         """Consume the stream; return (component, is_bipartite) for every

@@ -40,6 +40,23 @@ def test_triangles_no_cartesian_and_broadcast(spark, sf_dir):
     assert_no_cartesian(df)
 
 
+def test_iterative_loops_free_checkpoints(spark):
+    """Pregel-style loops localCheckpoint per round; superseded blocks
+    must be released (leaks = storage pressure now, OOM at 100 TB)."""
+    from gelly_streaming_spark.algos.connected_components import connected_components
+    from gelly_streaming_spark.plans import free_checkpoint
+    from gelly_streaming_spark.sources.fixtures import g5_powerlaw
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = connected_components(GraphStream(g5_powerlaw(spark, 300, 900)))
+    out.count()
+    live = jsc.getPersistentRDDs().size() - before
+    # only the final labels checkpoint may remain pinned
+    assert live <= 1, f"{live} checkpoint RDDs leaked by the CC loop"
+    free_checkpoint(out)
+
+
 def test_column_pruning(spark, sf_dir):
     from gelly_streaming_spark.plans import explain_str
 

@@ -110,6 +110,84 @@ def test_incremental_cc_refines_across_batches(spark, tmp_path):
     assert {r["component"] for r in got.collect()} == {0}
 
 
+def test_streaming_summary_cc(spark, tmp_path):
+    """A8 SummaryBulkAggregation streaming: union-find folded per
+    micro-batch, merged into the carried forest == batch CC."""
+    from gelly_streaming_spark.algos.connected_components import (
+        DisjointSet,
+        connected_components,
+    )
+    from gelly_streaming_spark.operators.aggregation import SummaryAggregation
+    from gelly_streaming_spark.streaming import StreamingSummaryAggregation
+    import pyspark.sql.types as T
+
+    def fold(s, pdf):
+        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            s.union(a, b)
+        return s
+
+    agg = SummaryAggregation(
+        initial=DisjointSet,
+        fold_pdf=fold,
+        combine_fn=lambda a, b: a.merge(b),
+        transform_fn=lambda s: sorted((x, s.find(x)) for x in s.parent),
+        out_schema=T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("component", T.LongType())]
+        ),
+        num_buckets=4,
+    )
+    g4 = fixture_graph(spark, "g4")
+    runner = StreamingSummaryAggregation(agg)
+    got = runner.run(replay(g4, str(tmp_path / "g4s"), num_batches=3))
+    want = connected_components(GraphStream(g4))
+    assert runner.batches >= 2
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_streaming_spanner_p1(spark, tmp_path):
+    """L3 spanner on a live stream: stretch ≤ k for every original edge
+    (property P1 — arrival-order-dependent output, never hash-compared)."""
+    import collections
+
+    from gelly_streaming_spark.sources.fixtures import g5_powerlaw
+    from gelly_streaming_spark.streaming import (
+        StreamingSummaryAggregation,
+        streaming_spanner_aggregation,
+    )
+
+    k = 3
+    g = g5_powerlaw(spark, n_vertices=300, n_edges=1200)
+    stream = replay(g, str(tmp_path / "g5s"), num_batches=3)
+    kept = StreamingSummaryAggregation(
+        streaming_spanner_aggregation(k=k, num_buckets=4)
+    ).run(stream)
+    span_adj = collections.defaultdict(set)
+    for r in kept.collect():
+        span_adj[r["src"]].add(r["dst"])
+        span_adj[r["dst"]].add(r["src"])
+
+    def bfs_leq(a, b):
+        if a == b:
+            return True
+        seen, frontier = {a}, [a]
+        for _ in range(k):
+            nxt = []
+            for u in frontier:
+                for v in span_adj[u]:
+                    if v == b:
+                        return True
+                    if v not in seen:
+                        seen.add(v)
+                        nxt.append(v)
+            frontier = nxt
+        return False
+
+    orig = {(min(r.src, r.dst), max(r.src, r.dst)) for r in g.collect()
+            if r.src != r.dst}
+    for u, v in list(orig)[:300]:
+        assert bfs_leq(u, v), f"stretch violated for edge ({u},{v})"
+
+
 def test_incremental_bipartiteness(spark, tmp_path):
     """G2 (bipartite) stays true; G3 (odd cycle) flips to false and the
     failure is absorbing across later batches."""
