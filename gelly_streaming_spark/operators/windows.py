@@ -36,10 +36,19 @@ _DIRECTIONS = {"out": "src", "in": "dst"}
 
 class GraphWindowStream:
     """Edges keyed per (window, vertex); vertex column exposed as ``id``,
-    neighbor column as ``nbr``, window start as ``bucket``."""
+    neighbor column as ``nbr``, window start as ``bucket``.
 
-    def __init__(self, windowed: DataFrame):
-        self.windowed = windowed  # columns: bucket, id, nbr, val (+extras)
+    Tumbling/sliding slices pre-compute ``bucket`` per row (a pure
+    projection). Session slices cannot: sessions only exist after
+    *merging* overlapping [ts, ts+gap) intervals, which Spark performs
+    inside a ``groupBy(session_window(...))`` aggregation — so a session
+    slice carries the gap and raw ``ts`` and applies the session window
+    at aggregation time.
+    """
+
+    def __init__(self, windowed: DataFrame, session_gap: Optional[str] = None):
+        self.windowed = windowed  # columns: bucket|ts, id, nbr, val (+extras)
+        self.session_gap = session_gap
 
     @classmethod
     def from_stream(
@@ -78,7 +87,8 @@ class GraphWindowStream:
         ts_col: str = "ts",
     ) -> "GraphWindowStream":
         """Session-window slice (extension; reference is tumbling-only).
-        Bucket is the per-(vertex) session window start."""
+        Bucket is the per-vertex merged-session start: consecutive events
+        of one vertex closer than ``gap`` share a session."""
         direction = direction.lower()
         if direction == "all":
             stream = stream.undirected()
@@ -88,16 +98,29 @@ class GraphWindowStream:
         e = stream.edges
         extras = [c for c in e.columns if c not in ("src", "dst", ts_col)]
         df = e.select(
-            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(ts_col).alias("ts"),
             F.col(key).alias("id"),
             F.col(nbr).alias("nbr"),
             *[F.col(c) for c in extras],
-        ).select(F.col("w.start").alias("bucket"), "id", "nbr", *extras)
-        return cls(df)
+        )
+        return cls(df, session_gap=gap)
 
     # ------------------------------------------------------------------
     def _grouped(self) -> GroupedData:
+        if self.session_gap is not None:
+            return self.windowed.groupBy(
+                F.session_window(F.col("ts"), self.session_gap).alias("w"),
+                F.col("id"),
+            )
         return self.windowed.groupBy("bucket", "id")
+
+    def _finalize(self, df: DataFrame) -> DataFrame:
+        """Session aggs emit the merged window struct ``w``; expose its
+        start as ``bucket`` for a uniform output schema across slice kinds."""
+        if "w" in df.columns:
+            rest = [c for c in df.columns if c not in ("w", "id")]
+            return df.select(F.col("w.start").alias("bucket"), "id", *rest)
+        return df
 
     def reduce_on_edges(self, *aggs: Column) -> DataFrame:
         """W2 reduceOnEdges — commutative reduce over incident edge values
@@ -105,14 +128,14 @@ class GraphWindowStream:
         Any Spark aggregate expression qualifies; compiles to partial+final
         hash aggregation — the shuffle carries one partial row per
         (window, vertex, partition)."""
-        return self._grouped().agg(*aggs)
+        return self._finalize(self._grouped().agg(*aggs))
 
     def fold_neighbors(self, *aggs: Column) -> DataFrame:
         """W3 foldNeighbors — seeded fold over (vertex, neighbor, value)
         (REF:.../GraphWindowStream.java:~45 [H]). Algebraic folds are just
         aggregate expressions over ``nbr``/``val`` columns; opaque folds
         use apply_on_neighbors."""
-        return self._grouped().agg(*aggs)
+        return self._finalize(self._grouped().agg(*aggs))
 
     def apply_on_neighbors(self, fn: Callable, schema) -> DataFrame:
         """W4 applyOnNeighbors — UDTF over the full neighborhood of one
@@ -123,6 +146,12 @@ class GraphWindowStream:
         as an Arrow-backed pandas DataFrame. Scale: one shuffle on
         (bucket, id); skewed hub vertices are the risk — mitigate upstream
         with filter/sample, or salt the key and merge."""
+        if self.session_gap is not None:
+            raise NotImplementedError(
+                "applyOnNeighbors over session windows: sessions are merged "
+                "inside an aggregation, which applyInPandas bypasses — "
+                "aggregate with fold_neighbors/neighborhood instead"
+            )
         return self._grouped().applyInPandas(fn, schema=schema)
 
     def neighborhood(self) -> DataFrame:
@@ -134,19 +163,23 @@ class GraphWindowStream:
         function is expressible over an array: at sf0.01 the Arrow
         per-group round-trip made the same query ~40× slower than this
         plan (measured; see BENCH notes)."""
-        return self._grouped().agg(
-            F.array_sort(F.collect_list("nbr")).alias("neighbors"),
-            F.count(F.lit(1)).alias("degree"),
+        return self._finalize(
+            self._grouped().agg(
+                F.array_sort(F.collect_list("nbr")).alias("neighbors"),
+                F.count(F.lit(1)).alias("degree"),
+            )
         )
 
     def neighborhood_concat(self, sep: str = ",") -> DataFrame:
         """Sorted neighbor ids joined into one string per (window, vertex)
         — fully JVM-side (the Q14 shape)."""
-        return self._grouped().agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("nbr")), lambda x: x.cast("string")
-                ),
-                sep,
-            ).alias("neighbors")
+        return self._finalize(
+            self._grouped().agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("nbr")), lambda x: x.cast("string")
+                    ),
+                    sep,
+                ).alias("neighbors")
+            )
         )

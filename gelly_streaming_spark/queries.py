@@ -283,6 +283,37 @@ def q12c(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q12D_SQL = (
+    "WITH "
+    + f"edges_events AS ({_VIEW_SQL['edges_events']}), "
+    # gaps-and-islands ≡ Spark session_window merging: a new session
+    # starts when the gap to the previous event of the same vertex is
+    # >= 30 minutes (Spark merges strictly-overlapping [ts, ts+gap)).
+    + "marked AS (SELECT src, ts, val, CASE WHEN ts - LAG(ts) OVER "
+    + "(PARTITION BY src ORDER BY ts) >= INTERVAL 30 MINUTES "
+    + "OR LAG(ts) OVER (PARTITION BY src ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s "
+    + "FROM edges_events), "
+    + "islands AS (SELECT src, ts, val, SUM(new_s) OVER "
+    + "(PARTITION BY src ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM marked) "
+    + "SELECT MIN(ts) AS bucket, src AS id, COUNT(*) AS cnt, "
+    + _DEC_SUM_SQL.format(c="val", a="sum_val")
+    + " FROM islands GROUP BY sid, src"
+)
+
+
+@_q("q12d_session", _Q12D_SQL,
+    "session-window slice extension (30m gap; reference is tumbling-only) "
+    "— Spark session_window merging ≡ DuckDB gaps-and-islands")
+def q12d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.operators.windows import GraphWindowStream
+
+    gs = GraphStream(E.edges_events(spark, sf_dir))
+    gw = GraphWindowStream.session_slice(gs, "30 minutes", "out")
+    return gw.reduce_on_edges(
+        F.count(F.lit(1)).alias("cnt"), _dec_sum("val", "sum_val")
+    )
+
+
 @_q("q13_fold_neighbors",
     _with(
         "SELECT date_trunc('hour', ts) AS bucket, src AS id, COUNT(*) AS cnt, "

@@ -1,6 +1,8 @@
 """Reference-style golden tests on the canonical G1 fixture (the 5-vertex
 Gelly test graph used by the reference's per-operator ITCases)."""
 
+import datetime as dt
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -82,3 +84,29 @@ def test_apply_on_neighbors_matches_declarative(spark, sf_dir):
     slow = {(r.bucket, r.id): r.neighbors
             for r in w.apply_on_neighbors(_q14_apply, _Q14_SCHEMA).collect()}
     assert fast == slow
+
+
+def test_session_slice_merges_sessions(spark):
+    """Events of one vertex closer than the gap share a session; a gap
+    >= 30m starts a new one (extension beyond the tumbling-only reference)."""
+    from gelly_streaming_spark.operators.windows import GraphWindowStream
+    from gelly_streaming_spark.sources.fixtures import EDGE_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, 1.0, t0),
+        (1, 11, 1.0, t0 + dt.timedelta(minutes=20)),  # merges with first
+        (1, 12, 1.0, t0 + dt.timedelta(minutes=90)),  # new session
+        (2, 10, 1.0, t0),
+    ]
+    df = spark.createDataFrame(rows, EDGE_SCHEMA)
+    gw = GraphWindowStream.session_slice(GraphStream(df), "30 minutes")
+    got = {
+        (r.id, r.bucket): r.n
+        for r in gw.reduce_on_edges(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {
+        (1, t0): 2,
+        (1, t0 + dt.timedelta(minutes=90)): 1,
+        (2, t0): 1,
+    }
