@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Engine micro-benchmarks (fills the BASELINE.md §micro table).
+
+Measures the four headline numbers the baseline reserves:
+- degrees throughput (edges/sec, A1 on the sf edge union)
+- incremental-CC batch latency (L1/L7: seconds per merge window on G5)
+- exact triangle time (Q17 at the sf dir)
+- streaming dedup throughput (edges/sec through watermarked
+  dropDuplicatesWithinWatermark on a replayed stream)
+
+Usage: python bench/micro.py [--sf-dir /root/testdata/sf0.1] [--cpus 32]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from gelly_streaming_spark.session import BUILD_CONFS, RUNTIME_CONFS  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    args = ap.parse_args()
+
+    builder = SparkSession.builder.appName("gss-micro").master(f"local[{args.cpus}]")
+    for k, v in {**BUILD_CONFS, **RUNTIME_CONFS}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import pyspark.sql.functions as F
+
+    from gelly_streaming_spark.algos.triangles import triangle_count
+    from gelly_streaming_spark.operators.graphstream import GraphStream
+    from gelly_streaming_spark.sources import edges as E
+    from gelly_streaming_spark.sources.fixtures import g5_powerlaw
+    from gelly_streaming_spark.streaming.cc import IncrementalConnectedComponents
+    from gelly_streaming_spark.streaming.sources import replay
+    from gelly_streaming_spark.streaming.stateful import streaming_distinct
+
+    out: dict = {"sf_dir": args.sf_dir, "cpus": int(args.cpus)}
+
+    # A1 degrees throughput ------------------------------------------------
+    edges = (
+        E.edges_cust_order(spark, args.sf_dir)
+        .select("src", "dst")
+        .unionByName(E.edges_order_part(spark, args.sf_dir).select("src", "dst"))
+    )
+    m = edges.count()  # also warms the scan
+    t0 = time.time()
+    GraphStream(edges).degrees().write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    out["degrees_edges_per_sec"] = int(m / dt)
+    out["degrees_sec"] = round(dt, 3)
+    out["degrees_edges"] = m
+
+    # L1/L7 incremental CC merge-window latency ----------------------------
+    g5 = g5_powerlaw(spark, n_vertices=20_000, n_edges=100_000)
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = replay(g5, os.path.join(tmp, "g5"), num_batches=5)
+        inc = IncrementalConnectedComponents()
+        t0 = time.time()
+        inc.run(stream)
+        dt = time.time() - t0
+        out["cc_batches"] = inc.batches
+        out["cc_sec_per_merge_window"] = round(dt / max(inc.batches, 1), 3)
+
+    # Q17 exact triangles ---------------------------------------------------
+    copart = E.edges_copart(spark, args.sf_dir)
+    copart.write.mode("overwrite").format("noop").save()  # warm the self-join input
+    t0 = time.time()
+    n_tri = triangle_count(GraphStream(copart)).collect()[0]["n_triangles"]
+    out["triangles_sec"] = round(time.time() - t0, 3)
+    out["triangles"] = int(n_tri)
+
+    # streaming dedup throughput -------------------------------------------
+    ev = E.edges_events(spark, args.sf_dir).select("src", "dst", "ts")
+    n_ev = ev.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = replay(ev, os.path.join(tmp, "ev"), num_batches=4)
+        dd = streaming_distinct(stream, "10 minutes")
+        t0 = time.time()
+        q = (
+            dd.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        q.stop()
+        dt = time.time() - t0
+    out["stream_dedup_edges_per_sec"] = int(n_ev / dt)
+    out["stream_dedup_sec"] = round(dt, 3)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
