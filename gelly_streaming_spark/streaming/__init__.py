@@ -23,12 +23,14 @@ from gelly_streaming_spark.streaming.summary import (
     StreamingSummaryAggregation,
     streaming_spanner_aggregation,
 )
+from gelly_streaming_spark.streaming.triangles import IncrementalTriangleCount
 
 __all__ = [
     "StreamingSummaryAggregation",
     "streaming_spanner_aggregation",
     "IncrementalBipartiteness",
     "IncrementalConnectedComponents",
+    "IncrementalTriangleCount",
     "rate_edges",
     "replay",
     "run_foreach_batch",

@@ -1,0 +1,118 @@
+"""Incremental (streaming) exact triangle counting.
+
+Reference parity: example/ExactTriangleCount.java — per-vertex adjacency
+sets in keyed state; each arriving edge (u,v) increments the global count
+by |N(u) ∩ N(v)| and updates both adjacencies
+(REF:src/main/java/org/apache/flink/graph/streaming/example/
+ExactTriangleCount.java:~40-160 [M]).
+
+Spark-first incremental design (delta joins, not recomputation): carry
+the accumulated canonical edge set A as a checkpointed DataFrame; for a
+micro-batch of truly-new edges B, the newly closed triangles partition
+exactly by how many of their edges are new:
+
+- t1: 1 new edge  — B(u,v) closed by two A-edges: wedge u-w, v-w in A
+- t2: 2 new edges — a B-wedge (u,v),(u,w) closed by an A-edge (v,w)
+- t3: 3 new edges — triangles entirely inside B (batch count on B)
+
+Each term is an equi-join keyed on vertices, so the per-batch cost scales
+with |B| x avg-degree, never with |A| alone — the property that makes
+continuous counting viable on an unbounded stream. The reference's
+per-record state lookups express the same idea record-at-a-time; the
+micro-batch delta-join is its set-at-a-time equivalent (semantic delta
+D1: counts update per trigger, not per record).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gelly_streaming_spark.algos.triangles import triangle_count
+from gelly_streaming_spark.operators.graphstream import GraphStream
+from gelly_streaming_spark.plans.memory import free_checkpoint
+from gelly_streaming_spark.streaming.runner import run_foreach_batch
+
+
+def _canon(df: DataFrame) -> DataFrame:
+    return (
+        df.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _sym(df: DataFrame) -> DataFrame:
+    return df.unionByName(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+class IncrementalTriangleCount:
+    """Continuously-updated global triangle count over an edge stream.
+
+    After each micro-batch, ``total`` equals the exact triangle count of
+    all (canonical, deduplicated) edges seen so far; ``history`` records
+    the running total per batch.
+    """
+
+    def __init__(self):
+        self.acc: Optional[DataFrame] = None  # canonical accumulated edges
+        self.total: int = 0
+        self.history: list[int] = []
+
+    def _on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        b = _canon(batch_df)
+        if self.acc is not None:
+            b = b.join(self.acc, ["src", "dst"], "left_anti")
+        b = b.localCheckpoint()
+
+        if self.acc is None:
+            delta = triangle_count(GraphStream(b)).collect()[0]["n_triangles"]
+            new_acc = b  # already checkpointed
+        else:
+            a_sym = _sym(self.acc)
+            b_sym = _sym(b)
+            # t1: new edge (u,v) + two accumulated edges u-w, v-w
+            t1 = (
+                b.join(a_sym.select(F.col("src").alias("u_"), F.col("dst").alias("w")),
+                       F.col("src") == F.col("u_"))
+                .join(
+                    a_sym.select(F.col("src").alias("v_"), F.col("dst").alias("w")),
+                    ["w"],
+                )
+                .where(F.col("dst") == F.col("v_"))
+                .count()
+            )
+            # t2: wedge of two new edges at u (neighbors v<w) + A-edge (v,w)
+            wedges = (
+                b_sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+                .join(
+                    b_sym.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+                    ["u"],
+                )
+                .where(F.col("v") < F.col("w"))
+            )
+            t2 = wedges.join(
+                self.acc.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+                ["v", "w"],
+            ).count()
+            # t3: triangles entirely within the new batch
+            t3 = int(triangle_count(GraphStream(b)).collect()[0]["n_triangles"])
+            delta = t1 + t2 + t3
+            new_acc = self.acc.unionByName(b).localCheckpoint()
+            free_checkpoint(self.acc)
+            free_checkpoint(b)
+
+        self.acc = new_acc
+        self.total += int(delta)
+        self.history.append(self.total)
+
+    def run(self, edge_stream: DataFrame, timeout_sec: int = 300) -> int:
+        """Consume all available micro-batches; return the final count."""
+        run_foreach_batch(edge_stream, self._on_batch, timeout_sec=timeout_sec)
+        return self.total

@@ -110,3 +110,31 @@ def test_session_slice_merges_sessions(spark):
         (1, t0 + dt.timedelta(minutes=90)): 1,
         (2, t0): 1,
     }
+
+
+def test_text_sources_roundtrip(spark, tmp_path, g1):
+    """S3 text-file parsing: csv + json + raw-line split all reproduce G1."""
+    from gelly_streaming_spark.sources.text import (
+        edges_from_csv,
+        edges_from_json,
+        parse_edge_lines,
+    )
+
+    want = sorted((r.src, r.dst, r.val) for r in g1.edges.collect())
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    g1.edges.write.mode("overwrite").csv(csv_dir)
+    g1.edges.write.mode("overwrite").json(json_dir)
+
+    got_csv = sorted((r.src, r.dst, r.val)
+                     for r in edges_from_csv(spark, csv_dir).collect())
+    got_json = sorted((r.src, r.dst, r.val)
+                      for r in edges_from_json(spark, json_dir).collect())
+    assert got_csv == want
+    assert got_json == want
+
+    lines = spark.createDataFrame(
+        [(f"{r.src},{r.dst},{r.val}",) for r in g1.edges.collect()], "value string"
+    )
+    got_lines = sorted((r.src, r.dst, r.val)
+                       for r in parse_edge_lines(lines).collect())
+    assert got_lines == want

@@ -188,6 +188,30 @@ def test_streaming_spanner_p1(spark, tmp_path):
         assert bfs_leq(u, v), f"stretch violated for edge ({u},{v})"
 
 
+def test_incremental_triangles_g1(spark, tmp_path):
+    """L4 streaming: delta-join running count == batch exact count, and
+    the running total is monotone non-decreasing."""
+    from gelly_streaming_spark.streaming import IncrementalTriangleCount
+
+    g1 = fixture_graph(spark, "g1")
+    inc = IncrementalTriangleCount()
+    total = inc.run(replay(g1, str(tmp_path / "g1t"), num_batches=3))
+    assert total == 3  # G1's triangles: {1,2,3} {3,4,5} {1,3,5}
+    assert inc.history == sorted(inc.history)
+
+
+def test_incremental_triangles_powerlaw(spark, tmp_path):
+    from gelly_streaming_spark.algos.triangles import triangle_count
+    from gelly_streaming_spark.sources.fixtures import g5_powerlaw
+    from gelly_streaming_spark.streaming import IncrementalTriangleCount
+
+    g = g5_powerlaw(spark, n_vertices=200, n_edges=1500)
+    want = triangle_count(GraphStream(g)).collect()[0]["n_triangles"]
+    inc = IncrementalTriangleCount()
+    got = inc.run(replay(g, str(tmp_path / "g5t"), num_batches=4))
+    assert got == want
+
+
 def test_incremental_bipartiteness(spark, tmp_path):
     """G2 (bipartite) stays true; G3 (odd cycle) flips to false and the
     failure is absorbing across later batches."""
