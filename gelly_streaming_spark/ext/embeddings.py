@@ -59,6 +59,62 @@ def knn_bruteforce(
     return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"))
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: rows (a, b, sim) with a < b
+    and cosine >= threshold.
+
+    Default (scale) path: multi-table random-hyperplane LSH — a pair is a
+    candidate if it shares a bucket in ANY of ``num_tables`` independent
+    tables (recall 1-(1-p^planes)^tables for bit-agreement probability
+    p = 1 - angle/pi), candidates are deduplicated, then exactly reranked.
+    Per-table bucket self-joins replace the |C|^2 cross join; the dedup
+    happens on bare (a, b) ids BEFORE vectors are re-attached, so wide
+    embedding arrays cross the shuffle once per surviving pair.
+    ``exact=True`` scores every pair (small-corpus oracle / recall
+    reference for the LSH path)."""
+    c = corpus.select(
+        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    d = corpus.select(
+        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    if exact:
+        pairs = c.crossJoin(d).where(F.col("a") < F.col("b"))
+    else:
+        rng = np.random.default_rng(seed)
+        tables = [rng.standard_normal((num_planes, dim)) for _ in range(num_tables)]
+        ids = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).select(
+            "id",
+            F.posexplode(
+                F.array(*[lsh_signature(F.col("v"), p) for p in tables])
+            ).alias("t", "bucket"),
+        )
+        cand = (
+            ids.alias("x")
+            .join(ids.alias("y"), ["t", "bucket"])
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .distinct()
+        )
+        pairs = cand.join(c, "a").join(d, "b")
+    return pairs.select(
+        "a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+    ).where(F.col("sim") >= threshold)
+
+
 def lsh_signature(vec, planes: np.ndarray) -> Column:
     """Random-hyperplane signature: one bit per plane, packed to a long."""
     packed = None

@@ -628,6 +628,26 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.join(top, "lang")
 
 
+_Q23B_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.38
+"""
+
+
+@_q("q23b_embedding_near_dup", _Q23B_SQL,
+    "embedding-cosine near-duplicate pairs, exact path (LSH multi-table "
+    "variant recall-property-tested in tests/test_ext.py)")
+def q23b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.embeddings import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.38, exact=True)
+
+
 # ---------------------------------------------------------------------------
 # Q25s/Q26s: streaming operators (SURVEY.md §2 M4) — each replays the same
 # bounded edge set as its batch twin through a real Structured Streaming

@@ -48,6 +48,21 @@ BUILD_CONFS: dict[str, str] = {
 }
 
 
+# Production streaming confs (100 TB path). Not defaults for local tests:
+# RocksDB adds per-task native-store startup that pure overhead-bound
+# local runs don't amortize, but at scale it moves keyed state (dedup
+# sets, degree counters, adjacency) off-heap with incremental
+# checkpointing — the Spark analog of the reference's RocksDB state
+# backend on Flink. Apply via get_spark(extra_confs=STREAMING_SCALE_CONFS).
+STREAMING_SCALE_CONFS: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    "spark.sql.streaming.noDataMicroBatches.enabled": "true",
+}
+
+
 def prepare_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime confs to an existing session (idempotent)."""
     for k, v in RUNTIME_CONFS.items():

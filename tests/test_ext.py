@@ -100,3 +100,36 @@ def test_text_profile(docs):
         assert r.n_tokens > 0
         assert 0.0 <= r.quality <= 1.0
         assert isinstance(r.lang_pred, str)
+
+
+def test_embedding_near_dup_lsh_recall(spark, emb):
+    """Multi-table LSH near-dup: plant perturbed copies of real vectors
+    and require the LSH path to recover most planted pairs exactly found
+    by the exact path (precision is exact by construction: candidates
+    are reranked with true cosine)."""
+    import numpy as np
+
+    from gelly_streaming_spark.ext.embeddings import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = emb.limit(50).collect()
+    rows = []
+    for r in base:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        rows.append((int(r.vec_id), [float(x) for x in v]))
+        noisy = v + rng.standard_normal(v.shape) * 0.05 * np.linalg.norm(v) / 8.0
+        rows.append((int(r.vec_id) + 100_000, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.a, r.b)
+        for r in embedding_near_dup_pairs(df, threshold=0.95, exact=True).collect()
+    }
+    approx = {
+        (r.a, r.b)
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert exact, "perturbation should create near-dup pairs"
+    assert approx <= exact, "LSH output must be a subset (exact rerank)"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"multi-table LSH recall too low: {recall}"
