@@ -38,16 +38,17 @@ class GraphWindowStream:
     """Edges keyed per (window, vertex); vertex column exposed as ``id``,
     neighbor column as ``nbr``, window start as ``bucket``.
 
-    Tumbling/sliding slices pre-compute ``bucket`` per row (a pure
-    projection). Session slices cannot: sessions only exist after
-    *merging* overlapping [ts, ts+gap) intervals, which Spark performs
-    inside a ``groupBy(session_window(...))`` aggregation — so a session
-    slice carries the gap and raw ``ts`` and applies the session window
-    at aggregation time.
+    Tumbling/sliding slices carry the ``window()`` STRUCT column ``w``
+    (not its pre-extracted start): the struct is what holds the
+    event-time watermark metadata, so grouping on it keeps append-mode
+    streaming aggregation legal; ``bucket`` (= ``w.start``) is exposed
+    after aggregation. Session slices carry the gap and raw ``ts`` and
+    apply ``session_window`` at aggregation time — sessions only exist
+    after *merging* overlapping [ts, ts+gap) intervals inside a groupBy.
     """
 
     def __init__(self, windowed: DataFrame, session_gap: Optional[str] = None):
-        self.windowed = windowed  # columns: bucket|ts, id, nbr, val (+extras)
+        self.windowed = windowed  # columns: w|ts, id, nbr, val (+extras)
         self.session_gap = session_gap
 
     @classmethod
@@ -71,7 +72,7 @@ class GraphWindowStream:
         win = F.window(F.col(ts_col), size, slide) if slide else F.window(F.col(ts_col), size)
         extras = [c for c in e.columns if c not in ("src", "dst", ts_col)]
         df = e.select(
-            win.start.alias("bucket"),
+            win.alias("w"),
             F.col(key).alias("id"),
             F.col(nbr).alias("nbr"),
             *[F.col(c) for c in extras],
@@ -112,11 +113,12 @@ class GraphWindowStream:
                 F.session_window(F.col("ts"), self.session_gap).alias("w"),
                 F.col("id"),
             )
-        return self.windowed.groupBy("bucket", "id")
+        return self.windowed.groupBy("w", "id")
 
     def _finalize(self, df: DataFrame) -> DataFrame:
-        """Session aggs emit the merged window struct ``w``; expose its
-        start as ``bucket`` for a uniform output schema across slice kinds."""
+        """Aggregations group on the window struct ``w`` (watermark
+        metadata lives there); expose its start as ``bucket`` for a
+        uniform output schema across slice kinds."""
         if "w" in df.columns:
             rest = [c for c in df.columns if c not in ("w", "id")]
             return df.select(F.col("w.start").alias("bucket"), "id", *rest)
@@ -152,9 +154,12 @@ class GraphWindowStream:
                 "inside an aggregation, which applyInPandas bypasses — "
                 "aggregate with fold_neighbors/neighborhood instead"
             )
-        return self._grouped().applyInPandas(fn, schema=schema)
+        # the UDF sees a plain `bucket` column (batch-only path: Arrow
+        # UDTFs don't run inside streaming aggregations anyway)
+        flat = self.windowed.withColumn("bucket", F.col("w.start")).drop("w")
+        return flat.groupBy("bucket", "id").applyInPandas(fn, schema=schema)
 
-    def neighborhood(self) -> DataFrame:
+    def neighborhood(self, salt: int = 0) -> DataFrame:
         """Materialize per-(window, vertex) sorted neighbor lists — the
         declarative fast path for the common applyOnNeighbors uses
         (collect_list stays JVM-side; no Python boundary).
@@ -162,7 +167,30 @@ class GraphWindowStream:
         Prefer this over apply_on_neighbors whenever the neighborhood
         function is expressible over an array: at sf0.01 the Arrow
         per-group round-trip made the same query ~40× slower than this
-        plan (measured; see BENCH notes)."""
+        plan (measured; see BENCH notes).
+
+        ``salt > 1`` shards each (window, vertex) group into ``salt``
+        sub-groups before collecting, then merges the sorted shards — the
+        skew treatment for hub vertices whose neighborhood would
+        otherwise funnel through one task. The merge is `flatten +
+        array_sort` over ≤``salt`` pre-sorted arrays, still JVM-side.
+        Leave 0 (off) unless a power-law hub dominates a window."""
+        if self.session_gap is not None and salt > 1:
+            raise NotImplementedError("salting applies to tumbling/sliding slices")
+        if salt > 1:
+            salted = self.windowed.withColumn(
+                "_salt", F.pmod(F.xxhash64("nbr"), F.lit(salt))
+            )
+            shards = salted.groupBy("w", "id", "_salt").agg(
+                F.array_sort(F.collect_list("nbr")).alias("shard"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            return self._finalize(
+                shards.groupBy("w", "id").agg(
+                    F.array_sort(F.flatten(F.collect_list("shard"))).alias("neighbors"),
+                    F.sum("cnt").alias("degree"),
+                )
+            )
         return self._finalize(
             self._grouped().agg(
                 F.array_sort(F.collect_list("nbr")).alias("neighbors"),

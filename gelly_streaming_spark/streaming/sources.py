@@ -33,6 +33,7 @@ def replay(
     stage_dir: str,
     num_batches: int = 4,
     files_per_trigger: int = 1,
+    order_by: str | None = None,
 ) -> DataFrame:
     """Turn a bounded edge DataFrame into a streaming one.
 
@@ -41,8 +42,34 @@ def replay(
     ``files_per_trigger`` files per micro-batch — so a downstream
     available-now query sees ≈``num_batches`` triggers, exercising the
     same incremental code paths a live stream would.
+
+    Default replay assigns rows to micro-batches arbitrarily — fine for
+    order-insensitive operators, but watermarked append-mode queries
+    would (correctly) drop rows arriving after their window closed. Pass
+    ``order_by="ts"`` for an in-order replay: rows are range-split on
+    that column and staged as sequential writes, so the file source
+    (which orders by modification time) delivers event time
+    monotonically — the reference's ascending-timestamp assumption
+    (REF:.../SimpleEdgeStream.java:~65 [M]). Ordered staging runs a
+    single-partition ntile; use it for parity tests, not production data.
     """
-    df.repartition(num_batches).write.mode("overwrite").parquet(stage_dir)
+    if order_by is None:
+        df.repartition(num_batches).write.mode("overwrite").parquet(stage_dir)
+    else:
+        from pyspark.sql import Window
+
+        chunked = df.withColumn(
+            "_chunk",
+            F.ntile(num_batches).over(Window.orderBy(F.col(order_by))),
+        )
+        for i in range(1, num_batches + 1):
+            (
+                chunked.where(F.col("_chunk") == i)
+                .drop("_chunk")
+                .coalesce(1)
+                .write.mode("overwrite" if i == 1 else "append")
+                .parquet(stage_dir)
+            )
     return (
         df.sparkSession.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", files_per_trigger)

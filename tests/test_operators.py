@@ -138,3 +138,17 @@ def test_text_sources_roundtrip(spark, tmp_path, g1):
     got_lines = sorted((r.src, r.dst, r.val)
                        for r in parse_edge_lines(lines).collect())
     assert got_lines == want
+
+
+def test_neighborhood_salted_matches_unsalted(spark, sf_dir):
+    """Skew treatment: sharded collect + merge must equal the direct
+    collect for every (window, vertex)."""
+    from gelly_streaming_spark.sources.edges import edges_events
+
+    gs = GraphStream(edges_events(spark, sf_dir))
+    w = gs.slice("1 hour", "out")
+    plain = {(r.bucket, r.id): (list(r.neighbors), r.degree)
+             for r in w.neighborhood().collect()}
+    salted = {(r.bucket, r.id): (list(r.neighbors), r.degree)
+              for r in w.neighborhood(salt=4).collect()}
+    assert plain == salted

@@ -226,3 +226,34 @@ def test_incremental_bipartiteness(spark, tmp_path):
         replay(g3, str(tmp_path / "g3"), num_batches=2)
     )
     assert [r["is_bipartite"] for r in got3.collect()] == [False]
+
+
+def test_streaming_windowed_append_with_watermark(spark, sf_dir, tmp_path):
+    """Production path: watermarked tumbling agg in APPEND mode emits
+    exactly the windows the watermark closed; with available-now over a
+    bounded replay, that is every window except (possibly) the last
+    open one — and each emitted window equals its batch twin."""
+    import pyspark.sql.functions as F
+
+    from gelly_streaming_spark.sources.edges import edges_events
+
+    batch = edges_events(spark, sf_dir).select("src", "dst", "val", "ts")
+    stream = replay(batch, str(tmp_path / "ev"), num_batches=3, order_by="ts")
+    agg_s = (
+        GraphStream(stream)
+        .with_watermark("0 seconds")
+        .slice("1 hour", "out")
+        .reduce_on_edges(F.count(F.lit(1)).alias("cnt"))
+    )
+    got = {(r.bucket, r.id): r.cnt
+           for r in run_to_memory(agg_s, "append").collect()}
+    want = {(r.bucket, r.id): r.cnt
+            for r in GraphStream(batch).slice("1 hour", "out")
+            .reduce_on_edges(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got, "append mode emitted nothing — watermark never advanced"
+    # emitted windows must agree exactly with the batch answer
+    for k, v in got.items():
+        assert want[k] == v
+    # and only the final open window may be withheld
+    missing_buckets = {b for (b, _) in set(want) - set(got)}
+    assert len(missing_buckets) <= 1, missing_buckets
