@@ -1,0 +1,148 @@
+"""Randomized property tests (hypothesis): the engine's graph algorithms
+vs. pure-Python oracles on arbitrary small graphs.
+
+The reference tests only fixed golden graphs (SURVEY.md §5.1); random
+structure catches the classes golden fixtures miss — self-loops,
+parallel edges, isolated stars, disconnected odd/even cycles. Examples
+are kept small (Spark job latency dominates), with bounded example
+counts and no deadline.
+"""
+
+import collections
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gelly_streaming_spark import GraphStream
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)),
+    min_size=1,
+    max_size=50,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _df(spark, edges):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+
+
+def _py_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.property
+@given(edges=edge_lists)
+@settings(**_SETTINGS)
+def test_cc_matches_union_find(spark, edges):
+    from gelly_streaming_spark.algos.connected_components import connected_components
+
+    got = {
+        r.id: r.component
+        for r in connected_components(GraphStream(_df(spark, edges))).collect()
+    }
+    want = _py_components([e for e in edges if e[0] != e[1]])
+    # the engine drops self-loop-only vertices (no non-loop incident edge)
+    assert got == want
+
+
+@pytest.mark.property
+@given(edges=edge_lists)
+@settings(**_SETTINGS)
+def test_degrees_match_counter(spark, edges):
+    got = {r.id: r.degree for r in GraphStream(_df(spark, edges)).degrees().collect()}
+    want = collections.Counter()
+    for a, b in edges:
+        want[a] += 1
+        want[b] += 1
+    assert got == dict(want)
+
+
+@pytest.mark.property
+@given(edges=edge_lists)
+@settings(**_SETTINGS)
+def test_triangles_match_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from gelly_streaming_spark.algos.triangles import triangle_count
+
+    got = triangle_count(GraphStream(_df(spark, edges))).collect()[0]["n_triangles"]
+    adj = collections.defaultdict(set)
+    verts = set()
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+            verts.update((a, b))
+    want = sum(
+        1
+        for x, y, z in combinations(sorted(verts), 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    assert got == want
+
+
+def _py_bipartite_components(edges):
+    """component root -> is_bipartite via BFS 2-coloring."""
+    comp = _py_components(edges)
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    verdict = {}
+    color: dict = {}
+    for v in sorted(adj):
+        if v in color:
+            continue
+        root = comp[v]
+        ok = True
+        color[v] = 0
+        q = collections.deque([v])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in color:
+                    color[w] = 1 - color[u]
+                    q.append(w)
+                elif color[w] == color[u]:
+                    ok = False
+        verdict[root] = verdict.get(root, True) and ok
+    return verdict
+
+
+@pytest.mark.property
+@given(edges=edge_lists)
+@settings(**_SETTINGS)
+def test_bipartiteness_matches_bfs(spark, edges):
+    from gelly_streaming_spark.algos.bipartiteness import bipartiteness_check
+
+    clean = [e for e in edges if e[0] != e[1]]
+    if not clean:
+        return
+    got = {
+        r.component: r.is_bipartite
+        for r in bipartiteness_check(GraphStream(_df(spark, clean))).collect()
+    }
+    assert got == _py_bipartite_components(clean)
