@@ -35,9 +35,19 @@ from gelly_streaming_spark.plans.memory import free_checkpoint
 
 
 def connected_components(
-    stream: GraphStream, max_iter: int = 100, check_every: int = 2
+    stream: GraphStream,
+    max_iter: int = 100,
+    check_every: int = 2,
+    small_input_rows: int = 100_000,
 ) -> DataFrame:
     """Per-vertex minimum-reachable-id labels: rows (id, component).
+
+    Adaptive execution (the same move as broadcast-join selection): a
+    graph whose symmetrized edge list is under ``small_input_rows`` is
+    solved with a driver-local union-find — O(E α(E)) in one task beats a
+    multi-round distributed fixpoint whose per-round cost is all job
+    overhead at that size. Larger inputs run the distributed min-label
+    propagation; ``small_input_rows=0`` forces it (tests do).
 
     ``check_every`` label-propagation rounds run between convergence
     checks — each check is a driver action, so batching rounds roughly
@@ -52,6 +62,16 @@ def connected_components(
     eu = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+
+    if eu.count() <= small_input_rows:
+        pdf = eu.toPandas()
+        free_checkpoint(eu)
+        ds = DisjointSet()
+        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            ds.union(a, b)
+        rows = sorted((x, ds.find(x)) for x in ds.parent)
+        spark = stream.edges.sparkSession
+        return spark.createDataFrame(rows, "id long, component long")
 
     labels = (
         eu.select(F.col("src").alias("id"))

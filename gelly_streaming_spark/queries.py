@@ -655,7 +655,7 @@ def q23b(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the FINAL state, which must hash-match the same DuckDB oracle. This
 # pins semantic delta D1 (per-micro-batch emission, same fixpoint).
 # ---------------------------------------------------------------------------
-def _replay_tmp(df: DataFrame, num_batches: int = 3) -> DataFrame:
+def _replay_tmp(df: DataFrame, num_batches: int = 2) -> DataFrame:
     import tempfile
 
     from gelly_streaming_spark.streaming.sources import replay

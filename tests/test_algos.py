@@ -23,7 +23,8 @@ from gelly_streaming_spark.sources.fixtures import fixture_graph, g5_powerlaw
 
 def test_cc_g4(spark):
     gs = GraphStream(fixture_graph(spark, "g4"))
-    got = {r.id: r.component for r in connected_components(gs).collect()}
+    got = {r.id: r.component
+           for r in connected_components(gs, small_input_rows=0).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
 
 
@@ -99,3 +100,21 @@ def test_triangle_estimate_p2(spark, sf_dir):
     exact = triangle_count(gs).collect()[0].n_triangles
     est = triangle_count_estimate(gs, sample_fraction=0.2, seed=42).collect()[0].est_triangles
     assert abs(est - exact) / exact < 0.30, f"estimate {est} vs exact {exact}"
+
+
+def test_odd_vertex_reach_paths_agree(spark):
+    """The distributed parity fixpoint and the small-input driver closure
+    must produce identical (graph, is_bipartite, odd_vertices) rows."""
+    import pyspark.sql.functions as F
+
+    from gelly_streaming_spark.algos.bipartiteness import odd_vertex_reach
+
+    tagged = None
+    for g in ("g2", "g3", "g4"):
+        part = fixture_graph(spark, g).select(
+            F.lit(g).alias("graph"), "src", "dst"
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fast = sorted(tuple(r) for r in odd_vertex_reach(tagged).collect())
+    dist = sorted(tuple(r) for r in odd_vertex_reach(tagged, small_input_rows=0).collect())
+    assert fast == dist

@@ -49,7 +49,11 @@ def test_iterative_loops_free_checkpoints(spark):
 
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
-    out = connected_components(GraphStream(g5_powerlaw(spark, 300, 900)))
+    # small_input_rows=0 forces the distributed fixpoint (the code path
+    # whose checkpoints can leak)
+    out = connected_components(
+        GraphStream(g5_powerlaw(spark, 300, 900)), small_input_rows=0
+    )
     out.count()
     live = jsc.getPersistentRDDs().size() - before
     # only the final labels checkpoint may remain pinned

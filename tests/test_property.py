@@ -58,9 +58,12 @@ def _py_components(edges):
 def test_cc_matches_union_find(spark, edges):
     from gelly_streaming_spark.algos.connected_components import connected_components
 
+    # exercise the distributed fixpoint, not the small-input driver path
     got = {
         r.id: r.component
-        for r in connected_components(GraphStream(_df(spark, edges))).collect()
+        for r in connected_components(
+            GraphStream(_df(spark, edges)), small_input_rows=0
+        ).collect()
     }
     want = _py_components([e for e in edges if e[0] != e[1]])
     # the engine drops self-loop-only vertices (no non-loop incident edge)
