@@ -31,57 +31,105 @@ def token_sets(docs: DataFrame, id_col: str, tokens: Column) -> DataFrame:
     )
 
 
+def _verify_intersections(tok: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact |A ∩ B| per candidate pair via per-doc sorted token arrays +
+    JVM array_intersect: two joins carrying one array per side, instead
+    of re-exploding every candidate to |tokens| rows and re-grouping
+    (the row formulation shuffled ~candidates x doc-size rows — 38M at
+    sf0.1 — and dominated the query; arrays cut it to one row per pair).
+    AQE broadcasts the array table when it fits."""
+    arrs = tok.groupBy("id").agg(F.array_sort(F.collect_list("token")).alias("toks"))
+    return (
+        cand.join(arrs.select(F.col("id").alias("a"), F.col("toks").alias("_ta")), "a")
+        .join(arrs.select(F.col("id").alias("b"), F.col("toks").alias("_tb")), "b")
+        .select(
+            "a", "b", F.size(F.array_intersect("_ta", "_tb")).alias("i")
+        )
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str,
     tokens: Column,
     threshold: float,
     prefix_filter: bool = True,
+    prefix_order: str = "df",
 ) -> DataFrame:
     """Exact all-pairs Jaccard ≥ threshold: rows (a, b, jaccard), a < b.
 
     jaccard is computed from exact integer set sizes ⇒ bit-identical
     across engines (int ratio in IEEE double). ``prefix_filter=False``
-    falls back to the naive full inverted-index join (testing aid)."""
+    falls back to the naive full inverted-index join (testing aid).
+
+    ``prefix_order`` picks the global token order behind the prefix
+    filter — ANY total order is exact; the choice trades candidate count
+    against ordering cost:
+    - ``"df"``: rare-first (document frequency) — fewest candidates, but
+      pays a token-frequency aggregation + join over the full index;
+    - ``"hash"``: xxhash64 order — pseudo-random, zero extra passes;
+      right when prefixes are short (high thresholds) so candidate
+      inflation is bounded anyway.
+    """
     tok = token_sets(docs, id_col, tokens).localCheckpoint()
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
 
     if prefix_filter:
-        # Global rare-first token order: (df, token); per-doc position by
-        # that order; keep the first n - ceil(t*n) + 1 tokens.
-        tdf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-        pos_w = Window.partitionBy("id").orderBy("df", "token")
+        # Per-doc position by the chosen global order; keep the first
+        # n - ceil(t*n) + 1 tokens.
+        if prefix_order == "df":
+            tdf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+            ranked = tok.join(tdf, "token")
+            pos_w = Window.partitionBy("id").orderBy("df", "token")
+        else:
+            ranked = tok.withColumn("_h", F.xxhash64("token"))
+            pos_w = Window.partitionBy("id").orderBy("_h", "token")
         n_w = Window.partitionBy("id")
+        # checkpoint: both sides of the candidate self-join scan the
+        # prefix — without the cut, the double-window subtree runs twice
         pref = (
-            tok.join(tdf, "token")
+            ranked
             .withColumn("pos", F.row_number().over(pos_w))
             .withColumn("n", F.count(F.lit(1)).over(n_w))
             .where(
                 F.col("pos")
                 <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
             )
-            .select("id", "token", "n")
+            .select("id", "token", "pos", "n")
+            .localCheckpoint()
         )
-        pa = pref.select(F.col("id").alias("a"), "token", F.col("n").alias("na"))
-        pb = pref.select(F.col("id").alias("b"), "token", F.col("n").alias("nb"))
+        pa = pref.select(
+            F.col("id").alias("a"), "token",
+            F.col("pos").alias("pa"), F.col("n").alias("na"),
+        )
+        pb = pref.select(
+            F.col("id").alias("b"), "token",
+            F.col("pos").alias("pb"), F.col("n").alias("nb"),
+        )
+        # overlap lower bound α = ceil(t/(1+t)·(na+nb)); the positional
+        # (ppjoin) filter drops a shared prefix token that cannot be the
+        # start of α common tokens given what remains after each position
+        alpha = F.ceil(
+            F.lit(threshold) / F.lit(1.0 + threshold) * (F.col("na") + F.col("nb"))
+        )
         cand = (
             pa.join(pb, "token")
             .where(
                 (F.col("a") < F.col("b"))
                 & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na")))
                 & (F.col("nb") <= F.floor(F.col("na") / F.lit(threshold)))
+                & (
+                    F.least(
+                        F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
+                    )
+                    + 1
+                    >= alpha
+                )
             )
             .select("a", "b")
             .distinct()
         )
-        ta = tok.select(F.col("id").alias("a"), "token")
-        tb = tok.select(F.col("id").alias("b"), "token")
-        inter = (
-            cand.join(ta, "a")
-            .join(tb, ["b", "token"])
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("i"))
-        )
+        inter = _verify_intersections(tok, cand)
     else:
         ta = tok.select(F.col("id").alias("a"), "token")
         tb = tok.select(F.col("id").alias("b"), "token")
@@ -168,13 +216,7 @@ def minhash_lsh_pairs(
 
     tok = token_sets(docs, id_col, tokens).localCheckpoint()
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    ta = tok.select(F.col("id").alias("a"), "token")
-    tb = tok.select(F.col("id").alias("b"), "token")
-    inter = (
-        cand.join(ta, "a").join(tb, ["b", "token"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    inter = _verify_intersections(tok, cand)
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
         inter.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
