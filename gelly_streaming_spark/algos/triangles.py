@@ -98,19 +98,61 @@ def triangle_count(stream: GraphStream) -> DataFrame:
     )
 
 
-def triangle_count_windowed(stream: GraphStream, size: str = "1 day") -> DataFrame:
+def triangle_count_windowed(
+    stream: GraphStream,
+    size: str = "1 day",
+    strategy: str = "auto",
+    per_window_limit: int = 500_000,
+) -> DataFrame:
     """Triangles whose three edges share one tumbling window:
-    rows (bucket, n_triangles)."""
+    rows (bucket, n_triangles).
+
+    Windows are independent subproblems, so two physical strategies:
+
+    - ``"partitioned"``: one shuffle on the window key, count each
+      window in-task (id-ordered adjacency intersection over Arrow
+      batches). Optimal while every window fits a task.
+    - ``"joins"``: the degree-ordered broadcast-join plan (shared with
+      the global count) — windows larger than a task's memory stay
+      distributed. The scale-safe default for unbounded window sizes.
+    - ``"auto"``: one cheap max-window-size aggregation picks between
+      them (the AQE move: choose the physical plan from data stats).
+    """
     e = _canonical(
         stream.edges.withColumn("bucket", F.window("ts", size).start),
         extra_keys=["bucket"],
     )
-    per_edge = _oriented_triangles(e, keys=["bucket"])
-    return (
-        per_edge.groupBy("bucket")
-        .agg(F.sum("tri").alias("n_triangles"))
-        .where(F.col("n_triangles") > 0)
-    )
+    if strategy == "auto":
+        mx = (
+            e.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("m"))
+            .collect()[0]["m"]
+        )
+        strategy = "partitioned" if (mx or 0) <= per_window_limit else "joins"
+
+    if strategy == "partitioned":
+        import pandas as pd
+
+        def count_tri(pdf: pd.DataFrame) -> pd.DataFrame:
+            nbr: dict = {}
+            edges = list(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
+            for u, v in edges:  # canonical src<dst ⇒ id-oriented N⁺
+                nbr.setdefault(u, set()).add(v)
+            t = 0
+            empty: set = set()
+            for u, v in edges:
+                t += len(nbr.get(u, empty) & nbr.get(v, empty))
+            return pd.DataFrame(
+                {"bucket": [pdf["bucket"].iloc[0]], "n_triangles": [t]}
+            )
+
+        out = e.groupBy("bucket").applyInPandas(
+            count_tri, "bucket timestamp, n_triangles long"
+        )
+    else:
+        per_edge = _oriented_triangles(e, keys=["bucket"])
+        out = per_edge.groupBy("bucket").agg(F.sum("tri").alias("n_triangles"))
+    return out.where(F.col("n_triangles") > 0)
 
 
 def triangle_count_estimate(
