@@ -123,6 +123,9 @@ def triangle_count_windowed(
         extra_keys=["bucket"],
     )
     if strategy == "auto":
+        # materialize once: the stats probe and the chosen strategy both
+        # consume the canonicalized edges (else the dedup runs twice)
+        e = e.localCheckpoint()
         mx = (
             e.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
             .agg(F.max("c").alias("m"))

@@ -16,6 +16,7 @@ from gelly_streaming_spark.algos.spanner import spanner
 from gelly_streaming_spark.algos.triangles import (
     triangle_count,
     triangle_count_estimate,
+    triangle_count_windowed,
 )
 from gelly_streaming_spark.sources.edges import edges_copart
 from gelly_streaming_spark.sources.fixtures import fixture_graph, g5_powerlaw
@@ -118,3 +119,12 @@ def test_odd_vertex_reach_paths_agree(spark):
     fast = sorted(tuple(r) for r in odd_vertex_reach(tagged).collect())
     dist = sorted(tuple(r) for r in odd_vertex_reach(tagged, small_input_rows=0).collect())
     assert fast == dist
+
+
+def test_windowed_triangle_strategies_agree(spark):
+    """The per-window in-task strategy and the distributed join plan must
+    count identically (G1 in one window: 3 triangles)."""
+    gs = GraphStream(fixture_graph(spark, "g1"))
+    for strategy in ("joins", "partitioned"):
+        rows = triangle_count_windowed(gs, "1 day", strategy=strategy).collect()
+        assert [(r.n_triangles) for r in rows] == [3], strategy
