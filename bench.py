@@ -47,10 +47,14 @@ def main() -> None:
         load_table(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in sorted(REGISTRY.items()):
         t0 = time.time()
-        q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # one broken query must not kill the run
+            errors[name] = f"{type(ex).__name__}: {ex}"[:300]
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -60,6 +64,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
     }
+    if errors:
+        result["errors"] = errors
 
     if os.environ.get("BENCH_DUCKDB"):
         import duckdb
