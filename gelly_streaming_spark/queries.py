@@ -655,12 +655,16 @@ def q23b(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the FINAL state, which must hash-match the same DuckDB oracle. This
 # pins semantic delta D1 (per-micro-batch emission, same fixpoint).
 # ---------------------------------------------------------------------------
-def _replay_tmp(df: DataFrame, num_batches: int = 2) -> DataFrame:
+def _replay_tmp(
+    df: DataFrame, num_batches: int = 2, order_by: Optional[str] = None
+) -> DataFrame:
     import tempfile
 
     from gelly_streaming_spark.streaming.sources import replay
 
-    return replay(df, tempfile.mkdtemp(prefix="gss_replay_"), num_batches)
+    return replay(
+        df, tempfile.mkdtemp(prefix="gss_replay_"), num_batches, order_by=order_by
+    )
 
 
 @_q("q25s_streaming_degrees",
@@ -688,6 +692,54 @@ def q26s(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = a.select("src", "dst").unionByName(b.select("src", "dst"))
     stream = _replay_tmp(edges.withColumn("ts", F.lit(None).cast("timestamp")))
     return IncrementalConnectedComponents().run(stream)
+
+
+# Watermarked APPEND-mode windowed aggregation: with an in-order replay
+# and a zero-delay watermark, available-now emits exactly the windows the
+# final watermark closed — every window strictly before the hour of the
+# max event time. The oracle applies the same cutoff.
+_Q27S_SQL = _with(
+    "SELECT date_trunc('hour', ts) AS bucket, src AS id, COUNT(*) AS cnt "
+    "FROM edges_events "
+    "WHERE date_trunc('hour', ts) < (SELECT date_trunc('hour', MAX(ts)) FROM edges_events) "
+    "GROUP BY 1, 2",
+    "edges_events",
+)
+
+
+@_q("q27s_streaming_window_append", _Q27S_SQL,
+    "W1/W2 on a watermarked stream in APPEND mode — emitted windows are "
+    "exactly those closed by the final watermark (last open window withheld)")
+def q27s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.streaming.runner import run_to_memory
+
+    stream = _replay_tmp(
+        E.edges_events(spark, sf_dir).select("src", "dst", "val", "ts"),
+        order_by="ts",
+    )
+    agg = (
+        GraphStream(stream)
+        .with_watermark("0 seconds")
+        .slice("1 hour", "out")
+        .reduce_on_edges(F.count(F.lit(1)).alias("cnt"))
+    )
+    return run_to_memory(agg, "append")
+
+
+@_q("q28s_streaming_dedup",
+    _with("SELECT DISTINCT src, dst FROM edges_cust_order", "edges_cust_order"),
+    "T6 streaming distinct with watermark-bounded state — horizon wider "
+    "than the replayed range, so the final state equals batch DISTINCT")
+def q28s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.streaming.runner import run_to_memory
+    from gelly_streaming_spark.streaming.stateful import streaming_distinct
+
+    edges = E.edges_cust_order(spark, sf_dir).select(
+        "src", "dst", F.col("ts").cast("timestamp").alias("ts")
+    )
+    stream = _replay_tmp(edges, order_by="ts")
+    out = run_to_memory(streaming_distinct(stream, "3650 days"), "append")
+    return out.select("src", "dst")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
