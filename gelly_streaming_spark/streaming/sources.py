@@ -22,8 +22,6 @@ package is source-agnostic — they only see the canonical
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -102,7 +100,3 @@ def rate_edges(
     )
 
 
-def num_replay_batches(df: DataFrame, target: int = 4) -> int:
-    """Clamp a requested replay batch count to the row count (a parquet
-    file per batch is pointless past one row per file)."""
-    return max(1, min(target, int(math.sqrt(max(df.count(), 1)))))

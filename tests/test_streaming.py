@@ -257,3 +257,34 @@ def test_streaming_windowed_append_with_watermark(spark, sf_dir, tmp_path):
     # and only the final open window may be withheld
     missing_buckets = {b for (b, _) in set(want) - set(got)}
     assert len(missing_buckets) <= 1, missing_buckets
+
+
+def test_rate_edges_produces_valid_stream(spark):
+    """The synthetic rate source yields canonical edges with bounded
+    vertex ids (one short processing-time micro-batch run)."""
+    from gelly_streaming_spark.streaming import rate_edges
+
+    edges = rate_edges(spark, rows_per_second=500, num_vertices=100)
+    assert edges.isStreaming
+    q = (
+        edges.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            n = spark.table("rate_smoke").count()
+            if n > 0:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.table("rate_smoke").collect()
+    assert rows, "rate source produced no rows in 20s"
+    assert all(0 <= r.src < 100 and 0 <= r.dst < 100 for r in rows)
