@@ -50,10 +50,13 @@ def _oriented_triangles(
     ``e`` must be canonical (src<dst, distinct) with ``keys`` columns."""
     # e feeds degrees + both wedge sides: materialize once instead of
     # re-deriving the upstream plan (e.g. the co-purchase self-join) 5x.
-    # Callers holding an already-checkpointed frame (the shared copart
-    # materialization in sources/edges.py) pass materialized=True.
+    # Callers holding an already-materialized frame (the shared copart
+    # view in sources/edges.py) pass materialized=True. persist (not
+    # localCheckpoint): evictable under memory pressure and freed by the
+    # ContextCleaner once unreferenced — these paths are non-iterative,
+    # so there is no lineage growth to cut.
     if not materialized:
-        e = e.localCheckpoint()
+        e = e.persist()
     deg = (
         e.select(*keys, F.explode(F.array("src", "dst")).alias("id"))
         .groupBy(*keys, "id")
@@ -78,7 +81,7 @@ def _oriented_triangles(
         *keys,
         F.when(low_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(low_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
-    ).localCheckpoint()  # feeds the adjacency build + the edge stream
+    ).persist()  # feeds the adjacency build + the edge stream
     adj = o.groupBy(*keys, "u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
     au = adj.select(*keys, "u", F.col("nbrs").alias("nu"))
     av = adj.select(*keys, F.col("u").alias("v"), F.col("nbrs").alias("nv"))
@@ -203,7 +206,7 @@ def triangle_count_windowed(
         # materialize once: the stats probe and the chosen strategy both
         # consume the canonicalized edges (else the dedup runs twice)
         if not materialized:
-            e = e.localCheckpoint()
+            e = e.persist()
             materialized = True
         mx = (
             e.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
@@ -241,7 +244,7 @@ def triangle_count_estimate(
     a tolerance, never hash-compared. Scale: the sampled side is tiny ⇒
     broadcast join against the full edge set (the reference's
     BroadcastTriangleCount pattern)."""
-    e = _canonical(stream.edges).localCheckpoint()
+    e = _canonical(stream.edges).persist()
     s = e.sample(fraction=sample_fraction, seed=seed)
     a, b, c = s.alias("a"), e.alias("b"), e.alias("c")
     wedges = a.hint("broadcast").join(b, F.col("a.dst") == F.col("b.src"))

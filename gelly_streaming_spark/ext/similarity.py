@@ -71,7 +71,7 @@ def jaccard_pairs(
       right when prefixes are short (high thresholds) so candidate
       inflation is bounded anyway.
     """
-    tok = token_sets(docs, id_col, tokens).localCheckpoint()
+    tok = token_sets(docs, id_col, tokens).persist()
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
 
     if prefix_filter:
@@ -96,7 +96,7 @@ def jaccard_pairs(
                 <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
             )
             .select("id", "token", "pos", "n")
-            .localCheckpoint()
+            .persist()
         )
         pa = pref.select(
             F.col("id").alias("a"), "token",
@@ -214,7 +214,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(docs, id_col, tokens, num_hashes)
     cand = lsh_candidate_pairs(sig, bands, rows_per_band)
 
-    tok = token_sets(docs, id_col, tokens).localCheckpoint()
+    tok = token_sets(docs, id_col, tokens).persist()
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = _verify_intersections(tok, cand)
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))

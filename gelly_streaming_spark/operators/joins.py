@@ -34,6 +34,10 @@ def asof_join(
     """
     rcols = [c for c in right.columns if c != right_key]
     payload = F.struct(*[F.col(c) for c in rcols]).alias("_r")
+    # NULL right timestamps are no-matches under SQL comparison semantics
+    # (right_ts <= left_ts is never true) — but Spark sorts nulls FIRST,
+    # which would make such a row a valid "prior" for every left row.
+    right = right.where(F.col(right_ts).isNotNull())
     r_side = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_ts).cast("timestamp").alias("_t"),

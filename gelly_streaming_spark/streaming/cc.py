@@ -85,8 +85,14 @@ class IncrementalBipartiteness:
     matching the reference's ``Candidates(false)`` absorbing state.
     """
 
-    #: virtual-midpoint ids live below this (real vertex ids are ≥ 0)
-    _VIRTUAL_BASE = -1
+    #: virtual-midpoint ids live at/above this. They must be HIGHER than
+    #: every real vertex id: min-label propagation picks the minimum
+    #: reachable id as a component's label, and a virtual label would (a)
+    #: be dropped from carried state, losing the component, and (b) never
+    #: match any ``state.id`` in the failed-set remap — a detected odd
+    #: cycle could silently "heal" on the next batch. Documented operator
+    #: contract: real vertex ids are non-negative and < 2^40.
+    _VIRTUAL_BASE = 1 << 40
 
     def __init__(self):
         self.state: Optional[DataFrame] = None  # (id, comp, parity)
@@ -103,10 +109,10 @@ class IncrementalBipartiteness:
             even = self.state.where(
                 (F.col("parity") == 0) & (F.col("id") != F.col("comp"))
             )
-            mid = (self._VIRTUAL_BASE - F.col("id")).alias("midpoint")
+            mid = (self._VIRTUAL_BASE + F.col("id")).alias("midpoint")
             even_half1 = even.select(F.col("id").alias("src"), mid.alias("dst"))
             even_half2 = even.select(
-                (self._VIRTUAL_BASE - F.col("id")).alias("src"),
+                (self._VIRTUAL_BASE + F.col("id")).alias("src"),
                 F.col("comp").alias("dst"),
             )
             edges = edges.unionByName(odd).unionByName(even_half1).unionByName(
@@ -117,7 +123,9 @@ class IncrementalBipartiteness:
         labels, verdict = result
         # drop virtual midpoints from carried state
         prev_state = self.state
-        self.state = labels.where(F.col("id") >= 0).localCheckpoint()
+        self.state = labels.where(
+            F.col("id") < self._VIRTUAL_BASE
+        ).localCheckpoint()
         newly_failed = verdict.where(~F.col("is_bipartite")).select("component")
         if self.failed is None:
             self.failed = newly_failed.localCheckpoint()

@@ -4,19 +4,74 @@ The reference's ITCases execute a bounded stream through the Flink
 mini-cluster and string-compare the sink file
 (REF:src/test/java/org/apache/flink/graph/streaming/test/ [M]). The Spark
 equivalent: drive the streaming query with an available-now trigger (all
-pending data, then stop) into a memory sink or a ``foreachBatch``
-callback, and compare the *final state* to the batch answer — emission
-granularity is per micro-batch, not per record (documented semantic delta
-D1, SURVEY.md §7.4).
+pending data, then stop) and compare the *final state* to the batch
+answer — emission granularity is per micro-batch, not per record
+(documented semantic delta D1, SURVEY.md §7.4).
+
+``run_to_memory`` deliberately does NOT use Spark's memory sink: that
+sink collects every batch's rows into driver memory (a complete-mode
+aggregation re-collects the FULL state each micro-batch). Instead each
+micro-batch is persisted executor-side via ``foreachBatch`` and the final
+state is assembled as a union of persisted frames — the driver never
+materializes rows, matching the engine's no-driver-funnel doctrine.
 """
 
 from __future__ import annotations
 
-import uuid
 from collections.abc import Callable
 from typing import Optional
 
 from pyspark.sql import DataFrame
+
+
+def _await(q, timeout_sec: int) -> None:
+    try:
+        # a False return means the trigger did NOT finish: surfacing a
+        # partial sink table would masquerade as a wrong (or luckily
+        # right) answer downstream — fail loudly instead.
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"streaming query did not finish within {timeout_sec}s"
+            )
+    finally:
+        q.stop()
+
+
+_NO_DATA_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+
+def _needs_no_data_batch(sdf: DataFrame, output_mode: str) -> bool:
+    """Does this sink's FINAL emission depend on a trailing no-data
+    micro-batch advancing the watermark?
+
+    Only append-mode plans whose emission is watermark-gated qualify:
+    windowed/stateful aggregations (rows emitted when the watermark
+    passes the window end) and state-timer operators. Immediate-emission
+    operators (dedup, filters) and complete/update sinks emit everything
+    with the last data batch — for those the trailing batch is pure
+    fixed cost (measured 1.5–5 s per availableNow run) and is skipped.
+    """
+    if output_mode != "append":
+        return False
+    try:
+        plan = sdf._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    except Exception:
+        return True  # can't inspect — keep Spark's safe default
+    if "EventTimeWatermark" not in plan:
+        return False
+    gated = ("Aggregate", "FlatMapGroupsWithState", "TransformWithState")
+    return any(g in plan for g in gated)
+
+
+def _start(writer, spark, no_data: bool):
+    """Start a streaming query with the no-data-batch conf pinned for the
+    query's lifetime; restore the previous session value afterwards."""
+    prev = spark.conf.get(_NO_DATA_CONF, "true")
+    spark.conf.set(_NO_DATA_CONF, "true" if no_data else "false")
+    try:
+        return writer.start()
+    finally:
+        spark.conf.set(_NO_DATA_CONF, prev)
 
 
 def run_to_memory(
@@ -25,26 +80,43 @@ def run_to_memory(
     name: Optional[str] = None,
     timeout_sec: int = 300,
 ) -> DataFrame:
-    """Execute a streaming DataFrame with an available-now trigger into a
-    memory sink; return the sink table as a batch DataFrame.
+    """Execute a streaming DataFrame with an available-now trigger and
+    return its final result as a batch DataFrame.
 
-    ``complete`` mode is the parity default for aggregations: the memory
-    table holds exactly the final aggregate state. Use ``append`` for
-    row-stream operators (dedup, filters, windowed aggs past watermark).
+    ``complete`` mode (aggregations): the last micro-batch holds the full
+    final state — earlier batches are unpersisted as they are superseded.
+    ``append``/``update`` mode (row streams: dedup, filters, closed
+    windows): the final result is the union of all emitted batches.
     """
-    name = name or f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
+    from gelly_streaming_spark.plans.memory import free_checkpoint
+
+    del name  # kept for API compat with the old memory-sink signature
+    batches: list[DataFrame] = []
+
+    def _capture(bdf: DataFrame, _epoch: int) -> None:
+        # localCheckpoint (eager) SEVERS the batch plan's lineage: the
+        # incremental-execution plan reads state-store files that vanish
+        # when the query's temp checkpoint is cleaned up on stop, so a
+        # later action must never be able to recompute through it.
+        ckpt = bdf.localCheckpoint()
+        if output_mode == "complete":
+            while batches:
+                free_checkpoint(batches.pop())
+        batches.append(ckpt)
+
+    writer = (
+        sdf.writeStream.foreachBatch(_capture)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
-    return sdf.sparkSession.table(name)
+    q = _start(writer, sdf.sparkSession, _needs_no_data_batch(sdf, output_mode))
+    _await(q, timeout_sec)
+    if not batches:
+        return sdf.sparkSession.createDataFrame([], sdf.schema)
+    out = batches[0]
+    for b in batches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def run_foreach_batch(
@@ -59,13 +131,10 @@ def run_foreach_batch(
     engine's escape hatch for patterns Structured Streaming can't express
     in-plan (iterative refinement, global summary merges; SURVEY.md §7.4.H2).
     """
-    q = (
+    writer = (
         sdf.writeStream.foreachBatch(fn)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
+    q = _start(writer, sdf.sparkSession, _needs_no_data_batch(sdf, output_mode))
+    _await(q, timeout_sec)

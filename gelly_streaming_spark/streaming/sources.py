@@ -44,30 +44,37 @@ def replay(
     Default replay assigns rows to micro-batches arbitrarily — fine for
     order-insensitive operators, but watermarked append-mode queries
     would (correctly) drop rows arriving after their window closed. Pass
-    ``order_by="ts"`` for an in-order replay: rows are range-split on
-    that column and staged as sequential writes, so the file source
-    (which orders by modification time) delivers event time
-    monotonically — the reference's ascending-timestamp assumption
-    (REF:.../SimpleEdgeStream.java:~65 [M]). Ordered staging runs a
-    single-partition ntile; use it for parity tests, not production data.
-    """
-    if order_by is None:
-        df.repartition(num_batches).write.mode("overwrite").parquet(stage_dir)
-    else:
-        from pyspark.sql import Window
+    ``order_by="ts"`` for an in-order replay: rows are sorted on that
+    column before chunking, so the file source (which orders by
+    modification time) delivers event time monotonically — the
+    reference's ascending-timestamp assumption
+    (REF:.../SimpleEdgeStream.java:~65 [M]).
 
-        chunked = df.withColumn(
-            "_chunk",
-            F.ntile(num_batches).over(Window.orderBy(F.col(order_by))),
-        )
-        for i in range(1, num_batches + 1):
-            (
-                chunked.where(F.col("_chunk") == i)
-                .drop("_chunk")
-                .coalesce(1)
-                .write.mode("overwrite" if i == 1 else "append")
-                .parquet(stage_dir)
-            )
+    Staging is DRIVER-side by design: one Arrow collect, then local
+    parquet chunk files with explicitly increasing mtimes (``os.utime``)
+    — in-order delivery is guaranteed, not probabilistic (sequential
+    cluster writes can land within one mtime tick and tie-break
+    arbitrarily). This is the parity-test harness, bounded fixtures only;
+    production streams point ``readStream`` at Kafka / a drop directory
+    and never pass through here.
+    """
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(stage_dir, exist_ok=True)
+    src = df if order_by is None else df.orderBy(order_by)
+    tbl = src.toArrow()
+    n = max(1, tbl.num_rows)
+    per = -(-n // num_batches)  # ceil
+    now = time.time()
+    for i in range(num_batches):
+        chunk = tbl.slice(i * per, per)
+        path = os.path.join(stage_dir, f"chunk-{i:05d}.parquet")
+        pq.write_table(chunk, path)
+        # strictly increasing, well-separated mtimes per chunk
+        os.utime(path, (now + i, now + i))
     return (
         df.sparkSession.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", files_per_trigger)

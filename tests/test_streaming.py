@@ -228,6 +228,33 @@ def test_incremental_bipartiteness(spark, tmp_path):
     assert [r["is_bipartite"] for r in got3.collect()] == [False]
 
 
+def test_incremental_bipartiteness_early_cycle_absorbs(spark, tmp_path):
+    """An odd cycle completed in batch 1 of a 3-batch replay must still be
+    reported after later batches grow AND re-label the component.
+
+    Regression: virtual midpoints in the state contraction used negative
+    ids, so from batch 2 on the min-label could be a virtual vertex —
+    dropped from carried state and unmatchable in the failed-set remap,
+    silently "healing" the odd cycle. Midpoints now live in a high
+    positive namespace (ids < 2^40 contract), so labels stay real and the
+    failure is remapped through component merges (1 → 0 here)."""
+    rows = [
+        # batch 1: odd triangle 1-2-3
+        (1, 2, 0), (2, 3, 1), (3, 1, 2),
+        # batch 2: even chain growing the component
+        (3, 4, 3), (4, 5, 4), (5, 6, 5),
+        # batch 3: merge with lower id 0 → component re-labels to 0
+        (0, 1, 6), (6, 7, 7), (7, 8, 8),
+    ]
+    df = spark.createDataFrame(rows, "src long, dst long, ord long")
+    got = IncrementalBipartiteness().run(
+        replay(df, str(tmp_path / "early"), num_batches=3, order_by="ord")
+    )
+    assert [(r["component"], r["is_bipartite"]) for r in got.collect()] == [
+        (0, False)
+    ]
+
+
 def test_streaming_windowed_append_with_watermark(spark, sf_dir, tmp_path):
     """Production path: watermarked tumbling agg in APPEND mode emits
     exactly the windows the watermark closed; with available-now over a
