@@ -111,6 +111,119 @@ def connected_components(
     return labels.select("id", F.col("comp").alias("component"))
 
 
+def connected_components_alternating(
+    stream: GraphStream,
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """CC via alternating large-star / small-star contractions — the
+    O(log n)-round map-reduce formulation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014; public algorithm).
+
+    Why it exists next to min-label: min-label propagation converges in
+    O(diameter) rounds — fatal on a 100 TB path-shaped graph (millions of
+    shuffle rounds); the star operations halve tree heights every other
+    round regardless of diameter, so a path contracts in O(log n) rounds.
+    Each round is two aggregation-shaped shuffles (a per-vertex min + an
+    edge rewrite join); no driver materialization, lineage cut per round.
+
+    - large-star: every node connects its LARGER neighbors to the minimum
+      of its closed neighborhood;
+    - small-star: every node connects its smaller-or-equal neighbors (and
+      itself) to that minimum.
+
+    At fixpoint the edge set is a forest of stars (child → component
+    minimum). ``stats``, if given, receives ``{"rounds": N}`` — the
+    convergence-rate property tests read it.
+    """
+    e = (
+        stream.edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(edges: DataFrame) -> DataFrame:
+        return edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def _large_star(edges: DataFrame) -> DataFrame:
+        sym = _sym(edges)
+        mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        m = F.least("src", "mn")
+        return (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(edges: DataFrame) -> DataFrame:
+        sym = _sym(edges)
+        le = sym.where(F.col("dst") <= F.col("src"))
+        mins = le.groupBy("src").agg(F.min("dst").alias("mn"))
+        out = (
+            le.join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .unionByName(
+                mins.select(F.col("src"), F.col("mn").alias("dst"))
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        return out
+
+    def _checksum(edges: DataFrame):
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # order-independent, overflow-free set checksum
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    rounds = 0
+    prev_sum = _checksum(
+        e.select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+    )
+    while rounds < max_iter:
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        rounds += 1
+        cur_sum = _checksum(
+            new_e.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+        )
+        free_checkpoint(e)
+        e = new_e
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    stars = e.groupBy("src").agg(F.min("dst").alias("root"))
+    labels = (
+        verts.join(stars, verts.id == stars.src, "left")
+        .select("id", F.coalesce("root", "id").alias("component"))
+    )
+    out = labels.localCheckpoint()
+    free_checkpoint(e)
+    free_checkpoint(verts)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Union-find summary variant (reference SummaryAggregation shape)
 # ---------------------------------------------------------------------------
@@ -147,13 +260,17 @@ class DisjointSet:
 
 
 def connected_components_summary(
-    stream: GraphStream, window: str | None = None, num_buckets: int = 64
+    stream: GraphStream,
+    window: str | None = None,
+    num_buckets: int = 64,
+    merge_levels: int = 0,
 ) -> DataFrame:
     """CC via the reference's partial-fold + merge pattern (A6/A7).
 
     With ``window`` set this is WindowGraphAggregation: one component
     mapping emitted per tumbling window, state carried across windows
-    (transientState=false, as the reference CC uses)."""
+    (transientState=false, as the reference CC uses). ``merge_levels``
+    tree-reduces partial forests on executors before the driver merge."""
 
     def fold(s: DisjointSet, pdf: pd.DataFrame) -> DisjointSet:
         for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
@@ -177,5 +294,6 @@ def connected_components_summary(
         num_buckets=num_buckets,
         window=window,
         transient_state=False,
+        merge_levels=merge_levels,
     )
     return stream.aggregate(agg)

@@ -5,12 +5,14 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so payload bytes never round-trip through the
 driver and batches stay columnar end-to-end.
 
-The decode kernels themselves are STUBBED — the image/audio libraries are
-not available in this environment. ``decoder=None`` selects a
-deterministic fake decoder (parses dimensions out of the payload header
-bytes) so the Spark-side plumbing — schema, batching, partitioning, UDF
-signatures — is real and testable; pass a real decoder callable in
-production or get ``NotImplementedError`` from ``strict_decoder``.
+Decoders: ``media_decoder`` REALLY decodes uncompressed 24-bit BMP and
+16-bit PCM WAV with pure-Python header/pixel/sample parsing (no imaging
+or audio library required), so the plumbing is exercised end-to-end on
+real bytes. Compressed formats (JPEG/PNG/MP3/MP4…) need codec libraries
+absent from this environment and honestly raise ``NotImplementedError``
+via ``strict_decoder`` — inject a real decoder callable in production.
+``decoder=None`` selects a deterministic fake decoder for synthetic
+payloads (test harness over the documents table).
 """
 
 from __future__ import annotations
@@ -57,6 +59,96 @@ def strict_decoder(payload: bytes, kind: str):
         "real media decoding requires image/audio libraries not present in "
         "this environment; inject a decoder callable"
     )
+
+
+def decode_bmp(payload: bytes):
+    """Real decoder for uncompressed 24-bit BMP (pure Python/numpy header
+    + pixel parse — no imaging library needed). Returns
+    (width, height, 1, 8-dim feature): per-channel mean and std (B, G, R)
+    plus log-area and aspect ratio."""
+    import math
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    rows = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    px = (
+        np.frombuffer(payload, np.uint8, count=stride * rows, offset=off)
+        .reshape(rows, stride)[:, : w * 3]
+        .reshape(rows, w, 3)
+    )
+    if h > 0:  # positive height = bottom-up row order
+        px = px[::-1]
+    ch = px.reshape(-1, 3).astype(np.float64)
+    feat = [
+        *(float(x) for x in ch.mean(axis=0)),
+        *(float(x) for x in ch.std(axis=0)),
+        math.log1p(float(w * rows)),
+        float(w) / float(rows or 1),
+    ]
+    return int(w), int(rows), 1, feat
+
+
+def decode_wav(payload: bytes):
+    """Real decoder for 16-bit PCM WAV (pure RIFF chunk walk). Returns
+    (sample_rate, channels, n_samples, 8-dim feature): rms, mean, peak,
+    zero-crossing rate, and energy in four equal time bands."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError("only 16-bit PCM WAV supported")
+    x = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+    n = len(x) // max(1, channels)
+    if len(x) == 0:
+        return int(rate), int(channels), 0, [0.0] * 8
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    bands = [float(np.mean(b * b)) if len(b) else 0.0 for b in np.array_split(x, 4)]
+    feat = [
+        float(np.sqrt(np.mean(x * x))),
+        float(np.mean(x)),
+        float(np.max(np.abs(x))),
+        zcr,
+        *bands,
+    ]
+    return int(rate), int(channels), int(n), feat
+
+
+def media_decoder(payload: bytes, kind: str):
+    """Format-sniffing real decoder: BMP and 16-bit PCM WAV are decoded
+    with the pure-Python kernels above; every other container honestly
+    raises (the sandbox has no imaging/audio libraries — inject a real
+    decoder in production)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    return strict_decoder(payload, kind)
 
 
 def fake_decoder(payload: bytes, kind: str):

@@ -42,6 +42,14 @@ from gelly_streaming_spark.operators.graphstream import GraphStream
 _PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("bucket", T.TimestampType(), True),
+        T.StructField("pkey", T.IntegerType(), True),
+        T.StructField("summary", T.BinaryType(), True),
+    ]
+)
+
+_BOUNDED_SCHEMA = T.StructType(
+    [
+        T.StructField("pkey", T.IntegerType(), True),
         T.StructField("summary", T.BinaryType(), True),
     ]
 )
@@ -63,6 +71,40 @@ class SummaryAggregation:
     num_buckets: int = 64
     window: Optional[str] = None  # e.g. "1 hour" → WindowGraphAggregation (A7)
     transient_state: bool = True
+    #: executor-side tree-merge rounds before the driver merge. Each
+    #: round shrinks the partial count to its square root (pkey → pkey
+    #: mod √width), so with one round over B buckets the driver sees at
+    #: most √B merged partials per window — the escape hatch when merged
+    #: summaries are large enough that even an O(B) driver funnel hurts.
+    merge_levels: int = 0
+
+    # ------------------------------------------------------------------
+    def _tree_merge(self, partials: DataFrame, keys: list[str]) -> DataFrame:
+        """``merge_levels`` rounds of executor-side combine: fold pkey
+        into a shrinking keyspace and merge each group with combine_fn.
+        One aggregation-shaped shuffle per round, O(width) rows in it."""
+        combine = self.combine_fn
+        schema = partials.schema
+        width = self.num_buckets
+        for _ in range(self.merge_levels):
+            if width <= 1:
+                break
+            width = max(1, int(width**0.5))
+
+            def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                s = None
+                for blob in pdf["summary"]:
+                    t = pickle.loads(bytes(blob))
+                    s = t if s is None else combine(s, t)
+                head = pdf.iloc[[0]][[c for c in pdf.columns if c != "summary"]]
+                return head.assign(summary=[pickle.dumps(s)])
+
+            partials = (
+                partials.withColumn("pkey", F.pmod("pkey", F.lit(width)).cast("int"))
+                .groupBy(*keys)
+                .applyInPandas(merge_group, schema)
+            )
+        return partials
 
     # ------------------------------------------------------------------
     def fold_bounded(self, edges: DataFrame) -> Any:
@@ -85,15 +127,18 @@ class SummaryAggregation:
         def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
             if "ts" in pdf.columns:
                 pdf = pdf.sort_values("ts")
-            return pd.DataFrame({"summary": [pickle.dumps(fold(init(), pdf))]})
-
-        partials = (
-            df.groupBy("pkey")
-            .applyInPandas(
-                fold_group, schema=T.StructType([T.StructField("summary", T.BinaryType())])
+            return pd.DataFrame(
+                {
+                    "pkey": [int(pdf["pkey"].iloc[0])],
+                    "summary": [pickle.dumps(fold(init(), pdf))],
+                }
             )
-            .collect()
+
+        partials_df = df.groupBy("pkey").applyInPandas(
+            fold_group, schema=_BOUNDED_SCHEMA
         )
+        partials = self._tree_merge(partials_df, ["pkey"]).collect()
+        self.last_driver_partials = len(partials)
         out = init()
         for row in partials:
             out = self.combine_fn(out, pickle.loads(bytes(row["summary"])))
@@ -118,14 +163,18 @@ class SummaryAggregation:
                 pdf = pdf.sort_values("ts") if "ts" in pdf.columns else pdf
             s = fold(init(), pdf)
             return pd.DataFrame(
-                {"bucket": [pdf["bucket"].iloc[0]], "summary": [pickle.dumps(s)]}
+                {
+                    "bucket": [pdf["bucket"].iloc[0]],
+                    "pkey": [int(pdf["pkey"].iloc[0])],
+                    "summary": [pickle.dumps(s)],
+                }
             )
 
-        partials = (
-            df.groupBy("bucket", "pkey")
-            .applyInPandas(fold_group, schema=_PARTIAL_SCHEMA)
-            .collect()
+        partials_df = df.groupBy("bucket", "pkey").applyInPandas(
+            fold_group, schema=_PARTIAL_SCHEMA
         )
+        partials = self._tree_merge(partials_df, ["bucket", "pkey"]).collect()
+        self.last_driver_partials = len(partials)
 
         # Merge per window bucket; ≤ num_buckets partials each.
         by_bucket: dict[Any, Any] = {}

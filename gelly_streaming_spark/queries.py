@@ -386,6 +386,38 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(gs)
 
 
+def _q15_edges(spark: SparkSession, sf_dir: str) -> GraphStream:
+    a = E.edges_cust_order(spark, sf_dir).where(F.col("dst") < 1_000_200)
+    b = E.edges_order_part(spark, sf_dir).where(F.col("src") < 1_000_200)
+    return GraphStream(a.select("src", "dst").unionByName(b.select("src", "dst")))
+
+
+@_q("q15b_cc_summary", _Q15_SQL,
+    "L1 via the reference's EXACT SummaryAggregation shape: per-bucket "
+    "union-find folds, executor tree-merge, O(√buckets) driver merge — "
+    "same fixpoint as the recursive-CTE oracle")
+def q15b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.connected_components import (
+        connected_components_summary,
+    )
+
+    out = connected_components_summary(
+        _q15_edges(spark, sf_dir), num_buckets=64, merge_levels=1
+    )
+    return out.select("id", "component")
+
+
+@_q("q15c_cc_alternating", _Q15_SQL,
+    "L1 via alternating large-star/small-star contraction (O(log n) "
+    "rounds — the 100 TB long-diameter scale path)")
+def q15c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.connected_components import (
+        connected_components_alternating,
+    )
+
+    return connected_components_alternating(_q15_edges(spark, sf_dir))
+
+
 def _fixture_union_sql() -> str:
     from gelly_streaming_spark.sources.fixtures import fixture_rows
 
