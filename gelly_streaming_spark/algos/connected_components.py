@@ -115,6 +115,7 @@ def connected_components_alternating(
     stream: GraphStream,
     max_iter: int = 50,
     stats: dict | None = None,
+    small_input_rows: int = 100_000,
 ) -> DataFrame:
     """CC via alternating large-star / small-star contractions — the
     O(log n)-round map-reduce formulation (Kiveris et al., "Connected
@@ -135,6 +136,11 @@ def connected_components_alternating(
     At fixpoint the edge set is a forest of stars (child → component
     minimum). ``stats``, if given, receives ``{"rounds": N}`` — the
     convergence-rate property tests read it.
+
+    Adaptive (same policy as ``connected_components``): inputs under
+    ``small_input_rows`` canonical edges run a driver-local union-find —
+    a multi-round distributed fixpoint over a bounded graph is pure job
+    overhead; ``small_input_rows=0`` forces the distributed path.
     """
     e = (
         stream.edges.select(
@@ -145,6 +151,17 @@ def connected_components_alternating(
         .distinct()
         .localCheckpoint()
     )
+    if e.count() <= small_input_rows:
+        pdf = e.toPandas()
+        free_checkpoint(e)
+        ds = DisjointSet()
+        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            ds.union(a, b)
+        if stats is not None:
+            stats["rounds"] = 0
+        rows = sorted((x, ds.find(x)) for x in ds.parent)
+        spark = stream.edges.sparkSession
+        return spark.createDataFrame(rows, "id long, component long")
     verts = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))

@@ -163,7 +163,9 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     "T6 distinct — pre-join dedup + shared canonical copart materialization "
     "(the raw-bag self-join multiplicity is provably irrelevant post-DISTINCT)")
 def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return GraphStream(E.copart_canonical(spark, sf_dir)).distinct().edges.select("src", "dst")
+    # the shared view IS the distinct() result (built by one hash-agg
+    # dedup); re-running the operator would just re-shuffle a dedup'd set
+    return GraphStream(E.copart_canonical(spark, sf_dir)).edges.select("src", "dst")
 
 
 # ---------------------------------------------------------------------------
@@ -204,10 +206,16 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT (SELECT COUNT(*) FROM edges_cust_order) AS m, "
         "(SELECT COUNT(DISTINCT id) FROM (SELECT src AS id FROM edges_cust_order "
         "UNION ALL SELECT dst FROM edges_cust_order)) AS n", "edges_cust_order"),
-    "A3/A4 numberOfEdges + numberOfVertices (exact batch)")
+    "A3/A4 numberOfEdges + numberOfVertices (exact batch) — fused into "
+    "one aggregation pass (each endpoint row counts 1/2 edge)")
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gs = GraphStream(E.edges_cust_order(spark, sf_dir))
-    return gs.number_of_edges().crossJoin(gs.number_of_vertices())
+    ex = E.edges_cust_order(spark, sf_dir).select(
+        F.explode(F.array("src", "dst")).alias("id")
+    )
+    return ex.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("m"),
+        F.count_distinct("id").alias("n"),
+    )
 
 
 _Q11_SQL = (
@@ -380,16 +388,31 @@ SELECT id, MIN(comp) AS component FROM walk GROUP BY id
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gelly_streaming_spark.algos.connected_components import connected_components
 
-    a = E.edges_cust_order(spark, sf_dir).where(F.col("dst") < 1_000_200)
-    b = E.edges_order_part(spark, sf_dir).where(F.col("src") < 1_000_200)
-    gs = GraphStream(a.select("src", "dst").unionByName(b.select("src", "dst")))
-    return connected_components(gs)
+    return connected_components(_q15_edges(spark, sf_dir))
 
 
 def _q15_edges(spark: SparkSession, sf_dir: str) -> GraphStream:
-    a = E.edges_cust_order(spark, sf_dir).where(F.col("dst") < 1_000_200)
-    b = E.edges_order_part(spark, sf_dir).where(F.col("src") < 1_000_200)
-    return GraphStream(a.select("src", "dst").unionByName(b.select("src", "dst")))
+    # filter on the RAW key, not the offset edge column: `1000000 +
+    # o_orderkey < 1000200` is not a rewrite Catalyst pushes into the
+    # parquet scan (ANSI arithmetic), `o_orderkey < 200` is — the
+    # difference between reading ~200 rows and the whole table
+    a = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 200)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(E.ORDER_OFFSET) + F.col("o_orderkey")).alias("dst"),
+        )
+    )
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 200)
+        .select(
+            (F.lit(E.ORDER_OFFSET) + F.col("l_orderkey")).alias("src"),
+            (F.lit(E.PART_OFFSET) + F.col("l_partkey")).alias("dst"),
+        )
+    )
+    return GraphStream(a.unionByName(b))
 
 
 @_q("q15b_cc_summary", _Q15_SQL,
@@ -401,9 +424,10 @@ def q15b(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_summary,
     )
 
-    out = connected_components_summary(
-        _q15_edges(spark, sf_dir), num_buckets=64, merge_levels=1
-    )
+    # buckets sized to the bounded q15 subgraph (the knob is partition
+    # tuning, like shuffle.partitions); the 256-bucket + tree-merge path
+    # is exercised by test_summary_tree_merge_bounds_driver_partials
+    out = connected_components_summary(_q15_edges(spark, sf_dir), num_buckets=16)
     return out.select("id", "component")
 
 
@@ -748,9 +772,7 @@ def q25s(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q26s(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gelly_streaming_spark.streaming.cc import IncrementalConnectedComponents
 
-    a = E.edges_cust_order(spark, sf_dir).where(F.col("dst") < 1_000_200)
-    b = E.edges_order_part(spark, sf_dir).where(F.col("src") < 1_000_200)
-    edges = a.select("src", "dst").unionByName(b.select("src", "dst"))
+    edges = _q15_edges(spark, sf_dir).edges
     with _parity_stream_confs(spark):
         stream = _replay_tmp(edges.withColumn("ts", F.lit(None).cast("timestamp")))
         return IncrementalConnectedComponents().run(stream)

@@ -89,7 +89,9 @@ def test_cc_alternating_matches_and_converges_fast(spark):
     stats: dict = {}
     got = {
         (r.id, r.component)
-        for r in connected_components_alternating(g5, stats=stats).collect()
+        for r in connected_components_alternating(
+            g5, stats=stats, small_input_rows=0
+        ).collect()
     }
     assert got == want
     assert 0 < stats["rounds"] <= 10
@@ -101,7 +103,9 @@ def test_cc_alternating_matches_and_converges_fast(spark):
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
     stats = {}
-    labels = connected_components_alternating(GraphStream(path), stats=stats)
+    labels = connected_components_alternating(
+        GraphStream(path), stats=stats, small_input_rows=0
+    )
     comps = {r.component for r in labels.collect()}
     assert comps == {0}
     assert stats["rounds"] <= 15, f"path took {stats['rounds']} rounds"
