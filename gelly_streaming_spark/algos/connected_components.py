@@ -34,6 +34,30 @@ from gelly_streaming_spark.operators.graphstream import GraphStream
 from gelly_streaming_spark.plans.memory import free_checkpoint
 
 
+def _try_small_union_find(e: DataFrame, small_input_rows: int) -> DataFrame | None:
+    """Adaptive small-graph fast path, fused to ONE driver action.
+
+    ``limit(N+1).collect()`` replaces the round-2 localCheckpoint → count →
+    toPandas → createDataFrame chain (4 jobs, one materializing the whole
+    symmetrized set) with a single bounded collect: at most N+1 canonical
+    edge rows ever cross to the driver, whatever the input size. If the
+    limit spills over, return None — the caller runs the distributed plan,
+    having wasted a ≤N-row transfer plus the dedup's map side (callers
+    that KNOW the input is huge pass ``small_input_rows=0`` and skip the
+    probe entirely). Union-find needs no symmetrization (union(a,b) is
+    direction-free), so the caller's canonical set is collected as-is."""
+    if small_input_rows <= 0:
+        return None
+    rows = e.select("src", "dst").limit(small_input_rows + 1).collect()
+    if len(rows) > small_input_rows:
+        return None
+    ds = DisjointSet()
+    for r in rows:
+        ds.union(r[0], r[1])
+    out = sorted((x, ds.find(x)) for x in ds.parent)
+    return e.sparkSession.createDataFrame(out, "id long, component long")
+
+
 def connected_components(
     stream: GraphStream,
     max_iter: int = 100,
@@ -58,20 +82,13 @@ def connected_components(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
+    small = _try_small_union_find(e, small_input_rows)
+    if small is not None:
+        return small
     # Symmetrize once; reuse across every iteration.
     eu = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-
-    if eu.count() <= small_input_rows:
-        pdf = eu.toPandas()
-        free_checkpoint(eu)
-        ds = DisjointSet()
-        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
-            ds.union(a, b)
-        rows = sorted((x, ds.find(x)) for x in ds.parent)
-        spark = stream.edges.sparkSession
-        return spark.createDataFrame(rows, "id long, component long")
 
     labels = (
         eu.select(F.col("src").alias("id"))
@@ -149,19 +166,13 @@ def connected_components_alternating(
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
     )
-    if e.count() <= small_input_rows:
-        pdf = e.toPandas()
-        free_checkpoint(e)
-        ds = DisjointSet()
-        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
-            ds.union(a, b)
+    small = _try_small_union_find(e, small_input_rows)
+    if small is not None:
         if stats is not None:
             stats["rounds"] = 0
-        rows = sorted((x, ds.find(x)) for x in ds.parent)
-        spark = stream.edges.sparkSession
-        return spark.createDataFrame(rows, "id long, component long")
+        return small
+    e = e.localCheckpoint()
     verts = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -210,6 +221,7 @@ def connected_components_alternating(
         return (row["n"], row["h"])
 
     rounds = 0
+    converged = False
     prev_sum = _checksum(
         e.select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
     )
@@ -225,10 +237,20 @@ def connected_components_alternating(
         free_checkpoint(e)
         e = new_e
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     if stats is not None:
         stats["rounds"] = rounds
+    if not converged:
+        # a partially-contracted forest is WRONG components, not a slower
+        # answer — never return it silently
+        free_checkpoint(e)
+        free_checkpoint(verts)
+        raise RuntimeError(
+            f"alternating CC did not reach the checksum fixpoint within "
+            f"max_iter={max_iter} rounds (O(log n) expected — raise max_iter)"
+        )
 
     stars = e.groupBy("src").agg(F.min("dst").alias("root"))
     labels = (

@@ -99,14 +99,55 @@ def _oriented_triangles(
 
 
 def triangle_count(
-    stream: GraphStream, *, canonical: bool = False, materialized: bool = False
+    stream: GraphStream,
+    *,
+    canonical: bool = False,
+    materialized: bool = False,
+    strategy: str = "auto",
+    in_core_limit: int = 500_000,
 ) -> DataFrame:
     """Exact global triangle count: one row (n_triangles).
 
     ``canonical=True`` asserts the input is already (src<dst, distinct) —
     e.g. the shared copart materialization — skipping a redundant dedup
-    shuffle; ``materialized=True`` additionally skips the checkpoint."""
+    shuffle; ``materialized=True`` additionally skips the persist.
+
+    Physical strategies (mirrors ``triangle_count_windowed``):
+
+    - ``"in_core"``: gather the canonical edges into ONE task and run the
+      vectorized numpy kernel. A 3-shuffle distributed plan over an edge
+      set that fits a single task is pure scheduling overhead — same AQE
+      move as broadcast-join selection.
+    - ``"joins"``: the degree-ordered broadcast plan — the scale path for
+      edge sets no single task should hold.
+    - ``"auto"``: pick by edge count (one cheap count on the — usually
+      already materialized — canonical set).
+    """
     e = stream.edges if canonical else _canonical(stream.edges)
+    if strategy == "auto":
+        if not materialized:
+            e = e.persist()
+            materialized = True
+        strategy = "in_core" if e.count() <= in_core_limit else "joins"
+
+    if strategy == "in_core":
+        import pandas as pd
+
+        def count_tri(pdf: pd.DataFrame) -> pd.DataFrame:
+            t = _count_triangles_numpy(pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+            return pd.DataFrame({"n_triangles": [t]})
+
+        per_task = (
+            e.select("src", "dst")
+            .groupBy(F.lit(0).alias("g"))
+            .applyInPandas(count_tri, "n_triangles long")
+        )
+        # groupBy().agg folds the empty-input case to the same 1-row/0
+        # contract as the joins plan (no groups → no applyInPandas rows).
+        return per_task.groupBy().agg(
+            F.coalesce(F.sum("n_triangles"), F.lit(0)).alias("n_triangles")
+        )
+
     per_edge = _oriented_triangles(e, keys=[], materialized=materialized)
     return per_edge.groupBy().agg(
         F.coalesce(F.sum("tri"), F.lit(0)).alias("n_triangles")
