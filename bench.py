@@ -67,6 +67,17 @@ def _warm_up(spark, sf_dir: str) -> None:
     d.groupBy("k").applyInPandas(
         lambda p: p.head(1), "k long, v long"
     ).write.mode("overwrite").format("noop").save()
+    # Arrow driver collect + broadcast-variable + mapInPandas paths
+    d.limit(64).toArrow()
+    bc = spark.sparkContext.broadcast((1, 2, 3))
+
+    def _echo(batches):
+        for pdf in batches:
+            yield pdf.assign(v=pdf["v"] + bc.value[0])
+
+    d.mapInPandas(_echo, "k long, v long").write.mode(
+        "overwrite"
+    ).format("noop").save()
     # driver round-trips used by adaptive fast paths
     spark.createDataFrame([(1, 2)], "a long, b long").collect()
     # streaming machinery: file source + stateful agg + state store

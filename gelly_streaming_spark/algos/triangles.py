@@ -104,7 +104,7 @@ def triangle_count(
     canonical: bool = False,
     materialized: bool = False,
     strategy: str = "auto",
-    in_core_limit: int = 500_000,
+    broadcast_limit: int = 5_000_000,
 ) -> DataFrame:
     """Exact global triangle count: one row (n_triangles).
 
@@ -112,40 +112,75 @@ def triangle_count(
     e.g. the shared copart materialization — skipping a redundant dedup
     shuffle; ``materialized=True`` additionally skips the persist.
 
-    Physical strategies (mirrors ``triangle_count_windowed``):
+    Physical strategies (the global analog of the windowed auto-pick):
 
-    - ``"in_core"``: gather the canonical edges into ONE task and run the
-      vectorized numpy kernel. A 3-shuffle distributed plan over an edge
-      set that fits a single task is pure scheduling overhead — same AQE
-      move as broadcast-join selection.
-    - ``"joins"``: the degree-ordered broadcast plan — the scale path for
-      edge sets no single task should hold.
+    - ``"broadcast_kernel"``: build the canonical edge arrays driver-side
+      (exactly a broadcast hash join's build: bounded by
+      ``broadcast_limit`` edges ≈ 16 B/edge), broadcast them, and run the
+      vectorized numpy kernel in parallel slices — task *i* generates the
+      wedges of pivot vertices with ``u % P == i`` and probes the shared
+      membership array. Replaces 3 shuffles + 4 broadcast builds with one
+      broadcast + one P-task stage (measured 4.2 s → ~1 s at sf0.1,
+      m=1.2 M, 41 M wedges).
+    - ``"joins"``: the degree-ordered broadcast-join plan — the scale
+      path when the edge set itself is too large to broadcast.
     - ``"auto"``: pick by edge count (one cheap count on the — usually
       already materialized — canonical set).
     """
     e = stream.edges if canonical else _canonical(stream.edges)
+    tbl = None
     if strategy == "auto":
         if not materialized:
             e = e.persist()
             materialized = True
-        strategy = "in_core" if e.count() <= in_core_limit else "joins"
+        # the size probe IS the build-side collect: grab at most
+        # broadcast_limit+1 rows — if the limit spills over, fall to the
+        # joins plan having transferred a bounded amount, else the arrow
+        # table is already in hand (no separate count job)
+        tbl = e.select("src", "dst").limit(broadcast_limit + 1).toArrow()
+        strategy = "broadcast_kernel" if tbl.num_rows <= broadcast_limit else "joins"
 
-    if strategy == "in_core":
-        import pandas as pd
+    if strategy == "broadcast_kernel":
+        import numpy as np
 
-        def count_tri(pdf: pd.DataFrame) -> pd.DataFrame:
-            t = _count_triangles_numpy(pdf["src"].to_numpy(), pdf["dst"].to_numpy())
-            return pd.DataFrame({"n_triangles": [t]})
+        spark = e.sparkSession
+        if tbl is None:
+            tbl = e.select("src", "dst").toArrow()
+        if tbl.num_rows < 3:
+            prep = None
+        else:
+            # orientation + membership build happens ONCE, driver-side —
+            # this IS the broadcast join's build side (bounded by
+            # broadcast_limit); tasks only generate + probe their wedge
+            # slice, so no per-task re-sort of the edge set
+            prep = _tri_prep(
+                tbl["src"].to_numpy().astype(np.int64),
+                tbl["dst"].to_numpy().astype(np.int64),
+            )
+        bc = spark.sparkContext.broadcast(prep)
+        # one slice per ~150k edges of wedge-generation work, capped at
+        # the session's parallelism: every worker that takes a slice must
+        # deserialize the broadcast once, so oversplitting pays more in
+        # per-worker broadcast pulls than it wins in parallelism
+        nparts = max(1, min(spark.sparkContext.defaultParallelism,
+                            tbl.num_rows // 150_000 + 1))
 
-        per_task = (
-            e.select("src", "dst")
-            .groupBy(F.lit(0).alias("g"))
-            .applyInPandas(count_tri, "n_triangles long")
+        def count_slices(batches):
+            import pandas as pd
+
+            p = bc.value
+            for pdf in batches:
+                t = 0 if p is None else sum(
+                    _tri_count_slice(*p, part=int(i), nparts=nparts)
+                    for i in pdf["id"]
+                )
+                yield pd.DataFrame({"tri": [t]})
+
+        per_slice = spark.range(0, nparts, 1, nparts).mapInPandas(
+            count_slices, "tri long"
         )
-        # groupBy().agg folds the empty-input case to the same 1-row/0
-        # contract as the joins plan (no groups → no applyInPandas rows).
-        return per_task.groupBy().agg(
-            F.coalesce(F.sum("n_triangles"), F.lit(0)).alias("n_triangles")
+        return per_slice.groupBy().agg(
+            F.coalesce(F.sum("tri"), F.lit(0)).alias("n_triangles")
         )
 
     per_edge = _oriented_triangles(e, keys=[], materialized=materialized)
@@ -154,46 +189,70 @@ def triangle_count(
     )
 
 
-def _count_triangles_numpy(src, dst) -> int:
-    """Degree-oriented, fully vectorized in-core triangle count.
+def _tri_prep(src, dst):
+    """Shared kernel setup: degree-orient canonical edges and build the
+    sorted membership array. Returns ``(u, v, edge_code, n)`` with (u, v)
+    lexsorted by (u, v) and ``edge_code`` the sorted canonical
+    ``min*n+max`` codes of ALL edges.
 
-    Inputs are numpy arrays of one window's canonical (src<dst, distinct)
-    edges. Orientation from the lower-(degree, id) endpoint bounds the
-    wedge volume at O(m^1.5) regardless of hub skew; wedges are generated
-    with repeat/cumsum index arithmetic and closed with one sorted-array
-    membership probe (searchsorted) — no Python-level per-edge loop.
-    Wedge generation is chunked so peak memory stays bounded even for a
-    pathological window.
-    """
+    Dense-id fast path: when the max vertex id is modest, skip the
+    O(m log m) ``np.unique`` remap and index directly (bincount over raw
+    ids). Compact arrays are downcast to int32 when the code space fits —
+    halves the broadcast payload the distributed slices pull."""
     import numpy as np
 
     m = len(src)
-    if m < 3:
-        return 0
-    ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
-    s0, d0 = inv[:m].astype(np.int64), inv[m:].astype(np.int64)
-    n = len(ids)
+    max_id = int(max(src.max(), dst.max()))
+    if max_id <= 50_000_000:
+        s0, d0 = src.astype(np.int64), dst.astype(np.int64)
+        n = max_id + 1
+    else:
+        ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        s0, d0 = inv[:m].astype(np.int64), inv[m:].astype(np.int64)
+        n = len(ids)
     deg = np.bincount(np.concatenate([s0, d0]), minlength=n)
     low_first = (deg[s0] < deg[d0]) | ((deg[s0] == deg[d0]) & (s0 < d0))
     u = np.where(low_first, s0, d0)
     v = np.where(low_first, d0, s0)
     order = np.lexsort((v, u))
     u, v = u[order], v[order]
-    # membership structure: canonical (min,max) codes of ALL edges, sorted
     edge_code = np.sort(np.minimum(s0, d0) * n + np.maximum(s0, d0))
+    if n <= 46_340:  # n*n < 2**31: codes (and ids) fit int32
+        u, v = u.astype(np.int32), v.astype(np.int32)
+        edge_code = edge_code.astype(np.int32)
+    return u, v, edge_code, n
+
+
+def _tri_count_slice(u, v, edge_code, n, part: int = 0, nparts: int = 1) -> int:
+    """Count the triangles whose degree-minimal pivot satisfies
+    ``u % nparts == part``. Wedges are generated with repeat/cumsum index
+    arithmetic and closed with one sorted-array membership probe
+    (searchsorted) — no Python-level per-edge loop; generation is chunked
+    so peak memory stays bounded even for a pathological window. Summing
+    over all parts equals the full count: each triangle is found exactly
+    once, at its unique pivot."""
+    import numpy as np
+
+    if nparts > 1:
+        # slice on the REMAPPED pivot id — u-groups stay contiguous
+        keep = (u % nparts) == part
+        u, v = u[keep], v[keep]
+    mu = len(u)
+    if mu == 0:
+        return 0
     # per-edge-row wedge fanout: row i pairs with the rem[i] rows after it
     # in its own u-group (v is sorted within the group)
     starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-    counts = np.diff(np.r_[starts, m])
+    counts = np.diff(np.r_[starts, mu])
     grp_size = np.repeat(counts, counts)
-    pos = np.arange(m) - np.repeat(starts, counts)
+    pos = np.arange(mu) - np.repeat(starts, counts)
     rem = grp_size - 1 - pos
     total = int(rem.sum())
     if total == 0:
         return 0
     tri = 0
     bounds = np.searchsorted(np.cumsum(rem), np.arange(0, total, 8_000_000))
-    cuts = list(np.unique(np.r_[bounds, m]))
+    cuts = list(np.unique(np.r_[bounds, mu]))
     for lo, hi in zip(cuts[:-1], cuts[1:]):
         r = rem[lo:hi]
         t = int(r.sum())
@@ -208,6 +267,15 @@ def _count_triangles_numpy(src, dst) -> int:
         idx_c = np.minimum(idx, len(edge_code) - 1)
         tri += int((edge_code[idx_c] == code).sum())
     return tri
+
+
+def _count_triangles_numpy(src, dst) -> int:
+    """Degree-oriented, fully vectorized in-core triangle count of one
+    canonical (src<dst, distinct) edge array (prep + full-slice count)."""
+    if len(src) < 3:
+        return 0
+    u, v, edge_code, n = _tri_prep(src, dst)
+    return _tri_count_slice(u, v, edge_code, n)
 
 
 def triangle_count_windowed(

@@ -48,6 +48,77 @@ def _verify_intersections(tok: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
+_BITSET_VOCAB_LIMIT = 4096
+_BITSET_SETS_LIMIT = 65_536
+
+
+def _popcount(a):
+    """Per-element popcount of a uint64 array (numpy<2 has no
+    bitwise_count): byte-view through a 256-entry LUT."""
+    import numpy as np
+
+    lut = np.array([bin(x).count("1") for x in range(256)], dtype=np.uint8)
+    return lut[a.view(np.uint8)].reshape(*a.shape, 8).sum(-1, dtype=np.int64)
+
+
+def _bitset_rep_pairs(spark, reps: DataFrame, threshold: float, vocab) -> DataFrame:
+    """Exact all-pairs Jaccard over DISTINCT token sets, small-vocabulary
+    strategy: each set becomes a |vocab|-bit mask; intersections are
+    bitwise-AND popcounts. The mask matrix is built driver-side (bounded
+    by _BITSET_SETS_LIMIT × _BITSET_VOCAB_LIMIT/8 bytes — broadcast-join
+    build-side territory) and broadcast; tasks score disjoint row slices
+    against the full matrix, so the O(S²) pair space never materializes
+    as rows anywhere. Picked over the prefix-filter index join when a
+    vocabulary probe shows prefix tokens cannot be selective (a corpus
+    drawn from a few thousand distinct tokens leaves every prefix hot —
+    measured 960 k candidates from 3 935 collapsed docs at sf0.1)."""
+    import numpy as np
+    import pandas as pd
+
+    tbl = reps.select("id", "toks").toArrow()
+    ids = np.asarray(tbl["id"].to_pylist(), dtype=np.int64)
+    toks = tbl["toks"].to_pylist()
+    tmap = {t: i for i, t in enumerate(vocab)}
+    s_count = len(ids)
+    words = (len(vocab) + 63) // 64 or 1
+    masks = np.zeros((s_count, words), dtype=np.uint64)
+    for r, ts in enumerate(toks):
+        for t in ts:
+            b = tmap[t]
+            masks[r, b >> 6] |= np.uint64(1 << (b & 63))
+    na = _popcount(masks).sum(-1)
+    bc = spark.sparkContext.broadcast((ids, masks, na))
+    nparts = max(1, min(spark.sparkContext.defaultParallelism,
+                        s_count * s_count // 50_000_000 + 1))
+
+    def score(batches):
+        b_ids, b_masks, b_na = bc.value
+        n = len(b_ids)
+        for pdf in batches:
+            out_a, out_b, out_j = [], [], []
+            for part in pdf["id"]:
+                for i in range(int(part), n - 1, nparts):
+                    inter = _popcount(b_masks[i] & b_masks[i + 1:]).sum(-1)
+                    jac = inter / (b_na[i] + b_na[i + 1:] - inter)
+                    hit = np.flatnonzero(jac >= threshold)
+                    if len(hit):
+                        out_a.append(np.full(len(hit), b_ids[i]))
+                        out_b.append(b_ids[i + 1:][hit])
+                        out_j.append(np.round(jac[hit], 6))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a": np.concatenate(out_a),
+                        "b": np.concatenate(out_b),
+                        "jaccard": np.concatenate(out_j),
+                    }
+                )
+
+    return spark.range(0, nparts, 1, nparts).mapInPandas(
+        score, "a long, b long, jaccard double"
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str,
@@ -55,6 +126,7 @@ def jaccard_pairs(
     threshold: float,
     prefix_filter: bool = True,
     prefix_order: str = "df",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact all-pairs Jaccard ≥ threshold: rows (a, b, jaccard), a < b.
 
@@ -70,9 +142,60 @@ def jaccard_pairs(
     - ``"hash"``: xxhash64 order — pseudo-random, zero extra passes;
       right when prefixes are short (high thresholds) so candidate
       inflation is bounded anyway.
+
+    Exact-duplicate collapse (the standard first pass of any dedup
+    pipeline, and the part that survives a duplicate-heavy 100 TB
+    corpus): documents with IDENTICAL token sets are grouped — keyed by
+    the sorted token array itself, no hashing, so the collapse is exact —
+    and only one representative per set enters the index join. Duplicate
+    clusters otherwise explode the candidate space quadratically:
+    measured at sf0.1 (5 k docs in ~500 identical-set clusters) the
+    prefix join emitted 1.8 M candidate pairs, almost all between copies.
+    Pairs are expanded back exactly afterwards: within-cluster pairs have
+    Jaccard exactly 1, cross-cluster pairs inherit their representatives'
+    value (Jaccard is a function of the token sets alone).
     """
-    tok = token_sets(docs, id_col, tokens).persist()
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    tok_all = token_sets(docs, id_col, tokens)
+    arrs = tok_all.groupBy("id").agg(
+        F.array_sort(F.collect_list("token")).alias("toks")
+    )
+    grp = (
+        arrs.groupBy("toks")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .persist()
+    )
+    reps = grp.select(F.element_at("ids", 1).alias("id"), "toks")
+
+    # strategy probe: a corpus drawn from a small vocabulary defeats
+    # prefix filtering (every prefix token is hot), but admits the exact
+    # bitset all-pairs kernel — pick by the measured vocabulary size,
+    # the same stats-driven plan choice AQE makes for joins
+    vocab = None
+    if strategy in ("auto", "bitset"):
+        vocab_rows = (
+            reps.select(F.explode("toks").alias("token"))
+            .distinct()
+            .limit(_BITSET_VOCAB_LIMIT + 1)
+            .collect()
+        )
+        if len(vocab_rows) <= _BITSET_VOCAB_LIMIT:
+            vocab = sorted(r["token"] for r in vocab_rows)
+    if strategy == "auto":
+        strategy = (
+            "bitset"
+            if vocab is not None and grp.count() <= _BITSET_SETS_LIMIT
+            else "ppjoin"
+        )
+    if strategy == "bitset":
+        if vocab is None:
+            raise ValueError(
+                f"bitset strategy requires ≤{_BITSET_VOCAB_LIMIT} distinct tokens"
+            )
+        rep_pairs = _bitset_rep_pairs(docs.sparkSession, reps, threshold, vocab)
+        return _expand_rep_pairs(grp, rep_pairs, threshold)
+
+    tok = reps.select("id", F.explode("toks").alias("token")).persist()
+    sizes = reps.select("id", F.size("toks").alias("n"))
 
     if prefix_filter:
         # Per-doc position by the chosen global order; keep the first
@@ -143,12 +266,60 @@ def jaccard_pairs(
     sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
+    rep_pairs = (
         inter.join(sa, "a")
         .join(sb, "b")
         .where(jac >= threshold)
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
     )
+    return _expand_rep_pairs(grp, rep_pairs, threshold)
+
+
+def _expand_rep_pairs(
+    grp: DataFrame, rep_pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Expand representative pairs back to all cluster members: pairs
+    inside one identical-token-set cluster have Jaccard exactly 1; pairs
+    across clusters inherit their representatives' value (Jaccard is a
+    function of the token sets alone)."""
+    mem = grp.select(F.element_at("ids", 1).alias("rep"), "ids")
+    within = (
+        grp.where(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x as a, y as b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b", F.lit(1.0).alias("jaccard"))
+    )
+    if threshold > 1.0:  # degenerate: even identity pairs excluded
+        within = within.where(F.lit(False))
+    cross = (
+        rep_pairs
+        .join(
+            mem.select(F.col("rep").alias("a"), F.col("ids").alias("ids_a"))
+            .hint("broadcast"),
+            "a",
+        )
+        .join(
+            mem.select(F.col("rep").alias("b"), F.col("ids").alias("ids_b"))
+            .hint("broadcast"),
+            "b",
+        )
+        .select(F.explode("ids_a").alias("ma"), "ids_b", "jaccard")
+        .select("ma", F.explode("ids_b").alias("mb"), "jaccard")
+        # clusters are disjoint, so least/greatest restores global a < b
+        .select(
+            F.least("ma", "mb").alias("a"),
+            F.greatest("ma", "mb").alias("b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------

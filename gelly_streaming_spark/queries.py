@@ -735,11 +735,13 @@ class _parity_stream_confs:
     ``spark.sql.shuffle.partitions`` (AQE never re-plans it), and a
     2-micro-batch replay of a small fixture does not amortize 32 state
     stores per operator — measured 13.6 s → 7.6 s across the four
-    streaming parity queries at 8. Production streams size this per
-    deployment; batch queries are unaffected (conf restored on exit,
-    and the returned frames are already-materialized checkpoints)."""
+    streaming parity queries at 8, and a further ~0.5 s/query at 4
+    (every state store pays per-batch commit + snapshot bookkeeping).
+    Production streams size this per deployment; batch queries are
+    unaffected (conf restored on exit, and the returned frames are
+    already-materialized checkpoints)."""
 
-    def __init__(self, spark: SparkSession, n: int = 8):
+    def __init__(self, spark: SparkSession, n: int = 4):
         self.spark, self.n = spark, n
 
     def __enter__(self):
@@ -762,7 +764,11 @@ def q25s(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gelly_streaming_spark.streaming.runner import run_to_memory
 
     with _parity_stream_confs(spark):
-        stream = _replay_tmp(E.edges_cust_order(spark, sf_dir))
+        # single batch: complete-mode final state is batch-count-invariant
+        # (cross-batch state accumulation is pinned by q26s/q28s and
+        # test_streaming's multi-batch cases), so the parity signal is
+        # identical and the second state-store commit round is saved
+        stream = _replay_tmp(E.edges_cust_order(spark, sf_dir), num_batches=1)
         return run_to_memory(GraphStream(stream).degrees(), "complete")
 
 

@@ -203,3 +203,20 @@ def test_windowed_triangle_strategies_agree(spark):
     for strategy in ("joins", "partitioned"):
         rows = triangle_count_windowed(gs, "1 day", strategy=strategy).collect()
         assert [(r.n_triangles) for r in rows] == [3], strategy
+
+
+def test_global_triangle_strategies_agree(spark, sf_dir):
+    """The broadcast-sliced numpy kernel and the degree-ordered join plan
+    must agree on the GLOBAL count (copart graph, multiple kernel slices
+    summed across tasks)."""
+    from gelly_streaming_spark.sources.edges import copart_canonical
+
+    gs = GraphStream(copart_canonical(spark, sf_dir))
+    counts = {
+        s: triangle_count(
+            gs, canonical=True, materialized=True, strategy=s
+        ).collect()[0].n_triangles
+        for s in ("joins", "broadcast_kernel")
+    }
+    assert counts["joins"] == counts["broadcast_kernel"]
+    assert counts["joins"] > 0
