@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gelly_streaming_spark.operators.graphstream import GraphStream
+from gelly_streaming_spark.plans.memory import track_persist
 
 
 def _canonical(edges: DataFrame, extra_keys: list[str] | None = None) -> DataFrame:
@@ -56,7 +57,7 @@ def _oriented_triangles(
     # ContextCleaner once unreferenced — these paths are non-iterative,
     # so there is no lineage growth to cut.
     if not materialized:
-        e = e.persist()
+        e = track_persist(e)
     deg = (
         e.select(*keys, F.explode(F.array("src", "dst")).alias("id"))
         .groupBy(*keys, "id")
@@ -81,7 +82,8 @@ def _oriented_triangles(
         *keys,
         F.when(low_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(low_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
-    ).persist()  # feeds the adjacency build + the edge stream
+    )
+    o = track_persist(o)  # feeds the adjacency build + the edge stream
     adj = o.groupBy(*keys, "u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
     au = adj.select(*keys, "u", F.col("nbrs").alias("nu"))
     av = adj.select(*keys, F.col("u").alias("v"), F.col("nbrs").alias("nv"))
@@ -131,7 +133,7 @@ def triangle_count(
     tbl = None
     if strategy == "auto":
         if not materialized:
-            e = e.persist()
+            e = track_persist(e)
             materialized = True
         # the size probe IS the build-side collect: grab at most
         # broadcast_limit+1 rows — if the limit spills over, fall to the
@@ -315,7 +317,7 @@ def triangle_count_windowed(
         # materialize once: the stats probe and the chosen strategy both
         # consume the canonicalized edges (else the dedup runs twice)
         if not materialized:
-            e = e.persist()
+            e = track_persist(e)
             materialized = True
         mx = (
             e.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
@@ -353,7 +355,7 @@ def triangle_count_estimate(
     a tolerance, never hash-compared. Scale: the sampled side is tiny ⇒
     broadcast join against the full edge set (the reference's
     BroadcastTriangleCount pattern)."""
-    e = _canonical(stream.edges).persist()
+    e = track_persist(_canonical(stream.edges))
     s = e.sample(fraction=sample_fraction, seed=seed)
     a, b, c = s.alias("a"), e.alias("b"), e.alias("c")
     wedges = a.hint("broadcast").join(b, F.col("a.dst") == F.col("b.src"))

@@ -147,13 +147,12 @@ def _exact_pairs_gemm(
     )
     n = rows.count()
     n_blocks = max(1, -(-n // rows_per_block))
+    # One collect_list of (id, vec) structs: id/vector alignment is
+    # structural, not an implicit coupling of two buffers' row order.
     chunks = (
         rows.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
         .groupBy("blk")
-        .agg(
-            F.collect_list("id").alias("ids"),
-            F.collect_list("v").alias("vecs"),
-        )
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
     )
     idx = (
         spark.range(n_blocks)
@@ -163,31 +162,26 @@ def _exact_pairs_gemm(
     )
     paired = (
         idx.join(
-            chunks.select(
-                F.col("blk").alias("i"),
-                F.col("ids").alias("ids_l"),
-                F.col("vecs").alias("vecs_l"),
-            ),
+            chunks.select(F.col("blk").alias("i"), F.col("rows").alias("rows_l")),
             "i",
         )
         .join(
-            chunks.select(
-                F.col("blk").alias("j"),
-                F.col("ids").alias("ids_r"),
-                F.col("vecs").alias("vecs_r"),
-            ),
+            chunks.select(F.col("blk").alias("j"), F.col("rows").alias("rows_r")),
             "j",
         )
         .repartition(F.col("i"), F.col("j"))  # one block pair per task slot
     )
 
+    def _unzip(rows_):
+        ids = np.asarray([r["id"] for r in rows_], dtype=np.int64)
+        mat = np.stack([np.asarray(r["v"]) for r in rows_])
+        return ids, mat
+
     def gemm(batches):
         for pdf in batches:
             for t in pdf.itertuples(index=False):
-                ids_l = np.asarray(t.ids_l, dtype=np.int64)
-                ids_r = np.asarray(t.ids_r, dtype=np.int64)
-                mat_l = np.stack([np.asarray(x) for x in t.vecs_l])
-                mat_r = np.stack([np.asarray(x) for x in t.vecs_r])
+                ids_l, mat_l = _unzip(t.rows_l)
+                ids_r, mat_r = _unzip(t.rows_r)
                 norm_l = np.linalg.norm(mat_l, axis=1)
                 norm_r = np.linalg.norm(mat_r, axis=1)
                 # dot/(|a||b|), the oracle's formula shape; round-6 before

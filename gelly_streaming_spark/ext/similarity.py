@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gelly_streaming_spark.plans.memory import track_persist
+
 
 def token_sets(docs: DataFrame, id_col: str, tokens: Column) -> DataFrame:
     """(id, token) distinct pairs — the inverted index input."""
@@ -162,8 +164,8 @@ def jaccard_pairs(
     grp = (
         arrs.groupBy("toks")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .persist()
     )
+    grp = track_persist(grp)
     reps = grp.select(F.element_at("ids", 1).alias("id"), "toks")
 
     # strategy probe: a corpus drawn from a small vocabulary defeats
@@ -194,7 +196,7 @@ def jaccard_pairs(
         rep_pairs = _bitset_rep_pairs(docs.sparkSession, reps, threshold, vocab)
         return _expand_rep_pairs(grp, rep_pairs, threshold)
 
-    tok = reps.select("id", F.explode("toks").alias("token")).persist()
+    tok = track_persist(reps.select("id", F.explode("toks").alias("token")))
     sizes = reps.select("id", F.size("toks").alias("n"))
 
     if prefix_filter:
@@ -219,8 +221,8 @@ def jaccard_pairs(
                 <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
             )
             .select("id", "token", "pos", "n")
-            .persist()
         )
+        pref = track_persist(pref)
         pa = pref.select(
             F.col("id").alias("a"), "token",
             F.col("pos").alias("pa"), F.col("n").alias("na"),
@@ -385,7 +387,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(docs, id_col, tokens, num_hashes)
     cand = lsh_candidate_pairs(sig, bands, rows_per_band)
 
-    tok = token_sets(docs, id_col, tokens).persist()
+    tok = track_persist(token_sets(docs, id_col, tokens))
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = _verify_intersections(tok, cand)
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))

@@ -28,6 +28,40 @@ def _collect_logical_rdds(plan, out: list) -> None:
         _collect_logical_rdds(children.apply(i), out)
 
 
+def track_persist(df: DataFrame) -> DataFrame:
+    """``persist()`` plus registration in a session-scoped ledger, so a
+    long-lived multi-tenant session can bulk-release every cache the
+    engine created (``release_persisted``). The blocks are evictable
+    MEMORY_AND_DISK either way — the ledger turns "pressure-safe but
+    accumulating" into an explicit lifecycle."""
+    df.persist()
+    reg = getattr(df.sparkSession, "_gss_persisted", None)
+    if reg is None:
+        reg = []
+        df.sparkSession._gss_persisted = reg  # noqa: SLF001 — session ledger
+    reg.append(df)
+    return df
+
+
+def release_persisted(spark) -> int:
+    """Unpersist every frame registered via ``track_persist`` (plus the
+    edge-view memo via its own ``release_cache``). Returns frames freed.
+    Safe to call mid-session: persisted frames recompute from lineage on
+    next use — unlike checkpoints, nothing is lost, only re-derived."""
+    from gelly_streaming_spark.sources.edges import release_cache
+
+    freed = release_cache(spark)
+    reg = getattr(spark, "_gss_persisted", None) or []
+    for df in reg:
+        try:
+            df.unpersist()
+            freed += 1
+        except Exception:
+            pass
+    reg.clear()
+    return freed
+
+
 def free_checkpoint(df: DataFrame) -> int:
     """Release the storage blocks behind every ``localCheckpoint()`` scan
     in ``df``'s plan. Returns the number of checkpoint RDDs freed.

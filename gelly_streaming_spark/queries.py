@@ -442,6 +442,24 @@ def q15c(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_alternating(_q15_edges(spark, sf_dir))
 
 
+@_q("q15d_cc_distributed", _Q15_SQL,
+    "L1 distributed-path certification: alternating star contraction with "
+    "the small-graph fast path DISABLED (small_input_rows=0), so the "
+    "DuckDB hash gate covers the plan a 100 TB run would execute — the "
+    "q15/q15c rows certify the adaptive driver union-find fallback")
+def q15d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.connected_components import (
+        connected_components_alternating,
+    )
+
+    stats: dict = {}
+    out = connected_components_alternating(
+        _q15_edges(spark, sf_dir), stats=stats, small_input_rows=0
+    )
+    assert stats["rounds"] > 0, "fast path taken despite small_input_rows=0"
+    return out
+
+
 def _fixture_union_sql() -> str:
     from gelly_streaming_spark.sources.fixtures import fixture_rows
 

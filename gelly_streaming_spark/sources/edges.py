@@ -156,6 +156,22 @@ def copart_canonical(
     return cache[key]
 
 
+def release_cache(spark: SparkSession) -> int:
+    """Unpersist and forget every memoized edge view (the copart
+    materialized views). Returns the number of frames released; the next
+    consumer rebuilds them from the parquet sources."""
+    cache = _session_cache(spark)
+    freed = 0
+    for df in cache.values():
+        try:
+            df.unpersist()
+            freed += 1
+        except Exception:
+            pass
+    cache.clear()
+    return freed
+
+
 def edges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal user-interaction graph from the events stream table."""
     return load_table(spark, sf_dir, "events").select(

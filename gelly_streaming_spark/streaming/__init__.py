@@ -14,7 +14,12 @@ from gelly_streaming_spark.streaming.cc import (
     IncrementalConnectedComponents,
 )
 from gelly_streaming_spark.streaming.runner import run_foreach_batch, run_to_memory
-from gelly_streaming_spark.streaming.sources import rate_edges, replay
+from gelly_streaming_spark.streaming.sources import (
+    KAFKA_SOURCE_SCHEMA,
+    edges_from_kafka,
+    rate_edges,
+    replay,
+)
 from gelly_streaming_spark.streaming.stateful import (
     running_degrees,
     streaming_distinct,
@@ -31,6 +36,8 @@ __all__ = [
     "IncrementalBipartiteness",
     "IncrementalConnectedComponents",
     "IncrementalTriangleCount",
+    "KAFKA_SOURCE_SCHEMA",
+    "edges_from_kafka",
     "rate_edges",
     "replay",
     "run_foreach_batch",

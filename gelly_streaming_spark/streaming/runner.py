@@ -59,7 +59,13 @@ def _needs_no_data_batch(sdf: DataFrame, output_mode: str) -> bool:
         return True  # can't inspect — keep Spark's safe default
     if "EventTimeWatermark" not in plan:
         return False
-    gated = ("Aggregate", "FlatMapGroupsWithState", "TransformWithState")
+    # Err toward Spark's safe default: any watermarked append plan keeps
+    # the trailing batch UNLESS every stateful operator is known to emit
+    # immediately (dedup evicts on watermark but emits on arrival).
+    # "FlatMapGroups" matches both the Scala FlatMapGroupsWithState and
+    # the Python FlatMapGroupsInPandasWithState (applyInPandasWithState)
+    # nodes; "Join" covers watermark-gated outer stream-stream joins.
+    gated = ("Aggregate", "FlatMapGroups", "TransformWithState", "Join")
     return any(g in plan for g in gated)
 
 
@@ -85,11 +91,20 @@ def run_to_memory(
 
     ``complete`` mode (aggregations): the last micro-batch holds the full
     final state — earlier batches are unpersisted as they are superseded.
-    ``append``/``update`` mode (row streams: dedup, filters, closed
-    windows): the final result is the union of all emitted batches.
+    ``append`` mode (row streams: dedup, filters, closed windows): the
+    final result is the union of all emitted batches. ``update`` mode is
+    NOT supported here: re-emitted keys would leave superseded rows in
+    the union — drive update-mode sinks through ``run_foreach_batch``
+    with a caller-side merge instead.
     """
     from gelly_streaming_spark.plans.memory import free_checkpoint
 
+    if output_mode not in ("complete", "append"):
+        raise ValueError(
+            "run_to_memory supports only complete/append output modes; "
+            f"got {output_mode!r} (update-mode unions keep superseded rows "
+            "— use run_foreach_batch with a keyed merge)"
+        )
     del name  # kept for API compat with the old memory-sink signature
     batches: list[DataFrame] = []
 

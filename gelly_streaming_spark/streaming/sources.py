@@ -64,6 +64,12 @@ def replay(
     import pyarrow.parquet as pq
 
     os.makedirs(stage_dir, exist_ok=True)
+    # A reused stage dir must not replay a previous call's chunks: the
+    # file source globs every chunk-*.parquet it finds, so stale files
+    # would be silently unioned into this replay.
+    for stale in os.listdir(stage_dir):
+        if stale.startswith("chunk-") and stale.endswith(".parquet"):
+            os.remove(os.path.join(stage_dir, stale))
     src = df if order_by is None else df.orderBy(order_by)
     tbl = src.toArrow()
     n = max(1, tbl.num_rows)
@@ -79,6 +85,54 @@ def replay(
         df.sparkSession.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(stage_dir)
+    )
+
+
+# The canonical column set every format("kafka") source produces —
+# public Structured Streaming Kafka integration contract.
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+_EDGE_JSON_SCHEMA = "src long, dst long, val double, ts timestamp"
+
+
+def edges_from_kafka(raw: DataFrame, value_format: str = "json") -> DataFrame:
+    """Adapt a ``format("kafka")`` (or Kafka-shaped) stream to the engine's
+    canonical edge schema.
+
+    ``value`` carries the edge record; ``value_format``:
+
+    - ``"json"`` — ``{"src": .., "dst": .., "val": .., "ts": ..}`` objects
+      (malformed records yield NULL src/dst and are dropped, Kafka's
+      poison-pill convention);
+    - ``"csv"`` — ``src,dst,val,ts`` positional fields.
+
+    Rows missing an event time fall back to the broker append time
+    (``timestamp``), so watermarked operators keep working on sources
+    that don't embed one. Works identically on batch ``format("kafka")``
+    reads — the adapter is just column expressions.
+    """
+    v = F.col("value").cast("string")
+    if value_format == "json":
+        e = raw.select(
+            F.from_json(v, _EDGE_JSON_SCHEMA).alias("e"), F.col("timestamp")
+        ).select("e.*", "timestamp")
+    elif value_format == "csv":
+        e = raw.select(
+            F.from_csv(v, _EDGE_JSON_SCHEMA).alias("e"), F.col("timestamp")
+        ).select("e.*", "timestamp")
+    else:
+        raise ValueError(f"unsupported value_format: {value_format!r}")
+    return (
+        e.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .select(
+            "src",
+            "dst",
+            F.coalesce("val", F.lit(0.0)).alias("val"),
+            F.coalesce("ts", F.col("timestamp")).alias("ts"),
+        )
     )
 
 

@@ -220,3 +220,36 @@ def test_exact_gemm_blocked_no_driver_collect(spark, emb):
     a = sorted((r.a, r.b, r.sim) for r in one_block.collect())
     b = sorted((r.a, r.b, r.sim) for r in many_blocks.collect())
     assert a == b and len(a) > 0
+
+
+def test_codec_injection_through_extract_features(spark):
+    """The documented production contract: a caller-supplied decoder
+    callable (e.g. a real JPEG codec) flows through extract_features and
+    its outputs land in the feature schema unchanged."""
+    import pandas as pd
+
+    from gelly_streaming_spark.ext.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "kind": ["image", "image"],
+                "payload": [b"\xff\xd8fakejpeg", b"\xff\xd8other"],
+                "meta": [None, None],
+            }
+        ),
+        "media_id long, kind string, payload binary, "
+        "meta struct<source:string,mime:string,bytes:bigint>",
+    )
+
+    def jpeg_stub(payload: bytes, kind: str):
+        # a real codec would parse the JFIF container; the stub proves
+        # the injection point, returning payload-derived values
+        assert payload[:2] == b"\xff\xd8", "decoder got wrong bytes"
+        return len(payload), 2 * len(payload), 3, [float(payload[2])] * 8
+
+    rows = {r.media_id: r for r in extract_features(media, decoder=jpeg_stub).collect()}
+    assert rows[1].width == 10 and rows[1].height == 20 and rows[1].n_frames == 3
+    assert rows[1].feature == [float(b"f"[0])] * 8
+    assert rows[2].width == 7 and rows[2].height == 14

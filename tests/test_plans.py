@@ -61,6 +61,21 @@ def test_iterative_loops_free_checkpoints(spark):
     free_checkpoint(out)
 
 
+def test_q15d_runs_distributed_path(spark, sf_dir):
+    """q15d must certify the DISTRIBUTED star-contraction plan: its result
+    is a checkpointed labels frame produced by shuffle rounds, never the
+    driver union-find's createDataFrame (which the q15/q15c entries
+    already cover)."""
+    from gelly_streaming_spark.plans import explain_str
+
+    df = REGISTRY["q15d_cc_distributed"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    # the distributed path ends in a localCheckpoint scan; the fast path
+    # would show a local relation materialized from driver rows
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    assert "LocalTableScan" not in plan, plan
+
+
 def test_column_pruning(spark, sf_dir):
     from gelly_streaming_spark.plans import explain_str
 
@@ -70,3 +85,26 @@ def test_column_pruning(spark, sf_dir):
     # degrees only needs the two key columns — the scan must not read
     # o_totalprice/o_orderdate
     assert scan_lines and all("o_totalprice" not in ln for ln in scan_lines), scan_lines
+
+def test_release_hooks_empty_session_caches(spark, sf_dir):
+    """VERDICT r2 'what's wrong' #3: session-lifetime persists need an
+    explicit release. After release_persisted, the edge-view memo is
+    empty, the track_persist ledger is empty, and the frames report no
+    storage level."""
+    from gelly_streaming_spark.plans.memory import release_persisted, track_persist
+    from gelly_streaming_spark.sources import edges as E
+
+    base = E.copart_canonical(spark, sf_dir)
+    base.count()
+    assert base.storageLevel.useMemory or base.storageLevel.useDisk
+    extra = track_persist(spark.range(10))
+    extra.count()
+
+    freed = release_persisted(spark)
+    assert freed >= 2, freed
+    assert E._session_cache(spark) == {}
+    assert getattr(spark, "_gss_persisted") == []
+    assert not (base.storageLevel.useMemory or base.storageLevel.useDisk)
+    assert not (extra.storageLevel.useMemory or extra.storageLevel.useDisk)
+    # the view rebuilds transparently on next use
+    assert E.copart_canonical(spark, sf_dir).count() > 0

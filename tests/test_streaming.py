@@ -315,3 +315,79 @@ def test_rate_edges_produces_valid_stream(spark):
     rows = spark.table("rate_smoke").collect()
     assert rows, "rate source produced no rows in 20s"
     assert all(0 <= r.src < 100 and 0 <= r.dst < 100 for r in rows)
+
+
+def test_kafka_shaped_source_adapts_to_edge_operators(spark, tmp_path):
+    """Kafka-shape smoke (no broker): a stream carrying the EXACT column
+    set `format("kafka")` produces — binary key/value, topic, partition,
+    offset, timestamp — must adapt via edges_from_kafka and drive the
+    standard operators to the batch answer."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from gelly_streaming_spark.streaming import edges_from_kafka
+
+    recs = [
+        {"src": i % 7, "dst": (i * 3) % 11, "val": float(i),
+         "ts": f"2026-01-01 00:{i:02d}:00"}
+        for i in range(40)
+    ]
+    recs.append({"src": None, "dst": 5})  # poison pill: dropped, not fatal
+    kafka_shaped = spark.createDataFrame(
+        [
+            (
+                None,
+                bytearray(json.dumps(r).encode()),
+                "edges",
+                i % 3,
+                i,
+                "2026-01-02 00:00:00",
+                0,
+            )
+            for i, r in enumerate(recs)
+        ],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp string, timestampType int",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    # batch adapter path (format("kafka") batch reads share the columns)
+    batch_edges = edges_from_kafka(kafka_shaped)
+    assert batch_edges.count() == 40
+    want = _sorted_rows(GraphStream(batch_edges).degrees())
+
+    stage = str(tmp_path / "kafka_shape")
+    stream = replay(kafka_shaped, stage, num_batches=3)
+    assert stream.isStreaming
+    got = run_to_memory(GraphStream(edges_from_kafka(stream)).degrees(), "complete")
+    assert _sorted_rows(got) == want
+
+
+def test_replay_clears_stale_chunks(spark, tmp_path):
+    """Reusing a stage dir must replay ONLY the new frame — stale chunk
+    files from a previous call must not be unioned in."""
+    import pyspark.sql.functions as F
+
+    stage = str(tmp_path / "stage")
+    big = spark.range(0, 100).select(
+        F.col("id").alias("src"), F.col("id").alias("dst")
+    )
+    small = spark.range(0, 7).select(
+        F.col("id").alias("src"), F.col("id").alias("dst")
+    )
+    replay(big, stage, num_batches=4)  # leaves 4 chunk files behind
+    s = replay(small, stage, num_batches=2)
+    got = run_to_memory(s.groupBy().count(), "complete")
+    assert got.collect()[0][0] == 7
+
+
+def test_run_to_memory_rejects_update_mode(spark, tmp_path):
+    """update-mode unions keep superseded rows — the harness must refuse
+    rather than return them as a 'final state'."""
+    import pyspark.sql.functions as F
+
+    import pytest as _pytest
+
+    df = spark.range(0, 4).select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    s = replay(df, str(tmp_path / "upd"), num_batches=2)
+    with _pytest.raises(ValueError, match="update"):
+        run_to_memory(s.groupBy("src").count(), "update")
