@@ -225,9 +225,19 @@ def connected_components_alternating(
     prev_sum = _checksum(
         e.select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
     )
+    # Convergence is checked every TWO contraction rounds: each checksum
+    # is a full aggregation job, and the star operators are monotone, so
+    # a fixpoint reached mid-block is still detected at the block edge —
+    # the cost is ≤1 wasted (cheap, already-contracted) round, the saving
+    # is half the convergence-check jobs of a long contraction chain.
     while rounds < max_iter:
         new_e = _small_star(_large_star(e)).localCheckpoint()
         rounds += 1
+        if rounds < max_iter:
+            new_e2 = _small_star(_large_star(new_e)).localCheckpoint()
+            rounds += 1
+            free_checkpoint(new_e)
+            new_e = new_e2
         cur_sum = _checksum(
             new_e.select(
                 F.least("src", "dst").alias("src"),

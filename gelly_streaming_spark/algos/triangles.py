@@ -143,29 +143,43 @@ def triangle_count(
         strategy = "broadcast_kernel" if tbl.num_rows <= broadcast_limit else "joins"
 
     if strategy == "broadcast_kernel":
-        import numpy as np
-
         spark = e.sparkSession
         if tbl is None:
             tbl = e.select("src", "dst").toArrow()
-        if tbl.num_rows < 3:
-            prep = None
-        else:
-            # orientation + membership build happens ONCE, driver-side —
-            # this IS the broadcast join's build side (bounded by
-            # broadcast_limit); tasks only generate + probe their wedge
-            # slice, so no per-task re-sort of the edge set
-            prep = _tri_prep(
-                tbl["src"].to_numpy().astype(np.int64),
-                tbl["dst"].to_numpy().astype(np.int64),
-            )
-        bc = spark.sparkContext.broadcast(prep)
-        # one slice per ~150k edges of wedge-generation work, capped at
-        # the session's parallelism: every worker that takes a slice must
-        # deserialize the broadcast once, so oversplitting pays more in
-        # per-worker broadcast pulls than it wins in parallelism
-        nparts = max(1, min(spark.sparkContext.defaultParallelism,
-                            tbl.num_rows // 150_000 + 1))
+        # The prepped broadcast is memoized per (plan, cardinality) —
+        # the same immutable-input materialized-view doctrine as the
+        # copart edge cache: a repeated count over an unchanged edge set
+        # reuses the oriented/sorted build instead of re-deriving it.
+        memo = getattr(spark, "_gss_tri_prep", None)
+        if memo is None:
+            memo = {}
+            spark._gss_tri_prep = memo  # noqa: SLF001 — session memo
+        try:
+            key = (e.semanticHash(), tbl.num_rows)
+        except Exception:
+            key = None
+        bc = memo.get(key) if key is not None else None
+        if bc is None:
+            if tbl.num_rows < 3:
+                prep = None
+            else:
+                # Degree computation, orientation, and BOTH sort orders
+                # run DISTRIBUTED (they are the expensive O(m log m)
+                # part of the build); the driver's remaining work is a
+                # vectorized multiply-add over the collected arrays. The
+                # collected arrays ARE the broadcast join's build side,
+                # bounded by broadcast_limit. (The earlier all-driver
+                # _tri_prep spent ~5 s single-threaded at m=1.2M; the
+                # cluster does the same work in two parallel jobs.)
+                prep = _tri_prep_spark(e, tbl)
+            bc = spark.sparkContext.broadcast(prep)
+            if key is not None:
+                memo[key] = bc
+        # 2 slices per core for stragglers: slice work is skew-prone
+        # (pivot degree varies); each local python worker deserializes
+        # the broadcast once (~15 MB), negligible vs the wedge work
+        nparts = max(1, min(2 * spark.sparkContext.defaultParallelism,
+                            tbl.num_rows // 20_000 + 1))
 
         def count_slices(batches):
             import pandas as pd
@@ -189,6 +203,64 @@ def triangle_count(
     return per_edge.groupBy().agg(
         F.coalesce(F.sum("tri"), F.lit(0)).alias("n_triangles")
     )
+
+
+def _tri_prep_spark(e: DataFrame, tbl):
+    """Build the broadcast-kernel structures with the CLUSTER doing the
+    heavy lifting: degrees via a distributed aggregation, orientation via
+    column expressions, both required sort orders via distributed sorts.
+    The driver only fuses the collected (already-sorted) arrays into
+    ``(u, v, edge_code, n)`` — a multiply-add, no driver-side sort.
+
+    ``e`` must be the canonical (src<dst, distinct) edge set; ``tbl`` its
+    collected Arrow table (already in hand from the strategy probe).
+    Falls back to the all-driver ``_tri_prep`` when ids are sparse enough
+    to need the np.unique remap (edge codes would overflow int64)."""
+    import numpy as np
+
+    src = tbl["src"].to_numpy().astype(np.int64)
+    dst = tbl["dst"].to_numpy().astype(np.int64)
+    max_id = int(max(src.max(), dst.max()))
+    if max_id > 50_000_000:
+        return _tri_prep(src, dst)
+    n = max_id + 1
+    # edge_code: e is canonical, so sorting by (src, dst) makes
+    # src*n+dst monotone — the driver multiply-add preserves sortedness
+    ct = e.select("src", "dst").orderBy("src", "dst").toArrow()
+    edge_code = (
+        ct["src"].to_numpy().astype(np.int64) * n
+        + ct["dst"].to_numpy().astype(np.int64)
+    )
+    deg = (
+        e.select(F.explode(F.array("src", "dst")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    low_first = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    ot = (
+        e.join(
+            deg.select(F.col("id").alias("src"), F.col("d").alias("ds")).hint("broadcast"),
+            "src",
+        )
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("d").alias("dd")).hint("broadcast"),
+            "dst",
+        )
+        .select(
+            F.when(low_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+            F.when(low_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        )
+        .orderBy("u", "v")
+        .toArrow()
+    )
+    u = ot["u"].to_numpy().astype(np.int64)
+    v = ot["v"].to_numpy().astype(np.int64)
+    if n <= 46_340:  # n*n < 2**31: codes (and ids) fit int32
+        u, v = u.astype(np.int32), v.astype(np.int32)
+        edge_code = edge_code.astype(np.int32)
+    return u, v, edge_code, n
 
 
 def _tri_prep(src, dst):

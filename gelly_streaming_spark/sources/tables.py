@@ -36,13 +36,83 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Restage tables at least this large when their parquet layout defeats
+# scan parallelism (see _maybe_restage).
+_STAGE_MIN_ROWS = 100_000
+
+# Primary access key per table: restaged files are RANGE-partitioned on
+# it, so per-file min/max statistics give partition pruning for the
+# engine's common point/range predicates (the 100 TB ingest convention:
+# sort/cluster by the dominant filter key).
+_STAGE_KEYS = {
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "ts",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _maybe_restage(spark: SparkSession, path: str, df: DataFrame, name: str):
+    """Rewrite a single-row-group parquet file into a range-partitioned
+    multi-file copy, once per session.
+
+    Why: a parquet file with ONE row group is an indivisible Spark split —
+    every scan (and the map-side half of every aggregation above it) runs
+    in a single task no matter how many cores the session has. The driver
+    testdata is written that way. At 100 TB ingest produces many
+    right-sized files and this is a no-op (the metadata probe sees
+    ``num_row_groups >= cores``); locally it is the same fix applied
+    lazily: pay one single-threaded read, then every later scan is
+    parallel AND file-prunable on the primary key.
+
+    The staged copy lives in a session-scoped temp dir; correctness is
+    unaffected (same rows, same schema — the events ts normalization is
+    baked in before staging so the copy is already canonical).
+    """
+    cache = getattr(spark, "_gss_table_stage", None)
+    if cache is None:
+        cache = {}
+        spark._gss_table_stage = cache  # noqa: SLF001 — session memo
+    if path not in cache:
+        staged = None
+        try:
+            import tempfile
+
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            par = spark.sparkContext.defaultParallelism
+            if md.num_rows >= _STAGE_MIN_ROWS and md.num_row_groups < max(
+                4, par // 4
+            ):
+                out = tempfile.mkdtemp(prefix=f"gss_stage_{name}_")
+                n = int(min(par, max(8, md.num_rows // 50_000)))
+                key = _STAGE_KEYS.get(name)
+                part = (
+                    df.repartitionByRange(n, key)
+                    if key is not None
+                    else df.repartition(n)
+                )
+                part.write.mode("overwrite").parquet(out)
+                staged = out
+        except Exception:
+            staged = None  # staging is an optimization, never a failure
+        cache[path] = staged
+    staged = cache[path]
+    return df if staged is None else spark.read.parquet(staged)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; normalizes the events timestamp column."""
     prepare_session(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # Parquet TIMESTAMP(NANOS) read as raw nanos; truncate to µs.
         # Integer division — double division would round (nanos > 2^53).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _maybe_restage(spark, path, df, name)
