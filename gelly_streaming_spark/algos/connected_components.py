@@ -90,40 +90,55 @@ def connected_components(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
 
-    labels = (
-        eu.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint()
-    )
+    # Right-size the iteration's shuffle width to the measured edge count
+    # (count over the just-materialized checkpoint is a cache read — see
+    # the alternating variant for the rationale). Restored in `finally`.
+    sess_conf = stream.edges.sparkSession.conf
+    old_parts = sess_conf.get("spark.sql.shuffle.partitions")
+    old_aqe = sess_conf.get("spark.sql.adaptive.enabled")
+    loop_parts = max(1, min(int(old_parts), eu.count() // 500_000 + 1))
+    try:
+        sess_conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        if loop_parts <= 4:
+            sess_conf.set("spark.sql.adaptive.enabled", "false")
 
-    def step(lab: DataFrame) -> DataFrame:
-        msgs = eu.join(lab, eu.src == lab.id).select(
-            F.col("dst").alias("id"), F.col("comp")
-        )
-        return (
-            lab.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+        labels = (
+            eu.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("comp", F.col("id"))
+            .localCheckpoint()
         )
 
-    rounds = 0
-    while rounds < max_iter:
-        new_labels = labels
-        for _ in range(min(check_every, max_iter - rounds)):
-            new_labels = step(new_labels)
-            rounds += 1
-        new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "prev"), "id")
-            .where(F.col("comp") != F.col("prev"))
-            .limit(1)
-            .count()
-        )
-        # free the superseded checkpoint — a leaked block per round is
-        # storage-memory pressure now and an OOM at 100 TB
-        free_checkpoint(labels)
-        labels = new_labels
-        if changed == 0:
-            break
+        def step(lab: DataFrame) -> DataFrame:
+            msgs = eu.join(lab, eu.src == lab.id).select(
+                F.col("dst").alias("id"), F.col("comp")
+            )
+            return (
+                lab.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+            )
+
+        rounds = 0
+        while rounds < max_iter:
+            new_labels = labels
+            for _ in range(min(check_every, max_iter - rounds)):
+                new_labels = step(new_labels)
+                rounds += 1
+            new_labels = new_labels.localCheckpoint()
+            changed = (
+                new_labels.join(labels.withColumnRenamed("comp", "prev"), "id")
+                .where(F.col("comp") != F.col("prev"))
+                .limit(1)
+                .count()
+            )
+            # free the superseded checkpoint — a leaked block per round is
+            # storage-memory pressure now and an OOM at 100 TB
+            free_checkpoint(labels)
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        sess_conf.set("spark.sql.shuffle.partitions", old_parts)
+        sess_conf.set("spark.sql.adaptive.enabled", old_aqe)
     free_checkpoint(eu)  # returned plan reads only the final labels checkpoint
     return labels.select("id", F.col("comp").alias("component"))
 
@@ -172,13 +187,8 @@ def connected_components_alternating(
         if stats is not None:
             stats["rounds"] = 0
         return small
-    e = e.localCheckpoint()
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
+    e = e.persist()
+    e0 = e  # the persisted base edge set (released after the first block)
 
     def _sym(edges: DataFrame) -> DataFrame:
         return edges.unionByName(
@@ -222,52 +232,84 @@ def connected_components_alternating(
 
     rounds = 0
     converged = False
-    prev_sum = _checksum(
-        e.select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
-    )
-    # Convergence is checked every TWO contraction rounds: each checksum
-    # is a full aggregation job, and the star operators are monotone, so
-    # a fixpoint reached mid-block is still detected at the block edge —
-    # the cost is ≤1 wasted (cheap, already-contracted) round, the saving
-    # is half the convergence-check jobs of a long contraction chain.
-    while rounds < max_iter:
-        new_e = _small_star(_large_star(e)).localCheckpoint()
-        rounds += 1
-        if rounds < max_iter:
-            new_e2 = _small_star(_large_star(new_e)).localCheckpoint()
+    # The first checksum doubles as the persist-materializing action AND
+    # the edge-count probe — one job where checkpoint+count would be two.
+    prev_sum = _checksum(e)
+    # Right-size the whole run's shuffle width to the MEASURED edge
+    # count. The loop runs ~3 jobs per 2-round block; on a
+    # contracted/small graph each job at the session's full shuffle
+    # width is pure task-launch + AQE-replan overhead (measured ~25% of
+    # q15d wall-clock). Static right-sizing up front beats AQE
+    # discovering the same coalesce per stage, per job — and never
+    # widens past the session default, so a 100 TB run keeps its
+    # configured width. Conf is restored in `finally` (runtime conf,
+    # driver-sequential loop — no concurrent-query interference).
+    sess_conf = stream.edges.sparkSession.conf
+    old_parts = sess_conf.get("spark.sql.shuffle.partitions")
+    old_aqe = sess_conf.get("spark.sql.adaptive.enabled")
+    loop_parts = max(1, min(int(old_parts), prev_sum[0] // 250_000 + 1))
+    try:
+        sess_conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        if loop_parts <= 4:
+            # tiny regime: AQE replan latency outweighs anything it
+            # could re-decide over ≤4 right-sized partitions
+            sess_conf.set("spark.sql.adaptive.enabled", "false")
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+            .localCheckpoint()
+        )
+        # Convergence is checked every TWO contraction rounds: each
+        # checksum is a full aggregation job, and the star operators are
+        # monotone, so a fixpoint reached mid-block is still detected at
+        # the block edge — the cost is ≤1 wasted (cheap,
+        # already-contracted) round, the saving is half the
+        # convergence-check jobs of a long contraction chain.
+        while rounds < max_iter:
+            new_e = _small_star(_large_star(e)).localCheckpoint()
             rounds += 1
-            free_checkpoint(new_e)
-            new_e = new_e2
-        cur_sum = _checksum(
-            new_e.select(
-                F.least("src", "dst").alias("src"),
-                F.greatest("src", "dst").alias("dst"),
+            if rounds < max_iter:
+                new_e2 = _small_star(_large_star(new_e)).localCheckpoint()
+                rounds += 1
+                free_checkpoint(new_e)
+                new_e = new_e2
+            cur_sum = _checksum(
+                new_e.select(
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                )
             )
-        )
-        free_checkpoint(e)
-        e = new_e
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    if stats is not None:
-        stats["rounds"] = rounds
-    if not converged:
-        # a partially-contracted forest is WRONG components, not a slower
-        # answer — never return it silently
-        free_checkpoint(e)
-        free_checkpoint(verts)
-        raise RuntimeError(
-            f"alternating CC did not reach the checksum fixpoint within "
-            f"max_iter={max_iter} rounds (O(log n) expected — raise max_iter)"
-        )
+            if e is e0:
+                e.unpersist()  # superseded by the first block's output
+            else:
+                free_checkpoint(e)
+            e = new_e
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+        if stats is not None:
+            stats["rounds"] = rounds
+        if not converged:
+            # a partially-contracted forest is WRONG components, not a
+            # slower answer — never return it silently
+            free_checkpoint(e)
+            free_checkpoint(verts)
+            raise RuntimeError(
+                f"alternating CC did not reach the checksum fixpoint within "
+                f"max_iter={max_iter} rounds (O(log n) expected — raise max_iter)"
+            )
 
-    stars = e.groupBy("src").agg(F.min("dst").alias("root"))
-    labels = (
-        verts.join(stars, verts.id == stars.src, "left")
-        .select("id", F.coalesce("root", "id").alias("component"))
-    )
-    out = labels.localCheckpoint()
+        stars = e.groupBy("src").agg(F.min("dst").alias("root"))
+        labels = (
+            verts.join(stars, verts.id == stars.src, "left")
+            .select("id", F.coalesce("root", "id").alias("component"))
+        )
+        out = labels.localCheckpoint()
+    finally:
+        sess_conf.set("spark.sql.shuffle.partitions", old_parts)
+        sess_conf.set("spark.sql.adaptive.enabled", old_aqe)
     free_checkpoint(e)
     free_checkpoint(verts)
     return out
