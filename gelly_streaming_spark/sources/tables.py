@@ -111,8 +111,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prepare_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_dtype = dict(df.dtypes).get("ts") if name == "events" else None
+    if ts_dtype == "bigint":
         # Parquet TIMESTAMP(NANOS) read as raw nanos; truncate to µs.
         # Integer division — double division would round (nanos > 2^53).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        # Physical timestamp[us] without tz reads as TIMESTAMP_NTZ, which
+        # withWatermark rejects. The session timezone is pinned to UTC
+        # (session.py), so the LTZ reinterpretation is value-preserving.
+        df = df.withColumn("ts", F.to_timestamp("ts"))
     return _maybe_restage(spark, path, df, name)
