@@ -189,16 +189,10 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FULL OUTER JOIN "
         "(SELECT src AS id, COUNT(*) AS out_degree FROM edges_cust_order GROUP BY src) o "
         "ON i.id = o.id", "edges_cust_order"),
-    "A2 in/outDegrees")
+    "A2 in/outDegrees — fused single-aggregation form (one shuffle; the "
+    "oracle's two-agg + full-outer-join phrasing is the same relation)")
 def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gs = GraphStream(E.edges_cust_order(spark, sf_dir))
-    ind = gs.in_degrees().withColumnRenamed("degree", "in_degree")
-    outd = gs.out_degrees().withColumnRenamed("degree", "out_degree")
-    return ind.join(outd, "id", "full_outer").select(
-        "id",
-        F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
-        F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-    )
+    return GraphStream(E.edges_cust_order(spark, sf_dir)).in_out_degrees()
 
 
 @_q("q10_counts",

@@ -120,5 +120,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Physical timestamp[us] without tz reads as TIMESTAMP_NTZ, which
         # withWatermark rejects. The session timezone is pinned to UTC
         # (session.py), so the LTZ reinterpretation is value-preserving.
-        df = df.withColumn("ts", F.to_timestamp("ts"))
+        # Explicit LTZ cast: to_timestamp() follows spark.sql.timestampType,
+        # so it silently no-ops if an embedding session sets NTZ.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
     return _maybe_restage(spark, path, df, name)

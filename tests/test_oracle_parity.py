@@ -18,8 +18,7 @@ def test_oracle_parity(name, spark, duck, sf_dir):
     assert_frames_match(q.fn(spark, sf_dir), duck.sql(q.sql), label=name)
 
 
-@pytest.mark.parametrize("name", [n for n, q in CASES if q.sql is None])
-def test_rows_only(name, spark, sf_dir):
-    q = REGISTRY[name]
-    df = q.fn(spark, sf_dir)
-    assert df.count() >= 0
+def test_every_query_has_oracle():
+    """Differential coverage is total: every registry query carries oracle
+    SQL (the former rows-only weak check has an empty domain by design)."""
+    assert [n for n, q in CASES if q.sql is None] == []

@@ -35,6 +35,23 @@ def test_degrees_partial_aggregation(spark, sf_dir):
     assert_wholestage_codegen(deg)
 
 
+def test_in_out_degrees_single_exchange(spark, sf_dir):
+    """q09's fused form must do ONE shuffle (tag-explode + conditional
+    counts), not two shuffled aggs + a full-outer join (three exchanges)."""
+    from gelly_streaming_spark.plans import explain_str
+
+    import re
+
+    df = REGISTRY["q09_in_out_degrees"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    # formatted explain prints each node twice (tree + detail header);
+    # count the "(N) Exchange" detail headers only
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}:\n{plan}"
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, "fused degree counts must have map-side partials"
+
+
 def test_triangles_no_cartesian_and_broadcast(spark, sf_dir):
     df = REGISTRY["q17_triangles"].fn(spark, sf_dir)
     assert_no_cartesian(df)
