@@ -188,39 +188,55 @@ def connected_components_alternating(
             stats["rounds"] = 0
         return small
     e = e.persist()
-    e0 = e  # the persisted base edge set (released after the first block)
+    e0 = e  # the persisted base edge set (read again by the final verts)
 
+    from pyspark.sql import Window
+
+    # Every helper references its input EXACTLY ONCE: symmetrization is
+    # an explode (not a union of two scans), and the per-vertex
+    # neighborhood minimum is a window aggregate over the same shuffle
+    # (not a groupBy + self-join, which scans the input twice more).
+    # Catalyst does no common-subexpression sharing across subtrees, so
+    # the join formulation compiled each round to ~24 duplicated scan
+    # subtrees of the checkpoint; this linear chain is 3 shuffles flat.
+    # Skew profile is unchanged at 100 TB: the join on src hashed the
+    # symmetrized set by src exactly like the window partitioning does.
     def _sym(edges: DataFrame) -> DataFrame:
-        return edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        return edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                    F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+                )
+            ).alias("x")
+        ).select(F.col("x.s").alias("src"), F.col("x.d").alias("dst"))
+
+    _w = Window.partitionBy("src")
 
     def _large_star(edges: DataFrame) -> DataFrame:
-        sym = _sym(edges)
-        mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
-        m = F.least("src", "mn")
+        # min over the CLOSED neighborhood; no output dedup — duplicates
+        # are bounded by |sym| and collapse in small-star's distinct
         return (
-            sym.join(mins, "src")
+            _sym(edges)
+            .withColumn("mn", F.least(F.min("dst").over(_w), F.col("src")))
             .where(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("src"), m.alias("dst"))
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
             .where(F.col("src") != F.col("dst"))
-            .distinct()
         )
 
     def _small_star(edges: DataFrame) -> DataFrame:
-        sym = _sym(edges)
-        le = sym.where(F.col("dst") <= F.col("src"))
-        mins = le.groupBy("src").agg(F.min("dst").alias("mn"))
-        out = (
-            le.join(mins, "src")
-            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
-            .unionByName(
-                mins.select(F.col("src"), F.col("mn").alias("dst"))
+        # every node of a ≤-neighborhood (dst and src both) links to its
+        # minimum: emit both endpoints via explode, dedup once
+        le = _sym(edges).where(F.col("dst") <= F.col("src"))
+        return (
+            le.withColumn("mn", F.min("dst").over(_w))
+            .select(
+                F.explode(F.array(F.col("dst"), F.col("src"))).alias("src"),
+                F.col("mn").alias("dst"),
             )
             .where(F.col("src") != F.col("dst"))
             .distinct()
         )
-        return out
 
     def _checksum(edges: DataFrame):
         row = edges.agg(
@@ -236,7 +252,7 @@ def connected_components_alternating(
     # the edge-count probe — one job where checkpoint+count would be two.
     prev_sum = _checksum(e)
     # Right-size the whole run's shuffle width to the MEASURED edge
-    # count. The loop runs ~3 jobs per 2-round block; on a
+    # count. The loop runs ONE fused job per 2-round block; on a
     # contracted/small graph each job at the session's full shuffle
     # width is pure task-launch + AQE-replan overhead (measured ~25% of
     # q15d wall-clock). Static right-sizing up front beats AQE
@@ -254,35 +270,41 @@ def connected_components_alternating(
             # tiny regime: AQE replan latency outweighs anything it
             # could re-decide over ≤4 right-sized partitions
             sess_conf.set("spark.sql.adaptive.enabled", "false")
-        verts = (
-            e.select(F.col("src").alias("id"))
-            .unionByName(e.select(F.col("dst").alias("id")))
-            .distinct()
-            .localCheckpoint()
-        )
-        # Convergence is checked every TWO contraction rounds: each
-        # checksum is a full aggregation job, and the star operators are
-        # monotone, so a fixpoint reached mid-block is still detected at
-        # the block edge — the cost is ≤1 wasted (cheap,
-        # already-contracted) round, the saving is half the
-        # convergence-check jobs of a long contraction chain.
+        # ONE job per contraction round: the round's eager
+        # localCheckpoint both cuts lineage (mandatory — each star
+        # operator references its input 3-4×, so two un-cut rounds
+        # compile to hundreds of duplicated subtrees; measured 36 s vs
+        # 7 s on the q15d graph) and, via observe(), computes the
+        # convergence checksum as a side aggregation of the same
+        # materialization — no separate checksum job, and convergence
+        # is now detected every round instead of every other. The
+        # per-round test (set unchanged by large∘small) is exactly the
+        # round-function fixpoint the block-wise comparison tested, and
+        # a fixpoint of the round function is a star forest.
+        from pyspark.sql import Observation
+
         while rounds < max_iter:
-            new_e = _small_star(_large_star(e)).localCheckpoint()
-            rounds += 1
-            if rounds < max_iter:
-                new_e2 = _small_star(_large_star(new_e)).localCheckpoint()
-                rounds += 1
-                free_checkpoint(new_e)
-                new_e = new_e2
-            cur_sum = _checksum(
-                new_e.select(
-                    F.least("src", "dst").alias("src"),
-                    F.greatest("src", "dst").alias("dst"),
+            obs = Observation()
+            new_e = (
+                _small_star(_large_star(e))
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(
+                        F.bit_xor(
+                            F.xxhash64(
+                                F.least("src", "dst"), F.greatest("src", "dst")
+                            )
+                        ),
+                        F.lit(0),
+                    ).alias("h"),
                 )
+                .localCheckpoint()
             )
-            if e is e0:
-                e.unpersist()  # superseded by the first block's output
-            else:
+            rounds += 1
+            m = obs.get  # populated by the checkpoint job's listener
+            cur_sum = (m["n"], m["h"])
+            if e is not e0:
                 free_checkpoint(e)
             e = new_e
             if cur_sum == prev_sum:
@@ -294,14 +316,22 @@ def connected_components_alternating(
         if not converged:
             # a partially-contracted forest is WRONG components, not a
             # slower answer — never return it silently
+            e0.unpersist()
             free_checkpoint(e)
-            free_checkpoint(verts)
             raise RuntimeError(
                 f"alternating CC did not reach the checksum fixpoint within "
                 f"max_iter={max_iter} rounds (O(log n) expected — raise max_iter)"
             )
 
+        # Vertices come straight from the persisted base edge set in the
+        # final plan — no upfront verts checkpoint job; e0 stays cached
+        # (it was materialized by the initial checksum) until `out` is.
         stars = e.groupBy("src").agg(F.min("dst").alias("root"))
+        verts = (
+            e0.select(F.col("src").alias("id"))
+            .unionByName(e0.select(F.col("dst").alias("id")))
+            .distinct()
+        )
         labels = (
             verts.join(stars, verts.id == stars.src, "left")
             .select("id", F.coalesce("root", "id").alias("component"))
@@ -310,8 +340,8 @@ def connected_components_alternating(
     finally:
         sess_conf.set("spark.sql.shuffle.partitions", old_parts)
         sess_conf.set("spark.sql.adaptive.enabled", old_aqe)
+    e0.unpersist()
     free_checkpoint(e)
-    free_checkpoint(verts)
     return out
 
 
