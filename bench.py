@@ -6,14 +6,17 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is forced to full materialization with a noop sink (no driver
 collect — measures distributed compute, not toPandas transfer).
-Set BENCH_DUCKDB=1 to also time the DuckDB oracle side (local tuning aid;
-the BASELINE.md gate is engine ≤ 2× DuckDB).
+The DuckDB oracle side is timed in the same run by default (the
+BASELINE.md gate is engine ≤ 2× DuckDB; same-run numbers make the ratio
+same-host, same-hour). Set BENCH_DUCKDB=0 to skip it, BENCH_RUNS to
+change the per-query run count (default 3, median reported).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -46,11 +49,11 @@ def _warm_up(spark, sf_dir: str) -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
 
-    # session-lifetime materialized views (shared by q07/q11b/q17/q18):
-    # build once here — the queries then measure steady-state consumption
-    from gelly_streaming_spark.sources.edges import copart_canonical
-
-    copart_canonical(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # NOTE: the copart_canonical materialized view shared by
+    # q07/q11b/q17/q18 is NOT built here — its build is a TIMED line
+    # item charged to the benchmark total (see main), because leaving it
+    # in untimed setup flattered every consumer query while the DuckDB
+    # side recomputed the same join inside each timed SQL.
 
     # shuffle agg + collect_set/sort_array + broadcast join + explode
     d = spark.range(0, 32 * 1024, 1, 32).select(
@@ -120,45 +123,74 @@ def main() -> None:
     _warm_up(spark, sf_dir)
     setup_sec = round(time.time() - t_setup, 3)
 
-    # Two timed executions per query, report the min. This is a
-    # noise-damping measure, not a warm-cache cheat: the virtualized
-    # bench host shows 3-4x wall-clock swings on IDENTICAL CPU-bound work
-    # (host steal bursts), and the DuckDB baseline is conventionally
-    # timed warm over two runs the same way. Session-lifetime
-    # materialized views (the copart build) still pay their cost in the
-    # first query that builds them — both runs of that query share one
-    # build, exactly like production.
-    runs_per_query = int(os.environ.get("BENCH_RUNS", "2"))
+    # Cost-attribution policy (stated in the output JSON): the
+    # session-lifetime copart_canonical view shared by q07/q11b/q17/q18
+    # is built ONCE here as a TIMED line item included in `value`; the
+    # DuckDB side recomputes the equivalent join inside each consumer
+    # query's timed SQL (its oracle strings are self-contained).
+    from gelly_streaming_spark.sources.edges import copart_canonical
+
+    t0 = time.time()
+    copart_canonical(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    copart_build_sec = round(time.time() - t0, 3)
+
+    # BENCH_RUNS timed executions per query (default 3); the headline
+    # per-query number is the MEDIAN (min also reported). Median-of-3
+    # over min-of-2 because the virtualized bench host shows 3-4x
+    # wall-clock swings on identical CPU-bound work (host steal bursts):
+    # the median damps a single burst without crediting a single lucky
+    # run, and the DuckDB baseline below is timed the same way in the
+    # same process, so the ratio is same-host, same-hour.
+    runs_per_query = int(os.environ.get("BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, q in sorted(REGISTRY.items()):
-        best = None
+        runs: list[float] = []
         for _ in range(runs_per_query):
             t0 = time.time()
             try:
                 q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+                runs.append(time.time() - t0)
             except Exception as ex:  # one broken query must not kill the run
                 errors[name] = f"{type(ex).__name__}: {ex}"[:300]
                 break
-        if best is not None:
-            timings[name] = round(best, 3)
+        if runs:
+            timings[name] = round(statistics.median(runs), 3)
+            timings_min[name] = round(min(runs), 3)
 
-    total = round(sum(timings.values()), 3)
+    # `value` = copart build + per-query medians of every SUCCESSFUL
+    # query. An errored query is absent from `queries`, so the total is
+    # a subtotal over `comparable_queries` — flagged loudly, never a
+    # silent improvement.
+    total = round(sum(timings.values()) + copart_build_sec, 3)
     result = {
         "metric": "total_wallclock_declared_queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
         "sf": float(sf),
         "runs_per_query": runs_per_query,
         "session_setup_sec": setup_sec,
+        "copart_build_sec": copart_build_sec,
+        "policy": (
+            "value = copart_build_sec + sum of per-query medians of "
+            f"{runs_per_query} runs; copart materialized-view build is charged "
+            "once to the engine total, while DuckDB recomputes that join "
+            "inside each of q07/q11b/q17/q18's timed SQL"
+        ),
+        "errors_present": bool(errors),
+        "comparable_queries": len(timings),
     }
     if errors:
         result["errors"] = errors
+        result["errored_queries"] = sorted(errors)
 
-    if os.environ.get("BENCH_DUCKDB"):
+    # Same-run DuckDB baseline ON BY DEFAULT (BENCH_DUCKDB=0 disables),
+    # so every BENCH_r*.json carries its own same-host ratio instead of
+    # depending on a cross-session DuckDB measurement.
+    if os.environ.get("BENCH_DUCKDB", "1") != "0":
         import duckdb
 
         con = duckdb.connect()
@@ -168,18 +200,22 @@ def main() -> None:
         ).split():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         duck: dict[str, float] = {}
+        duck_min: dict[str, float] = {}
         for name, q in sorted(REGISTRY.items()):
-            if q.sql is None:
-                continue
-            best = None
-            for _ in range(runs_per_query):  # same min-of-N as the engine
+            if q.sql is None or name in errors:
+                continue  # keep both sides over the same comparable set
+            runs = []
+            for _ in range(runs_per_query):  # same median-of-N as the engine
                 t0 = time.time()
                 con.sql(q.sql).fetchall()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            duck[name] = round(best, 3)
+                runs.append(time.time() - t0)
+            duck[name] = round(statistics.median(runs), 3)
+            duck_min[name] = round(min(runs), 3)
         result["duckdb_queries"] = duck
+        result["duckdb_queries_min"] = duck_min
         result["duckdb_total_sec"] = round(sum(duck.values()), 3)
+        if result["duckdb_total_sec"] > 0:
+            result["ratio_vs_duckdb"] = round(total / result["duckdb_total_sec"], 3)
 
     print(json.dumps(result))
 

@@ -120,6 +120,37 @@ class GraphStream:
             self.edges.select(*common).unionByName(other.edges.select(*common))
         )
 
+    def intersect(
+        self, other: "GraphStream", assume_distinct: bool = False
+    ) -> "GraphStream":
+        """Set intersection on (src, dst) — extension, the reference has
+        union only. Distributed as a SEMI-JOIN, the scalable form of
+        INTERSECT: right-side duplicates are irrelevant to a semi-join,
+        so only the left needs set semantics — pass
+        ``assume_distinct=True`` when the left is already a set (e.g. a
+        distinct materialized view) and the dedup shuffle disappears,
+        leaving one scan + a (broadcast-eligible) join. Edge keys are
+        non-null by the engine's schema contract; NULL keys would drop
+        here where SQL INTERSECT keeps them."""
+        left = self.edges.select("src", "dst")
+        if not assume_distinct:
+            left = left.dropDuplicates(["src", "dst"])
+        return GraphStream(
+            left.join(other.edges.select("src", "dst"), ["src", "dst"], "left_semi")
+        )
+
+    def difference(
+        self, other: "GraphStream", assume_distinct: bool = False
+    ) -> "GraphStream":
+        """Set difference on (src, dst) (extension) — anti-join form; same
+        distinctness/null contract as :meth:`intersect`."""
+        left = self.edges.select("src", "dst")
+        if not assume_distinct:
+            left = left.dropDuplicates(["src", "dst"])
+        return GraphStream(
+            left.join(other.edges.select("src", "dst"), ["src", "dst"], "left_anti")
+        )
+
     # ------------------------------------------------------------------
     # vertex / property streams (reference A1–A4)
     # ------------------------------------------------------------------
