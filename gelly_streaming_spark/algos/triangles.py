@@ -391,11 +391,25 @@ def triangle_count_windowed(
         if not materialized:
             e = track_persist(e)
             materialized = True
-        mx = (
-            e.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.max("c").alias("m"))
-            .collect()[0]["m"]
-        )
+        # The probe is memoized per (session, frame identity): a repeated
+        # call over the same session-lifetime materialized view (the
+        # shared copart frame) re-derives identical stats, so the probe
+        # job would be pure repeat cost. The cached frame reference keeps
+        # id() stable for the session.
+        spark = e.sparkSession
+        memo = getattr(spark, "_gss_tri_window_stats", None)
+        if memo is None:
+            memo = {}
+            spark._gss_tri_window_stats = memo  # noqa: SLF001 — session memo
+        key = id(e)
+        if key not in memo:
+            mx = (
+                e.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.max("c").alias("m"))
+                .collect()[0]["m"]
+            )
+            memo[key] = (e, mx)
+        mx = memo[key][1]
         strategy = "partitioned" if (mx or 0) <= per_window_limit else "joins"
 
     if strategy == "partitioned":
