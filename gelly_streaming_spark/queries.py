@@ -873,6 +873,24 @@ def q28s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("src", "dst")
 
 
+@_q("q29s_streaming_degrees_update",
+    _with(
+        "SELECT id, COUNT(*) AS degree FROM "
+        "(SELECT src AS id FROM edges_cust_order UNION ALL SELECT dst FROM edges_cust_order) "
+        "GROUP BY id", "edges_cust_order"),
+    "A1 getDegrees in UPDATE output mode — per-batch changed-key emission "
+    "(reference delta D1's update-on-every-edge granularity, batched per "
+    "trigger) keyed-upserted by run_update_merge; final state ≡ Q08 oracle")
+def q29s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.streaming.runner import run_update_merge
+
+    with _parity_stream_confs(spark):
+        # 2 batches so cross-batch UPSERTS happen: batch-2 re-emits every
+        # key whose degree grew, and those rows must override batch-1's
+        stream = _replay_tmp(E.edges_cust_order(spark, sf_dir), num_batches=2)
+        return run_update_merge(GraphStream(stream).degrees(), ["id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

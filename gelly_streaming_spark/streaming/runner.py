@@ -94,8 +94,8 @@ def run_to_memory(
     ``append`` mode (row streams: dedup, filters, closed windows): the
     final result is the union of all emitted batches. ``update`` mode is
     NOT supported here: re-emitted keys would leave superseded rows in
-    the union — drive update-mode sinks through ``run_foreach_batch``
-    with a caller-side merge instead.
+    the union — drive update-mode sinks through ``run_update_merge``
+    (keyed upsert) or ``run_foreach_batch`` with a caller-side merge.
     """
     from gelly_streaming_spark.plans.memory import free_checkpoint
 
@@ -103,7 +103,7 @@ def run_to_memory(
         raise ValueError(
             "run_to_memory supports only complete/append output modes; "
             f"got {output_mode!r} (update-mode unions keep superseded rows "
-            "— use run_foreach_batch with a keyed merge)"
+            "— use run_update_merge, or run_foreach_batch with a keyed merge)"
         )
     del name  # kept for API compat with the old memory-sink signature
     batches: list[DataFrame] = []
@@ -132,6 +132,56 @@ def run_to_memory(
     for b in batches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def run_update_merge(
+    sdf: DataFrame,
+    key_cols: list[str],
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Execute an UPDATE-mode streaming aggregation with an available-now
+    trigger and return the final upserted state.
+
+    Update mode emits only the CHANGED aggregate rows each micro-batch
+    (the reference's update-on-every-edge granularity, semantic delta D1
+    batched per trigger — SURVEY.md §7.4); the final state is therefore
+    the LAST emitted value per key. Each batch is keyed-upserted into the
+    running state: ``new ∪ (prev ⟕̸ new)`` — an anti-join keeps only the
+    un-updated previous keys, so re-emitted keys never leave superseded
+    rows (the failure mode that makes a naive union wrong and is why
+    ``run_to_memory`` rejects update mode and points here).
+
+    Scale: state stays a distributed DataFrame keyed by ``key_cols``;
+    per batch one anti-join + union, lineage cut per merge, superseded
+    checkpoints freed — never a driver materialization.
+    """
+    from gelly_streaming_spark.plans.memory import free_checkpoint
+
+    state: list[DataFrame] = []
+
+    def _merge(bdf: DataFrame, _epoch: int) -> None:
+        ckpt = bdf.localCheckpoint()
+        if state:
+            prev = state.pop()
+            merged = ckpt.unionByName(
+                prev.join(ckpt, key_cols, "left_anti")
+            ).localCheckpoint()
+            free_checkpoint(prev)
+            free_checkpoint(ckpt)
+            state.append(merged)
+        else:
+            state.append(ckpt)
+
+    writer = (
+        sdf.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+    q = _start(writer, sdf.sparkSession, no_data=False)
+    _await(q, timeout_sec)
+    if not state:
+        return sdf.sparkSession.createDataFrame([], sdf.schema)
+    return state[0]
 
 
 def run_foreach_batch(

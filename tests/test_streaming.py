@@ -68,6 +68,20 @@ def test_streaming_distinct_drops_replayed_dupes(spark, tmp_path):
     assert _sorted_rows(out) == _sorted_rows(g1.select("src", "dst"))
 
 
+def test_update_merge_upserts_across_batches(spark, edge_replay):
+    """A1 in UPDATE output mode through run_update_merge: update mode
+    re-emits a key whenever its aggregate changes, so a key spanning
+    batches is emitted more than once — the keyed upsert must keep only
+    the LAST value (a naive union would keep superseded rows and this
+    assertion would fail on every multi-batch key)."""
+    from gelly_streaming_spark.streaming.runner import run_update_merge
+
+    batch, stream = edge_replay
+    got = run_update_merge(GraphStream(stream).degrees(), ["id"])
+    want = GraphStream(batch).degrees()
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
 def test_running_degrees_stateful(spark, edge_replay):
     """A1 via explicit keyed state: last emitted degree per vertex ==
     batch degree."""
