@@ -202,6 +202,125 @@ def _exact_pairs_gemm(
     return paired.mapInPandas(gemm, "a long, b long, sim double")
 
 
+def _kmeans_centroids(
+    corpus: DataFrame,
+    n_clusters: int,
+    vec_col: str,
+    id_col: str,
+    sample_rows: int,
+    iters: int,
+    seed: int,
+) -> np.ndarray:
+    """Coarse-quantizer training: numpy Lloyd's over a BOUNDED
+    deterministic sample (hash-ordered limit — at most ``sample_rows``
+    vectors ever reach the driver, whatever the corpus size; the same
+    adaptive-bounded-collect pattern as the CC fast path). Empty clusters
+    reseed to random sample points, so exactly ``n_clusters`` centroids
+    come back. Training quality needs only a representative sample — the
+    standard IVF recipe (train on a subset, assign everything)."""
+    pdf = (
+        corpus.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.xxhash64(F.col(id_col)).alias("h"),
+        )
+        .orderBy("h")
+        .limit(sample_rows)
+        .select("v")
+        .toPandas()
+    )
+    x = np.stack(pdf["v"].to_numpy())
+    rng = np.random.default_rng(seed)
+    n_clusters = min(n_clusters, len(x))
+    cents = x[rng.choice(len(x), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        # cosine k-means: assign on normalized dot products
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for c in range(n_clusters):
+            members = x[assign == c]
+            cents[c] = (
+                members.mean(axis=0)
+                if len(members)
+                else x[rng.integers(len(x))]
+            )
+    return cents
+
+
+def _assign_clusters(
+    df: DataFrame, cents: np.ndarray, id_alias: str, vec_alias: str, nprobe: int
+) -> DataFrame:
+    """Attach each vector's ``nprobe`` nearest centroid ids (cosine) via
+    one Arrow-batched GEMM per batch — no shuffle, vectors stay where
+    they were scanned. ``nprobe=1`` for corpus rows (a vector lives in
+    exactly one inverted list), >1 for query fan-out."""
+    import pandas as pd
+
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_alias].to_numpy())
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mn @ cn.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            out = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+            out["cluster"] = top.ravel().astype("int64")
+            yield out
+
+    schema = f"{id_alias} long, {vec_alias} array<double>, cluster long"
+    return df.mapInPandas(run, schema)
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_rows: int = 20_000,
+    train_iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the other
+    classical ANN scale path next to :func:`knn_lsh`.
+
+    Build: k-means coarse quantizer trained on a bounded driver sample;
+    every corpus vector is GEMM-assigned to its nearest centroid (its
+    inverted list) with no shuffle. Search: each query probes its
+    ``nprobe`` nearest lists, candidates are exactly reranked, top-k per
+    query. A (query, candidate) pair can meet in at most one list (the
+    corpus side lives in exactly one), so no dedup shuffle is needed.
+
+    Scale: the cluster join replaces the |Q|x|C| score matrix with
+    per-list blocks — probed work is ~nprobe/n_clusters of brute force;
+    skewed lists are AQE-split like any skewed join key. Recall is
+    property-tested against knn_bruteforce (P-test), never hash-compared.
+    """
+    cents = _kmeans_centroids(
+        corpus, n_clusters, vec_col, id_col, sample_rows, train_iters, seed
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    cl = _assign_clusters(c, cents, "vec_id", "v", nprobe=1)
+    ql = _assign_clusters(q, cents, "qid", "qv", nprobe=min(nprobe, len(cents)))
+    scored = (
+        ql.join(cl, "cluster")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("qv"), F.col("v")).alias("sim"))
+    )
+    out = top_k_per_group(scored, ["qid"], [F.desc("sim"), F.asc("vec_id")], k)
+    return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"))
+
+
 def lsh_signature(vec, planes: np.ndarray) -> Column:
     """Random-hyperplane signature: one bit per plane, packed to a long."""
     packed = None

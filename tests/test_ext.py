@@ -79,6 +79,31 @@ def test_knn_lsh_precision_and_determinism(emb):
             assert abs(exact[key] - sim) < 1e-9
 
 
+def test_knn_ivf_recall_and_determinism(emb):
+    """IVF scale path: deterministic (seeded quantizer + hash-ordered
+    training sample), exactly-reranked sims, and recall@5 vs brute force
+    high enough that the probed lists clearly beat a random
+    nprobe/n_clusters slice of the corpus."""
+    from gelly_streaming_spark.ext.embeddings import knn_ivf
+
+    q = emb.where(F.col("vec_id").between(1, 10))
+    exact = {(r.qid, r.vec_id): r.sim for r in knn_bruteforce(emb, q, k=50).collect()}
+    truth5 = {}
+    for (qid, vid), _ in sorted(exact.items(), key=lambda kv: -kv[1]):
+        truth5.setdefault(qid, [])
+        if len(truth5[qid]) < 5:
+            truth5[qid].append(vid)
+    a = {(r.qid, r.vec_id): r.sim for r in knn_ivf(emb, q, k=5, n_clusters=8, nprobe=4).collect()}
+    b = {(r.qid, r.vec_id): r.sim for r in knn_ivf(emb, q, k=5, n_clusters=8, nprobe=4).collect()}
+    assert a == b  # deterministic end-to-end
+    for key, sim in a.items():  # rerank is exact
+        if key in exact:
+            assert abs(exact[key] - sim) < 1e-9
+    hits = sum(1 for (qid, vid) in a if vid in truth5.get(qid, []))
+    recall = hits / sum(len(v) for v in truth5.values())
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
+
+
 def test_multimodal_plumbing(docs):
     media = synthetic_media(docs)
     feats = extract_features(media)
