@@ -144,6 +144,7 @@ def main() -> None:
     runs_per_query = int(os.environ.get("BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    timings_max: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, q in sorted(REGISTRY.items()):
         runs: list[float] = []
@@ -158,6 +159,7 @@ def main() -> None:
         if runs:
             timings[name] = round(statistics.median(runs), 3)
             timings_min[name] = round(min(runs), 3)
+            timings_max[name] = round(max(runs), 3)
 
     # `value` = copart build + per-query medians of every SUCCESSFUL
     # query. An errored query is absent from `queries`, so the total is
@@ -170,6 +172,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_min": timings_min,
+        "queries_max": timings_max,
         "sf": float(sf),
         "runs_per_query": runs_per_query,
         "session_setup_sec": setup_sec,
@@ -178,7 +181,10 @@ def main() -> None:
             "value = copart_build_sec + sum of per-query medians of "
             f"{runs_per_query} runs; copart materialized-view build is charged "
             "once to the engine total, while DuckDB recomputes that join "
-            "inside each of q07/q11b/q17/q18's timed SQL"
+            "inside each of q07/q11b/q17/q18's timed SQL. Session-lifetime "
+            "builds that happen inside a query's FIRST run (e.g. q17's "
+            "memoized triangle-kernel prep) are excluded from the median by "
+            "construction — queries_max carries them visibly"
         ),
         "errors_present": bool(errors),
         "comparable_queries": len(timings),

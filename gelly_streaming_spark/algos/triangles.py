@@ -131,36 +131,48 @@ def triangle_count(
     """
     e = stream.edges if canonical else _canonical(stream.edges)
     tbl = None
+    spark = stream.edges.sparkSession
+    # Probe + prepped-broadcast memo per (session, frame identity) — the
+    # same immutable-input materialized-view doctrine as the copart edge
+    # cache and the windowed strategy memo: a repeated count over an
+    # unchanged session-lifetime edge set must not re-collect the
+    # build side (the probe toArrow of ~1.2M rows was the dominant
+    # repeat cost) nor re-derive the oriented/sorted build. The held
+    # frame reference keeps id() stable for the session.
+    memo = getattr(spark, "_gss_tri_prep", None)
+    if memo is None:
+        memo = {}
+        spark._gss_tri_prep = memo  # noqa: SLF001 — session memo
+    mkey = id(e) if materialized else None
+    cached = memo.get(mkey) if mkey is not None else None
     if strategy == "auto":
         if not materialized:
             e = track_persist(e)
             materialized = True
-        # the size probe IS the build-side collect: grab at most
-        # broadcast_limit+1 rows — if the limit spills over, fall to the
-        # joins plan having transferred a bounded amount, else the arrow
-        # table is already in hand (no separate count job)
-        tbl = e.select("src", "dst").limit(broadcast_limit + 1).toArrow()
-        strategy = "broadcast_kernel" if tbl.num_rows <= broadcast_limit else "joins"
+            mkey = id(e)
+        if cached is not None:
+            nrows = cached[1]
+        else:
+            # the size probe IS the build-side collect: grab at most
+            # broadcast_limit+1 rows — if the limit spills over, fall to
+            # the joins plan having transferred a bounded amount, else
+            # the arrow table is already in hand (no separate count job)
+            tbl = e.select("src", "dst").limit(broadcast_limit + 1).toArrow()
+            nrows = tbl.num_rows
+            if mkey is not None and nrows > broadcast_limit:
+                # memoize the joins decision too: the next call must not
+                # re-collect broadcast_limit rows just to re-learn it
+                memo[mkey] = (e, nrows, None)
+        strategy = "broadcast_kernel" if nrows <= broadcast_limit else "joins"
 
     if strategy == "broadcast_kernel":
-        spark = e.sparkSession
-        if tbl is None:
-            tbl = e.select("src", "dst").toArrow()
-        # The prepped broadcast is memoized per (plan, cardinality) —
-        # the same immutable-input materialized-view doctrine as the
-        # copart edge cache: a repeated count over an unchanged edge set
-        # reuses the oriented/sorted build instead of re-deriving it.
-        memo = getattr(spark, "_gss_tri_prep", None)
-        if memo is None:
-            memo = {}
-            spark._gss_tri_prep = memo  # noqa: SLF001 — session memo
-        try:
-            key = (e.semanticHash(), tbl.num_rows)
-        except Exception:
-            key = None
-        bc = memo.get(key) if key is not None else None
-        if bc is None:
-            if tbl.num_rows < 3:
+        if cached is not None and cached[2] is not None:
+            nrows, bc = cached[1], cached[2]
+        else:
+            if tbl is None:
+                tbl = e.select("src", "dst").toArrow()
+            nrows = tbl.num_rows
+            if nrows < 3:
                 prep = None
             else:
                 # Degree computation, orientation, and BOTH sort orders
@@ -173,13 +185,13 @@ def triangle_count(
                 # cluster does the same work in two parallel jobs.)
                 prep = _tri_prep_spark(e, tbl)
             bc = spark.sparkContext.broadcast(prep)
-            if key is not None:
-                memo[key] = bc
+            if mkey is not None:
+                memo[mkey] = (e, nrows, bc)
         # 2 slices per core for stragglers: slice work is skew-prone
         # (pivot degree varies); each local python worker deserializes
         # the broadcast once (~15 MB), negligible vs the wedge work
         nparts = max(1, min(2 * spark.sparkContext.defaultParallelism,
-                            tbl.num_rows // 20_000 + 1))
+                            nrows // 20_000 + 1))
 
         def count_slices(batches):
             import pandas as pd
