@@ -102,12 +102,30 @@ def connected_components(
         if loop_parts <= 4:
             sess_conf.set("spark.sql.adaptive.enabled", "false")
 
+        # Convergence via an OBSERVED (count, exact label sum) signature
+        # on each block's checkpoint job: per-vertex labels are
+        # monotonically non-increasing under min-label steps, so the sum
+        # is unchanged across a block iff NO label changed — the same
+        # fixpoint test as the old changed-rows join, but as a side
+        # aggregation of the job that runs anyway instead of a separate
+        # join + count job per block. decimal(38,0) keeps the sum exact
+        # at any vertex count (a double would risk false convergence).
+        from pyspark.sql import Observation
+
+        _SIG = lambda: (  # noqa: E731
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
+        )
+        obs0 = Observation()
         labels = (
             eu.select(F.col("src").alias("id"))
             .distinct()
             .withColumn("comp", F.col("id"))
+            .observe(obs0, *_SIG())
             .localCheckpoint()
         )
+        m0 = obs0.get
+        prev_sig = (m0["n"], m0["s"])
 
         def step(lab: DataFrame) -> DataFrame:
             msgs = eu.join(lab, eu.src == lab.id).select(
@@ -123,19 +141,17 @@ def connected_components(
             for _ in range(min(check_every, max_iter - rounds)):
                 new_labels = step(new_labels)
                 rounds += 1
-            new_labels = new_labels.localCheckpoint()
-            changed = (
-                new_labels.join(labels.withColumnRenamed("comp", "prev"), "id")
-                .where(F.col("comp") != F.col("prev"))
-                .limit(1)
-                .count()
-            )
+            obs = Observation()
+            new_labels = new_labels.observe(obs, *_SIG()).localCheckpoint()
+            m = obs.get
+            sig = (m["n"], m["s"])
             # free the superseded checkpoint — a leaked block per round is
             # storage-memory pressure now and an OOM at 100 TB
             free_checkpoint(labels)
             labels = new_labels
-            if changed == 0:
+            if sig == prev_sig:
                 break
+            prev_sig = sig
     finally:
         sess_conf.set("spark.sql.shuffle.partitions", old_parts)
         sess_conf.set("spark.sql.adaptive.enabled", old_aqe)

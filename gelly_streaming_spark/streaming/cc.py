@@ -38,6 +38,18 @@ from gelly_streaming_spark.plans.memory import free_checkpoint
 from gelly_streaming_spark.streaming.runner import run_foreach_batch
 
 
+def _is_local_relation(df: DataFrame) -> bool:
+    """True when the frame's analyzed plan is a pure driver-local relation
+    (createDataFrame rows) — no executor lineage to cut or leak."""
+    try:
+        return (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()  # noqa: SLF001
+            == "LocalRelation"
+        )
+    except Exception:
+        return False
+
+
 class IncrementalConnectedComponents:
     """Continuously-refined CC over an unbounded edge stream.
 
@@ -57,10 +69,17 @@ class IncrementalConnectedComponents:
             )
             new_edges = new_edges.unionByName(prev_as_edges)
         mapping = connected_components(GraphStream(new_edges))
-        # pin the refined mapping; cut lineage so plans don't grow per batch
+        # pin the refined mapping; cut lineage so plans don't grow per
+        # batch. The adaptive fast path returns a DRIVER-LOCAL relation
+        # (createDataFrame rows): nothing to cut, nothing that can leak —
+        # checkpointing it would spend a whole job storing rows that are
+        # already local, so it is kept as-is.
         prev = self.state
-        self.state = mapping.localCheckpoint()
-        free_checkpoint(mapping)  # CC's own final checkpoint, now copied
+        if _is_local_relation(mapping):
+            self.state = mapping
+        else:
+            self.state = mapping.localCheckpoint()
+            free_checkpoint(mapping)  # CC's own final checkpoint, now copied
         if prev is not None:
             free_checkpoint(prev)
         self.batches += 1
