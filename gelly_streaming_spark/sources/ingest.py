@@ -1,0 +1,64 @@
+"""Ingest-time bucketing — the 100 TB co-location convention.
+
+The reference consumes whatever partitioning its Flink sources provide;
+at Spark cluster scale the equivalent lever is HASH-BUCKETED table
+layout: write the canonical edge table bucketed (and sorted) by its join
+key ONCE at ingest, and every later equi-join or aggregation on that key
+reads co-located buckets with ZERO exchanges — the shuffle that would
+otherwise dominate an iterative algorithm (min-label steps, neighborhood
+ops, degree joins) is paid once at write time, not per query/iteration.
+
+``write_bucketed`` is the ingest half; the test asserts the payoff: a
+join of two tables bucketed on the same key compiles to a plan with no
+Exchange operator (verified against the session catalog locally — the
+same plan shape a Hive/Unity catalog produces on a cluster).
+
+Bucket-count sizing at scale: pick ``num_buckets`` so one bucket of the
+LARGEST co-bucketed table fits an executor's task comfortably
+(~128-512 MB compressed); all co-joined tables must share the count or
+a multiple (Spark requires equal counts for exchange-free joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Write ``df`` as a bucketed (+ in-bucket sorted) catalog table and
+    return the readable table frame.
+
+    Sorting defaults to the bucket keys: sorted buckets additionally let
+    sort-merge joins skip their per-task sort, and give runs of equal
+    keys for better parquet encoding. The table must be read back via
+    ``spark.table`` (bucketing metadata lives in the catalog, not the
+    files — a path read would silently lose the co-location)."""
+    writer = df.write.bucketBy(num_buckets, *keys).sortBy(*(sort_by or keys))
+    writer.mode(mode).format(format).saveAsTable(table)
+    return df.sparkSession.table(table)
+
+
+def edges_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "gss_edges_by_src",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Ingest the customer→order edge view bucketed by ``src`` — the key
+    every degree aggregation and vertex join hits. Idempotent per
+    session: an existing catalog table is returned as-is."""
+    if spark.catalog.tableExists(table):
+        return spark.table(table)
+    from gelly_streaming_spark.sources.edges import edges_cust_order
+
+    return write_bucketed(
+        edges_cust_order(spark, sf_dir), table, ["src"], num_buckets
+    )

@@ -103,6 +103,44 @@ def test_column_pruning(spark, sf_dir):
     # o_totalprice/o_orderdate
     assert scan_lines and all("o_totalprice" not in ln for ln in scan_lines), scan_lines
 
+def test_bucketed_ingest_join_and_agg_have_no_exchange(spark, sf_dir):
+    """Ingest-time bucketing payoff: an equi-join of two tables bucketed
+    on the same key, and a groupBy on the bucket key, both compile
+    WITHOUT any Exchange — the shuffle is paid once at write time (the
+    100 TB co-location convention; sources/ingest.py)."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from gelly_streaming_spark.plans import explain_str
+    from gelly_streaming_spark.sources.ingest import write_bucketed
+
+    e = spark.range(0, 20_000).select(
+        (F.col("id") % 997).alias("src"), (F.col("id") % 77).alias("dst")
+    )
+    v = spark.range(0, 997).select(
+        F.col("id").alias("src"), (F.col("id") % 13).alias("w")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the test proves BUCKET co-location, not a
+        # broadcast join that would hide a missing exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        eb = write_bucketed(e, "t_edges_b", ["src"], 8)
+        vb = write_bucketed(v, "t_verts_b", ["src"], 8)
+        joined = eb.join(vb, "src")
+        agg = eb.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        for df in (joined, agg):
+            plan = explain_str(df)
+            n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+            assert n_ex == 0, f"expected 0 exchanges:\n{plan}"
+        assert joined.count() > 0 and agg.count() == 997
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_edges_b")
+        spark.sql("DROP TABLE IF EXISTS t_verts_b")
+
+
 def test_release_hooks_empty_session_caches(spark, sf_dir):
     """VERDICT r2 'what's wrong' #3: session-lifetime persists need an
     explicit release. After release_persisted, the edge-view memo is
