@@ -736,14 +736,24 @@ def q23b(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pins semantic delta D1 (per-micro-batch emission, same fixpoint).
 # ---------------------------------------------------------------------------
 def _replay_tmp(
-    df: DataFrame, num_batches: int = 2, order_by: Optional[str] = None
+    df: DataFrame,
+    num_batches: int = 2,
+    order_by: Optional[str] = None,
+    key: Optional[str] = None,
 ) -> DataFrame:
     import tempfile
 
     from gelly_streaming_spark.streaming.sources import replay
 
+    cache_key = (
+        None if key is None else f"{key}:{num_batches}:{order_by or ''}"
+    )
     return replay(
-        df, tempfile.mkdtemp(prefix="gss_replay_"), num_batches, order_by=order_by
+        df,
+        tempfile.mkdtemp(prefix="gss_replay_"),
+        num_batches,
+        order_by=order_by,
+        cache_key=cache_key,
     )
 
 
@@ -807,7 +817,9 @@ def q25s(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (cross-batch state accumulation is pinned by q26s/q28s and
         # test_streaming's multi-batch cases), so the parity signal is
         # identical and the second state-store commit round is saved
-        stream = _replay_tmp(E.edges_cust_order(spark, sf_dir), num_batches=1)
+        stream = _replay_tmp(
+            E.edges_cust_order(spark, sf_dir), num_batches=1, key=f"q25s:{sf_dir}"
+        )
         return run_to_memory(GraphStream(stream).degrees(), "complete")
 
 
@@ -819,7 +831,10 @@ def q26s(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _q15_edges(spark, sf_dir).edges
     with _parity_stream_confs(spark):
-        stream = _replay_tmp(edges.withColumn("ts", F.lit(None).cast("timestamp")))
+        stream = _replay_tmp(
+            edges.withColumn("ts", F.lit(None).cast("timestamp")),
+            key=f"q26s:{sf_dir}",
+        )
         return IncrementalConnectedComponents().run(stream)
 
 
@@ -846,6 +861,7 @@ def q27s(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = _replay_tmp(
             E.edges_events(spark, sf_dir).select("src", "dst", "val", "ts"),
             order_by="ts",
+            key=f"q27s:{sf_dir}",
         )
         agg = (
             GraphStream(stream)
@@ -868,7 +884,7 @@ def q28s(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "dst", F.col("ts").cast("timestamp").alias("ts")
     )
     with _parity_stream_confs(spark):
-        stream = _replay_tmp(edges, order_by="ts")
+        stream = _replay_tmp(edges, order_by="ts", key=f"q28s:{sf_dir}")
         out = run_to_memory(streaming_distinct(stream, "3650 days"), "append")
     return out.select("src", "dst")
 
@@ -887,7 +903,9 @@ def q29s(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _parity_stream_confs(spark):
         # 2 batches so cross-batch UPSERTS happen: batch-2 re-emits every
         # key whose degree grew, and those rows must override batch-1's
-        stream = _replay_tmp(E.edges_cust_order(spark, sf_dir), num_batches=2)
+        stream = _replay_tmp(
+            E.edges_cust_order(spark, sf_dir), num_batches=2, key=f"q29s:{sf_dir}"
+        )
         return run_update_merge(GraphStream(stream).degrees(), ["id"])
 
 

@@ -32,6 +32,7 @@ def replay(
     num_batches: int = 4,
     files_per_trigger: int = 1,
     order_by: str | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Turn a bounded edge DataFrame into a streaming one.
 
@@ -57,11 +58,31 @@ def replay(
     arbitrarily). This is the parity-test harness, bounded fixtures only;
     production streams point ``readStream`` at Kafka / a drop directory
     and never pass through here.
+
+    ``cache_key`` memoizes the STAGED CHUNKS per session (the same
+    immutable-fixture doctrine as the table restage in load_table): a
+    repeated replay of the same bounded source re-collects and re-writes
+    identical files, which is harness scaffolding, not engine work — the
+    streaming query itself still executes fully every call. Only pass a
+    key for sources that are immutable for the session's lifetime.
     """
     import os
     import time
 
     import pyarrow.parquet as pq
+
+    if cache_key is not None:
+        memo = getattr(df.sparkSession, "_gss_replay_stage", None)
+        if memo is None:
+            memo = {}
+            df.sparkSession._gss_replay_stage = memo  # noqa: SLF001 — session memo
+        staged = memo.get(cache_key)
+        if staged is not None:
+            return (
+                df.sparkSession.readStream.schema(df.schema)
+                .option("maxFilesPerTrigger", files_per_trigger)
+                .parquet(staged)
+            )
 
     os.makedirs(stage_dir, exist_ok=True)
     # A reused stage dir must not replay a previous call's chunks: the
@@ -81,6 +102,10 @@ def replay(
         pq.write_table(chunk, path)
         # strictly increasing, well-separated mtimes per chunk
         os.utime(path, (now + i, now + i))
+    if cache_key is not None:
+        # register only AFTER staging completed — a mid-staging failure
+        # must not leave a poisoned memo entry pointing at partial files
+        memo[cache_key] = stage_dir
     return (
         df.sparkSession.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", files_per_trigger)
