@@ -156,7 +156,11 @@ def main() -> None:
             except Exception as ex:  # one broken query must not kill the run
                 errors[name] = f"{type(ex).__name__}: {ex}"[:300]
                 break
-        if runs:
+        # a query that errored on ANY run is excluded from timings
+        # entirely (not a median of its lucky runs): `queries`,
+        # `comparable_queries`, and the DuckDB side then all cover the
+        # exact same query set, as the policy states.
+        if runs and name not in errors:
             timings[name] = round(statistics.median(runs), 3)
             timings_min[name] = round(min(runs), 3)
             timings_max[name] = round(max(runs), 3)
@@ -166,9 +170,15 @@ def main() -> None:
     # a subtotal over `comparable_queries` — flagged loudly, never a
     # silent improvement.
     total = round(sum(timings.values()) + copart_build_sec, 3)
+    # worst-run total: includes every one-time session build that only
+    # run 1 pays (memoized triangle-kernel prep, replay staging, strategy
+    # probes) — the median headline excludes those by construction, so
+    # this is the honest upper bound the median is read against.
+    total_max = round(sum(timings_max.values()) + copart_build_sec, 3)
     result = {
         "metric": "total_wallclock_declared_queries",
         "value": total,
+        "value_max_runs": total_max,
         "unit": "sec",
         "queries": timings,
         "queries_min": timings_min,
@@ -183,8 +193,12 @@ def main() -> None:
             "once to the engine total, while DuckDB recomputes that join "
             "inside each of q07/q11b/q17/q18's timed SQL. Session-lifetime "
             "builds that happen inside a query's FIRST run (e.g. q17's "
-            "memoized triangle-kernel prep) are excluded from the median by "
-            "construction — queries_max carries them visibly"
+            "memoized triangle-kernel prep, replay staging, strategy probes) "
+            "are excluded from the median by construction — queries_max "
+            "carries them per-query and value_max_runs totals them, so the "
+            "one-time costs are visible in a headline field, not only "
+            "per-query. A query that errors on any run is excluded from "
+            "queries/value entirely and listed under errors"
         ),
         "errors_present": bool(errors),
         "comparable_queries": len(timings),
@@ -222,6 +236,21 @@ def main() -> None:
         result["duckdb_total_sec"] = round(sum(duck.values()), 3)
         if result["duckdb_total_sec"] > 0:
             result["ratio_vs_duckdb"] = round(total / result["duckdb_total_sec"], 3)
+        # Floor-vs-plan split, machine-readable (BASELINE.md): queries
+        # where the DuckDB median is >= 0.1 s are "heavy" — above the
+        # trivial-query engine floor, so the ratio over them compares
+        # plan quality rather than JVM job-launch constants. The heavy
+        # set excludes the copart build charge (its consumers' DuckDB
+        # oracles re-derive the join inside their own timed SQL).
+        heavy = [n for n in duck if duck[n] >= 0.1 and n in timings]
+        heavy_duck = sum(duck[n] for n in heavy)
+        if heavy_duck > 0:
+            result["heavy_queries"] = sorted(heavy)
+            result["heavy_engine_sec"] = round(sum(timings[n] for n in heavy), 3)
+            result["heavy_duckdb_sec"] = round(heavy_duck, 3)
+            result["ratio_heavy"] = round(
+                result["heavy_engine_sec"] / heavy_duck, 3
+            )
 
     print(json.dumps(result))
 

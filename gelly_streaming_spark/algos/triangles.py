@@ -138,7 +138,12 @@ def triangle_count(
     # unchanged session-lifetime edge set must not re-collect the
     # build side (the probe toArrow of ~1.2M rows was the dominant
     # repeat cost) nor re-derive the oriented/sorted build. The held
-    # frame reference keeps id() stable for the session.
+    # frame reference keeps id() stable for the session. ONLY frames the
+    # CALLER declared materialized (genuine session-lifetime views, e.g.
+    # the copart cache) are memoized: a call-local frame persisted just
+    # below has a transient id(), so a memo entry for it could never hit
+    # again — it would only pin the frame and its ~15 MB broadcast until
+    # session end. release_persisted() drains this memo.
     memo = getattr(spark, "_gss_tri_prep", None)
     if memo is None:
         memo = {}
@@ -149,7 +154,6 @@ def triangle_count(
         if not materialized:
             e = track_persist(e)
             materialized = True
-            mkey = id(e)
         if cached is not None:
             nrows = cached[1]
         else:
@@ -400,28 +404,33 @@ def triangle_count_windowed(
     if strategy == "auto":
         # materialize once: the stats probe and the chosen strategy both
         # consume the canonicalized edges (else the dedup runs twice)
+        caller_materialized = materialized
         if not materialized:
             e = track_persist(e)
             materialized = True
-        # The probe is memoized per (session, frame identity): a repeated
-        # call over the same session-lifetime materialized view (the
-        # shared copart frame) re-derives identical stats, so the probe
-        # job would be pure repeat cost. The cached frame reference keeps
-        # id() stable for the session.
+        # The probe is memoized per (session, frame identity) ONLY for
+        # caller-materialized session-lifetime views (the shared copart
+        # frame): a repeated call over one re-derives identical stats, so
+        # the probe job would be pure repeat cost, and the caller's held
+        # reference keeps id() stable. A call-local frame's id() can
+        # never hit again — memoizing it would only pin the frame until
+        # session end. release_persisted() drains this memo.
         spark = e.sparkSession
         memo = getattr(spark, "_gss_tri_window_stats", None)
         if memo is None:
             memo = {}
             spark._gss_tri_window_stats = memo  # noqa: SLF001 — session memo
-        key = id(e)
-        if key not in memo:
+        key = id(e) if caller_materialized else None
+        if key is None or key not in memo:
             mx = (
                 e.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
                 .agg(F.max("c").alias("m"))
                 .collect()[0]["m"]
             )
-            memo[key] = (e, mx)
-        mx = memo[key][1]
+            if key is not None:
+                memo[key] = (e, mx)
+        else:
+            mx = memo[key][1]
         strategy = "partitioned" if (mx or 0) <= per_window_limit else "joins"
 
     if strategy == "partitioned":

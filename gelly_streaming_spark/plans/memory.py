@@ -45,7 +45,9 @@ def track_persist(df: DataFrame) -> DataFrame:
 
 def release_persisted(spark) -> int:
     """Unpersist every frame registered via ``track_persist`` (plus the
-    edge-view memo via its own ``release_cache``). Returns frames freed.
+    edge-view memo via its own ``release_cache``), drain the triangle
+    strategy/prep memos (destroying their kernel broadcasts), and remove
+    the replay-staging chunk directories. Returns frames freed.
     Safe to call mid-session: persisted frames recompute from lineage on
     next use — unlike checkpoints, nothing is lost, only re-derived."""
     from gelly_streaming_spark.sources.edges import release_cache
@@ -59,6 +61,27 @@ def release_persisted(spark) -> int:
         except Exception:
             pass
     reg.clear()
+    # Triangle memos hold (frame, nrows, broadcast) / (frame, stats)
+    # tuples for session-lifetime views; the frames were unpersisted via
+    # the ledger/edge cache above, but the entries pin the Python refs
+    # and the ~15 MB kernel broadcasts until explicitly dropped.
+    for attr in ("_gss_tri_prep", "_gss_tri_window_stats"):
+        memo = getattr(spark, attr, None) or {}
+        for entry in memo.values():
+            bc = entry[2] if len(entry) > 2 else None
+            if bc is not None:
+                try:
+                    bc.destroy()
+                except Exception:
+                    pass
+        memo.clear()
+    # Replay staging: remove the session's staged chunk dirs from disk.
+    import shutil
+
+    stage = getattr(spark, "_gss_replay_stage", None) or {}
+    for d in stage.values():
+        shutil.rmtree(d, ignore_errors=True)
+    stage.clear()
     return freed
 
 

@@ -741,20 +741,14 @@ def _replay_tmp(
     order_by: Optional[str] = None,
     key: Optional[str] = None,
 ) -> DataFrame:
-    import tempfile
-
     from gelly_streaming_spark.streaming.sources import replay
 
     cache_key = (
         None if key is None else f"{key}:{num_batches}:{order_by or ''}"
     )
-    return replay(
-        df,
-        tempfile.mkdtemp(prefix="gss_replay_"),
-        num_batches,
-        order_by=order_by,
-        cache_key=cache_key,
-    )
+    # stage_dir is left to replay(): it allocates the temp dir only on a
+    # memo miss, so memoized reruns create no orphan /tmp dirs.
+    return replay(df, None, num_batches, order_by=order_by, cache_key=cache_key)
 
 
 class _parity_stream_confs:

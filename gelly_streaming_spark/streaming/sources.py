@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 def replay(
     df: DataFrame,
-    stage_dir: str,
+    stage_dir: str | None = None,
     num_batches: int = 4,
     files_per_trigger: int = 1,
     order_by: str | None = None,
@@ -65,8 +65,14 @@ def replay(
     identical files, which is harness scaffolding, not engine work — the
     streaming query itself still executes fully every call. Only pass a
     key for sources that are immutable for the session's lifetime.
+
+    ``stage_dir=None`` creates a fresh temp dir — and only AFTER the memo
+    lookup misses, so memo-hit replays allocate nothing on disk. Staged
+    dirs live for the session (that is the point of the memo) and are
+    removed by ``plans.memory.release_persisted``.
     """
     import os
+    import tempfile
     import time
 
     import pyarrow.parquet as pq
@@ -84,6 +90,8 @@ def replay(
                 .parquet(staged)
             )
 
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="gss_replay_")
     os.makedirs(stage_dir, exist_ok=True)
     # A reused stage dir must not replay a previous call's chunks: the
     # file source globs every chunk-*.parquet it finds, so stale files
