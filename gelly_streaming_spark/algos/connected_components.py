@@ -264,28 +264,45 @@ def connected_components_alternating(
 
     rounds = 0
     converged = False
-    # The first checksum doubles as the persist-materializing action AND
-    # the edge-count probe — one job where checkpoint+count would be two.
-    prev_sum = _checksum(e)
-    # Right-size the whole run's shuffle width to the MEASURED edge
-    # count. The loop runs ONE fused job per 2-round block; on a
-    # contracted/small graph each job at the session's full shuffle
-    # width is pure task-launch + AQE-replan overhead (measured ~25% of
-    # q15d wall-clock). Static right-sizing up front beats AQE
-    # discovering the same coalesce per stage, per job — and never
-    # widens past the session default, so a 100 TB run keeps its
-    # configured width. Conf is restored in `finally` (runtime conf,
-    # driver-sequential loop — no concurrent-query interference).
+    # Right-size the shuffle width BEFORE any job runs. Two estimates:
+    # the initial checksum/persist phase uses Catalyst's optimized-plan
+    # size estimate (parquet footer sizes — available without running a
+    # job); the contraction loop then re-sizes from the MEASURED edge
+    # count the checksum returns. On a contracted/small graph each job
+    # at the session's full shuffle width is pure task-launch +
+    # AQE-replan overhead (measured ~25% of q15d wall-clock, and the
+    # un-narrowed initial checksum ran as FOUR AQE stage-jobs at width
+    # 32). Static right-sizing up front beats AQE discovering the same
+    # coalesce per stage, per job — and never widens past the session
+    # default, so a 100 TB run keeps its configured width. Conf is
+    # restored in `finally` (runtime conf, driver-sequential loop — no
+    # concurrent-query interference).
     sess_conf = stream.edges.sparkSession.conf
     old_parts = sess_conf.get("spark.sql.shuffle.partitions")
     old_aqe = sess_conf.get("spark.sql.adaptive.enabled")
-    loop_parts = max(1, min(int(old_parts), prev_sum[0] // 250_000 + 1))
     try:
+        est_bytes = int(
+            e._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()  # noqa: SLF001
+        )
+    except Exception:
+        est_bytes = 1 << 62  # unknown — keep the session width
+    width0 = max(1, min(int(old_parts), est_bytes // (64 << 20) + 1))
+    try:
+        sess_conf.set("spark.sql.shuffle.partitions", str(width0))
+        if width0 <= 4:
+            sess_conf.set("spark.sql.adaptive.enabled", "false")
+        # The first checksum doubles as the persist-materializing action
+        # AND the edge-count probe — one job where checkpoint+count
+        # would be two.
+        prev_sum = _checksum(e)
+        loop_parts = max(1, min(int(old_parts), prev_sum[0] // 250_000 + 1))
         sess_conf.set("spark.sql.shuffle.partitions", str(loop_parts))
         if loop_parts <= 4:
             # tiny regime: AQE replan latency outweighs anything it
             # could re-decide over ≤4 right-sized partitions
             sess_conf.set("spark.sql.adaptive.enabled", "false")
+        else:
+            sess_conf.set("spark.sql.adaptive.enabled", old_aqe)
         # ONE job per contraction round: the round's eager
         # localCheckpoint both cuts lineage (mandatory — each star
         # operator references its input 3-4×, so two un-cut rounds
@@ -339,18 +356,22 @@ def connected_components_alternating(
                 f"max_iter={max_iter} rounds (O(log n) expected — raise max_iter)"
             )
 
-        # Vertices come straight from the persisted base edge set in the
-        # final plan — no upfront verts checkpoint job; e0 stays cached
-        # (it was materialized by the initial checksum) until `out` is.
-        stars = e.groupBy("src").agg(F.min("dst").alias("root"))
-        verts = (
-            e0.select(F.col("src").alias("id"))
-            .unionByName(e0.select(F.col("dst").alias("id")))
-            .distinct()
-        )
+        # Labels come straight from the CONTRACTED set — never from a
+        # re-scan of e0. At the checksum fixpoint the set is a star
+        # forest over exactly e0's vertex set (each round's small-star
+        # re-emits both endpoints of every ≤-edge, so no vertex is ever
+        # dropped): every non-root vertex appears as a src with its
+        # component minimum as dst, and every root appears only as a
+        # dst. Children label themselves with min(dst) (the min-agg is
+        # the star-forest identity, kept as a one-shuffle safety net),
+        # roots with themselves — a union of two aggregations over the
+        # tiny contracted set, replacing the old verts-distinct over e0
+        # plus left join (two shuffles and a second e0 scan).
+        children = e.groupBy("src").agg(F.min("dst").alias("component"))
+        roots = e.select(F.col("dst").alias("id")).distinct()
         labels = (
-            verts.join(stars, verts.id == stars.src, "left")
-            .select("id", F.coalesce("root", "id").alias("component"))
+            children.select(F.col("src").alias("id"), "component")
+            .unionByName(roots.withColumn("component", F.col("id")))
         )
         out = labels.localCheckpoint()
     finally:

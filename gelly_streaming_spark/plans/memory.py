@@ -82,6 +82,12 @@ def release_persisted(spark) -> int:
     for d in stage.values():
         shutil.rmtree(d, ignore_errors=True)
     stage.clear()
+    # Table-plan memo: plain logical plans (no storage), but the entries
+    # pin restaged-scan refs — drop them with the rest of the session
+    # caches so a release really returns the session to a cold state.
+    memo = getattr(spark, "_gss_table_df", None)
+    if memo is not None:
+        memo.clear()
     return freed
 
 

@@ -107,9 +107,25 @@ def _maybe_restage(spark: SparkSession, path: str, df: DataFrame, name: str):
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table; normalizes the events timestamp column."""
+    """Load one testdata table; normalizes the events timestamp column.
+
+    The constructed DataFrame is memoized per (session, path): logical
+    plans are immutable, and every fresh ``spark.read.parquet`` fires a
+    driver-side footer/schema-inference job (plus a second one for the
+    restaged copy) — pure repeat cost that showed up as 2-4 one-task
+    jobs at the head of EVERY query execution. The memo returns the
+    same plan object; consumers compose lazily on top, so pruning and
+    pushdown are unaffected. ``plans.memory.release_persisted`` drops
+    the memo with the other session caches.
+    """
     prepare_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    dfcache = getattr(spark, "_gss_table_df", None)
+    if dfcache is None:
+        dfcache = {}
+        spark._gss_table_df = dfcache  # noqa: SLF001 — session memo
+    if path in dfcache:
+        return dfcache[path]
     df = spark.read.parquet(path)
     ts_dtype = dict(df.dtypes).get("ts") if name == "events" else None
     if ts_dtype == "bigint":
@@ -123,4 +139,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Explicit LTZ cast: to_timestamp() follows spark.sql.timestampType,
         # so it silently no-ops if an embedding session sets NTZ.
         df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
-    return _maybe_restage(spark, path, df, name)
+    out = _maybe_restage(spark, path, df, name)
+    dfcache[path] = out
+    return out
