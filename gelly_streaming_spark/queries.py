@@ -757,8 +757,9 @@ class _parity_stream_confs:
     ``spark.sql.shuffle.partitions`` (AQE never re-plans it), and a
     2-micro-batch replay of a small fixture does not amortize 32 state
     stores per operator — measured 13.6 s → 7.6 s across the four
-    streaming parity queries at 8, and a further ~0.5 s/query at 4
-    (every state store pays per-batch commit + snapshot bookkeeping).
+    streaming parity queries at 8, a further ~0.5 s/query at 4, and
+    ~0.2 s/query more at 2 (every state store pays per-batch commit +
+    snapshot bookkeeping). Production streams size this per deployment.
 
     The offset/commit/state checkpoint also goes to a RAM disk when one
     exists (measured ~0.2–0.4 s/query of fsync latency): a parity
@@ -915,6 +916,37 @@ def q29s(spark: SparkSession, sf_dir: str) -> DataFrame:
             E.edges_cust_order(spark, sf_dir), num_batches=2, key=f"q29s:{sf_dir}"
         )
         return run_update_merge(GraphStream(stream).degrees(), ["id"])
+
+
+# ---------------------------------------------------------------------------
+# Q30: bucketed-ingest certification — the 100 TB co-location convention
+# answers a real query through the catalog, end-to-end oracle-checked.
+# ---------------------------------------------------------------------------
+_Q30_SQL = _with(
+    "SELECT src AS id, COUNT(*) AS out_degree, COUNT(DISTINCT dst) AS n_dst "
+    "FROM edges_cust_order GROUP BY src",
+    "edges_cust_order",
+)
+
+
+@_q("q30_bucketed_ingest", _Q30_SQL,
+    "ingest-time bucketing certified end-to-end: two aggregations and an "
+    "equi-join over the src-bucketed catalog table compile with ZERO "
+    "Exchange operators (asserted in tests/test_plans.py) and hash-match "
+    "the same oracle as a plain scan — the co-location path is not just "
+    "plan-shaped but answer-correct")
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.sources.ingest import edges_bucketed
+
+    t = edges_bucketed(spark, sf_dir)
+    # two independent aggregations + a join, all on the bucket key: on a
+    # bucketed table every one of these is exchange-free — the shuffle
+    # was paid once at ingest (write_bucketed), not here
+    deg = t.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    nd = t.groupBy("src").agg(F.countDistinct("dst").alias("n_dst"))
+    return deg.join(nd, "src").select(
+        F.col("src").alias("id"), "out_degree", "n_dst"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

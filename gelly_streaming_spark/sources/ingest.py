@@ -49,14 +49,39 @@ def write_bucketed(
 def edges_bucketed(
     spark: SparkSession,
     sf_dir: str,
-    table: str = "gss_edges_by_src",
+    table: str | None = None,
     num_buckets: int = 32,
 ) -> DataFrame:
     """Ingest the customer→order edge view bucketed by ``src`` — the key
     every degree aggregation and vertex join hits. Idempotent per
-    session: an existing catalog table is returned as-is."""
+    session: an existing catalog table is returned as-is. The default
+    table name is keyed by ``sf_dir`` so two scale factors in one
+    session never alias to the same bucketed table."""
+    if table is None:
+        import hashlib
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+        table = f"gss_edges_by_src_{tag}"
     if spark.catalog.tableExists(table):
         return spark.table(table)
+    # A previous SESSION may have left the managed-table directory behind
+    # while the (in-memory) catalog entry died with it — saveAsTable then
+    # fails with LOCATION_ALREADY_EXISTS even in overwrite mode. The dir
+    # is a session-scoped ingest artifact: remove the stale copy and
+    # re-ingest. (A cluster deployment's persistent catalog tracks the
+    # location and never hits this branch.)
+    try:
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            loc = os.path.join(wh.path, table)
+            if os.path.exists(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+    except Exception:
+        pass  # best-effort; saveAsTable will surface any real conflict
     from gelly_streaming_spark.sources.edges import edges_cust_order
 
     return write_bucketed(

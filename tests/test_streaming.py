@@ -405,3 +405,30 @@ def test_run_to_memory_rejects_update_mode(spark, tmp_path):
     s = replay(df, str(tmp_path / "upd"), num_batches=2)
     with _pytest.raises(ValueError, match="update"):
         run_to_memory(s.groupBy("src").count(), "update")
+
+
+def test_parity_confs_restored_and_ckpt_removed_on_failure(spark):
+    """VERDICT r5 #5: a streaming parity query that THROWS inside the
+    conf context must still restore the session confs and remove the
+    RAM-disk throwaway checkpoint dir — a failed query cannot leak
+    either."""
+    import os
+
+    import pytest as _pytest
+
+    from gelly_streaming_spark.queries import _parity_stream_confs
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ckpt = spark.conf.get("spark.sql.streaming.checkpointLocation", None)
+    ctx = _parity_stream_confs(spark)
+    with _pytest.raises(RuntimeError, match="boom"):
+        with ctx:
+            leaked_dir = ctx.ckpt_dir
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    assert (
+        spark.conf.get("spark.sql.streaming.checkpointLocation", None)
+        == prev_ckpt
+    )
+    if leaked_dir is not None:  # None when /dev/shm is unavailable
+        assert not os.path.exists(leaked_dir), leaked_dir
