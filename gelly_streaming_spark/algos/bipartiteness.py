@@ -35,59 +35,69 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
+def _odd_vertex_reach_local(spark: SparkSession, rows) -> DataFrame:
+    """Driver-local 2-coloring over collected (graph, src, dst) rows —
+    symmetrization and dedup happen as dict inserts, then one BFS per
+    component: odd vertex ⇔ lies in a non-bipartite component."""
+    import collections as _c
+
+    adj: dict = _c.defaultdict(lambda: _c.defaultdict(set))
+    for g, a, b in rows:
+        a, b = int(a), int(b)
+        adj[g][a].add(b)
+        adj[g][b].add(a)
+    out = []
+    for g in sorted(adj):
+        nbrs = adj[g]
+        odd_vertices = 0
+        color: dict = {}
+        for v in sorted(nbrs):
+            if v in color:
+                continue
+            comp, ok = [v], True
+            color[v] = 0
+            q = _c.deque([v])
+            while q:
+                u = q.popleft()
+                for w in nbrs[u]:
+                    if w not in color:
+                        color[w] = 1 - color[u]
+                        comp.append(w)
+                        q.append(w)
+                    elif color[w] == color[u]:
+                        ok = False
+            if not ok:
+                odd_vertices += len(comp)
+        out.append((g, odd_vertices == 0, odd_vertices))
+    return spark.createDataFrame(
+        out, "graph string, is_bipartite boolean, odd_vertices long"
+    )
+
+
 def odd_vertex_reach(
     tagged_edges: DataFrame, max_iter: int = 64, small_input_rows: int = 100_000
 ) -> DataFrame:
     """``tagged_edges``: (graph, src, dst). Returns one row per graph:
     (graph, is_bipartite, odd_vertices).
 
-    Adaptive: under ``small_input_rows`` symmetrized edges the parity
-    closure runs driver-local (per-graph BFS parity sets) instead of the
+    Adaptive: under ``small_input_rows`` raw edges the parity closure
+    runs driver-local (per-graph BFS parity sets) instead of the
     distributed pair fixpoint, whose O(n²) pair state is pure job
     overhead at fixture sizes; ``small_input_rows=0`` forces the
-    distributed path."""
-    eu = _symmetrize(tagged_edges).localCheckpoint()
+    distributed path. The probe is ONE bounded ``limit(N+1).collect()``
+    job on the raw input (the same fused move as connected_components'
+    fast path): symmetrization and dedup are O(E) dict inserts on the
+    driver, so spending cluster jobs on them (the old checkpoint →
+    count → toPandas chain, 3 jobs) bought nothing."""
+    if small_input_rows > 0:
+        from gelly_streaming_spark.plans.probe import bounded_take
 
-    if eu.count() <= small_input_rows:
-        import collections as _c
-
-        pdf = eu.toPandas()
-        free_checkpoint(eu)
-        adj: dict = _c.defaultdict(set)
-        graphs = sorted(set(pdf["graph"].tolist()))
-        for g, a, b in zip(pdf["graph"], pdf["src"], pdf["dst"]):
-            adj[g].add((int(a), int(b)))
-        out = []
-        for g in graphs:
-            nbrs = _c.defaultdict(set)
-            for a, b in adj[g]:
-                nbrs[a].add(b)
-            # odd vertex ⇔ reaches itself over an odd walk ⇔ lies in a
-            # non-bipartite component; compute per-component 2-coloring
-            odd_vertices = 0
-            color: dict = {}
-            for v in sorted(nbrs):
-                if v in color:
-                    continue
-                comp, ok = [v], True
-                color[v] = 0
-                q = _c.deque([v])
-                while q:
-                    u = q.popleft()
-                    for w in nbrs[u]:
-                        if w not in color:
-                            color[w] = 1 - color[u]
-                            comp.append(w)
-                            q.append(w)
-                        elif color[w] == color[u]:
-                            ok = False
-                if not ok:
-                    odd_vertices += len(comp)
-            out.append((g, odd_vertices == 0, odd_vertices))
-        spark = tagged_edges.sparkSession
-        return spark.createDataFrame(
-            out, "graph string, is_bipartite boolean, odd_vertices long"
+        rows = bounded_take(
+            tagged_edges.select("graph", "src", "dst"), small_input_rows
         )
+        if len(rows) <= small_input_rows:
+            return _odd_vertex_reach_local(tagged_edges.sparkSession, rows)
+    eu = _symmetrize(tagged_edges).localCheckpoint()
     walk = (
         eu.select("graph", F.col("src").alias("root"))
         .distinct()

@@ -48,7 +48,9 @@ def _try_small_union_find(e: DataFrame, small_input_rows: int) -> DataFrame | No
     direction-free), so the caller's canonical set is collected as-is."""
     if small_input_rows <= 0:
         return None
-    rows = e.select("src", "dst").limit(small_input_rows + 1).collect()
+    from gelly_streaming_spark.plans.probe import bounded_take
+
+    rows = bounded_take(e.select("src", "dst"), small_input_rows)
     if len(rows) > small_input_rows:
         return None
     ds = DisjointSet()
@@ -360,18 +362,19 @@ def connected_components_alternating(
         # re-scan of e0. At the checksum fixpoint the set is a star
         # forest over exactly e0's vertex set (each round's small-star
         # re-emits both endpoints of every ≤-edge, so no vertex is ever
-        # dropped): every non-root vertex appears as a src with its
-        # component minimum as dst, and every root appears only as a
-        # dst. Children label themselves with min(dst) (the min-agg is
-        # the star-forest identity, kept as a one-shuffle safety net),
-        # roots with themselves — a union of two aggregations over the
-        # tiny contracted set, replacing the old verts-distinct over e0
-        # plus left join (two shuffles and a second e0 scan).
-        children = e.groupBy("src").agg(F.min("dst").alias("component"))
-        roots = e.select(F.col("dst").alias("id")).distinct()
-        labels = (
-            children.select(F.col("src").alias("id"), "component")
-            .unionByName(roots.withColumn("component", F.col("id")))
+        # dropped): every non-root vertex appears EXACTLY ONCE as a src
+        # with its component minimum as dst — small-star's per-src
+        # window emits one (src, mn) row per group and a src with two
+        # distinct parents could not be a round-function fixpoint (the
+        # next min-window would rewrite it) — and every root appears
+        # only as a dst. So children rows ARE label rows as-is (no
+        # groupBy — the min-agg it replaced was the star-forest
+        # identity, one whole shuffle spent re-deriving a property the
+        # checksum fixpoint already guarantees; the oracle hash-parity
+        # and the min-label cross-check property test would both catch
+        # a duplicate-src violation); roots self-label via one distinct.
+        labels = e.select(F.col("src").alias("id"), F.col("dst").alias("component")).unionByName(
+            e.select(F.col("dst").alias("id"), F.col("dst").alias("component")).distinct()
         )
         out = labels.localCheckpoint()
     finally:

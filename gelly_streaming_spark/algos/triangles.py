@@ -161,7 +161,11 @@ def triangle_count(
             # broadcast_limit+1 rows — if the limit spills over, fall to
             # the joins plan having transferred a bounded amount, else
             # the arrow table is already in hand (no separate count job)
-            tbl = e.select("src", "dst").limit(broadcast_limit + 1).toArrow()
+            from gelly_streaming_spark.plans.probe import bounded_take
+
+            tbl = bounded_take(
+                e.select("src", "dst"), broadcast_limit, as_arrow=True
+            )
             nrows = tbl.num_rows
             if mkey is not None and nrows > broadcast_limit:
                 # memoize the joins decision too: the next call must not

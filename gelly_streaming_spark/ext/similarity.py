@@ -174,11 +174,11 @@ def jaccard_pairs(
     # the same stats-driven plan choice AQE makes for joins
     vocab = None
     if strategy in ("auto", "bitset"):
-        vocab_rows = (
-            reps.select(F.explode("toks").alias("token"))
-            .distinct()
-            .limit(_BITSET_VOCAB_LIMIT + 1)
-            .collect()
+        from gelly_streaming_spark.plans.probe import bounded_take
+
+        vocab_rows = bounded_take(
+            reps.select(F.explode("toks").alias("token")).distinct(),
+            _BITSET_VOCAB_LIMIT,
         )
         if len(vocab_rows) <= _BITSET_VOCAB_LIMIT:
             vocab = sorted(r["token"] for r in vocab_rows)

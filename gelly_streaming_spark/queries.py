@@ -757,9 +757,11 @@ class _parity_stream_confs:
     ``spark.sql.shuffle.partitions`` (AQE never re-plans it), and a
     2-micro-batch replay of a small fixture does not amortize 32 state
     stores per operator — measured 13.6 s → 7.6 s across the four
-    streaming parity queries at 8, a further ~0.5 s/query at 4, and
-    ~0.2 s/query more at 2 (every state store pays per-batch commit +
-    snapshot bookkeeping). Production streams size this per deployment.
+    streaming parity queries at 8, a further ~0.5 s/query at 4,
+    ~0.2 s/query more at 2, and ~0.06 s/query at 1 (every state store
+    pays per-batch commit + snapshot bookkeeping; below 2 the residual
+    is the query start/stop floor, measured ~0.5 s on this host for a
+    trivial 1-batch query). Production streams size this per deployment.
 
     The offset/commit/state checkpoint also goes to a RAM disk when one
     exists (measured ~0.2–0.4 s/query of fsync latency): a parity
@@ -772,7 +774,7 @@ class _parity_stream_confs:
 
     _CKPT_CONF = "spark.sql.streaming.checkpointLocation"
 
-    def __init__(self, spark: SparkSession, n: int = 2):
+    def __init__(self, spark: SparkSession, n: int = 1):
         self.spark, self.n = spark, n
         self.ckpt_dir: str | None = None
 

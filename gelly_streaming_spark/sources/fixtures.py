@@ -53,7 +53,17 @@ def fixture_rows(name: str) -> list[tuple]:
 
 
 def fixture_graph(spark: SparkSession, name: str) -> DataFrame:
-    return spark.createDataFrame(fixture_rows(name), EDGE_SCHEMA)
+    """Fixture as a true LocalRelation (SQL ``VALUES``): a
+    ``createDataFrame`` over a Python list parallelizes ≤9 rows into
+    ``defaultParallelism`` RDD slices, so every downstream collect or
+    Arrow staging launched a 32-task scan plus Python-worker
+    deserialization per slice; the ``VALUES`` form is driver-local data
+    the whole way down and its casts constant-fold."""
+    return spark.sql(
+        "SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, "
+        "CAST(val AS DOUBLE) AS val, CAST(ts AS TIMESTAMP) AS ts "
+        f"FROM {fixture_values_sql(name)}"
+    )
 
 
 def fixture_values_sql(name: str) -> str:

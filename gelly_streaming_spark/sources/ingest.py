@@ -50,13 +50,21 @@ def edges_bucketed(
     spark: SparkSession,
     sf_dir: str,
     table: str | None = None,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Ingest the customer→order edge view bucketed by ``src`` — the key
     every degree aggregation and vertex join hits. Idempotent per
     session: an existing catalog table is returned as-is. The default
     table name is keyed by ``sf_dir`` so two scale factors in one
-    session never alias to the same bucketed table."""
+    session never alias to the same bucketed table.
+
+    ``num_buckets=None`` applies the module's sizing rule from the
+    input's Catalyst size estimate (one bucket ≈ 256 MB, floor 4): a
+    bucketed read produces exactly one task per bucket with NO AQE
+    coalescing (there is no exchange to re-plan), so an over-bucketed
+    small table pays bucket-count task launches on every downstream
+    stage — while the same rule lands a 100 TB ingest at the hundreds
+    of buckets the docstring's 128–512 MB guidance prescribes."""
     if table is None:
         import hashlib
 
@@ -84,6 +92,13 @@ def edges_bucketed(
         pass  # best-effort; saveAsTable will surface any real conflict
     from gelly_streaming_spark.sources.edges import edges_cust_order
 
-    return write_bucketed(
-        edges_cust_order(spark, sf_dir), table, ["src"], num_buckets
-    )
+    df = edges_cust_order(spark, sf_dir)
+    if num_buckets is None:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()  # noqa: SLF001
+            )
+        except Exception:
+            est = 1 << 33  # unknown — size for a large table
+        num_buckets = max(4, min(512, est // (256 << 20) + 1))
+    return write_bucketed(df, table, ["src"], num_buckets)
