@@ -170,15 +170,35 @@ def main() -> None:
     # over min-of-2 because the virtualized bench host shows 3-4x
     # wall-clock swings on identical CPU-bound work (host steal bursts):
     # the median damps a single burst without crediting a single lucky
-    # run, and the DuckDB baseline below is timed the same way in the
-    # same process, so the ratio is same-host, same-hour.
+    # run. The DuckDB baseline (BENCH_DUCKDB=0 disables) is timed the
+    # same way in the same process, and its runs are INTERLEAVED with
+    # the engine's per run (engine, duck, engine, duck, ...): with the
+    # two sides in separate sequential phases minutes apart, a steal
+    # burst during one phase moved the headline ratio by ±0.5× run to
+    # run; adjacent interleaved runs sample the same noise window, so
+    # the ratio compares plans, not weather.
     runs_per_query = int(os.environ.get("BENCH_RUNS", "3"))
+    duck_con = None
+    if os.environ.get("BENCH_DUCKDB", "1") != "0":
+        import duckdb
+
+        duck_con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            duck_con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     timings_max: dict[str, float] = {}
+    duck: dict[str, float] = {}
+    duck_min: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, q in sorted(REGISTRY.items()):
         runs: list[float] = []
+        druns: list[float] = []
         for _ in range(runs_per_query):
             t0 = time.time()
             try:
@@ -187,6 +207,10 @@ def main() -> None:
             except Exception as ex:  # one broken query must not kill the run
                 errors[name] = f"{type(ex).__name__}: {ex}"[:300]
                 break
+            if duck_con is not None and q.sql is not None:
+                t0 = time.time()
+                duck_con.sql(q.sql).fetchall()
+                druns.append(time.time() - t0)
         # a query that errored on ANY run is excluded from timings
         # entirely (not a median of its lucky runs): `queries`,
         # `comparable_queries`, and the DuckDB side then all cover the
@@ -195,6 +219,9 @@ def main() -> None:
             timings[name] = round(statistics.median(runs), 3)
             timings_min[name] = round(min(runs), 3)
             timings_max[name] = round(max(runs), 3)
+            if druns:
+                duck[name] = round(statistics.median(druns), 3)
+                duck_min[name] = round(min(druns), 3)
 
     # `value` = copart build + per-query medians of every SUCCESSFUL
     # query. An errored query is absent from `queries`, so the total is
@@ -240,28 +267,9 @@ def main() -> None:
 
     # Same-run DuckDB baseline ON BY DEFAULT (BENCH_DUCKDB=0 disables),
     # so every BENCH_r*.json carries its own same-host ratio instead of
-    # depending on a cross-session DuckDB measurement.
-    if os.environ.get("BENCH_DUCKDB", "1") != "0":
-        import duckdb
-
-        con = duckdb.connect()
-        for t in (
-            "region nation customer supplier part orders lineitem events "
-            "documents embeddings"
-        ).split():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-        duck: dict[str, float] = {}
-        duck_min: dict[str, float] = {}
-        for name, q in sorted(REGISTRY.items()):
-            if q.sql is None or name in errors:
-                continue  # keep both sides over the same comparable set
-            runs = []
-            for _ in range(runs_per_query):  # same median-of-N as the engine
-                t0 = time.time()
-                con.sql(q.sql).fetchall()
-                runs.append(time.time() - t0)
-            duck[name] = round(statistics.median(runs), 3)
-            duck_min[name] = round(min(runs), 3)
+    # depending on a cross-session DuckDB measurement. Timed above,
+    # interleaved run-for-run with the engine.
+    if duck_con is not None:
         result["duckdb_queries"] = duck
         result["duckdb_queries_min"] = duck_min
         result["duckdb_total_sec"] = round(sum(duck.values()), 3)

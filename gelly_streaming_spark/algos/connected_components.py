@@ -256,29 +256,19 @@ def connected_components_alternating(
             .distinct()
         )
 
-    def _checksum(edges: DataFrame):
-        row = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            # order-independent, overflow-free set checksum
-            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
-        ).first()
-        return (row["n"], row["h"])
-
     rounds = 0
     converged = False
-    # Right-size the shuffle width BEFORE any job runs. Two estimates:
-    # the initial checksum/persist phase uses Catalyst's optimized-plan
-    # size estimate (parquet footer sizes — available without running a
-    # job); the contraction loop then re-sizes from the MEASURED edge
-    # count the checksum returns. On a contracted/small graph each job
-    # at the session's full shuffle width is pure task-launch +
-    # AQE-replan overhead (measured ~25% of q15d wall-clock, and the
-    # un-narrowed initial checksum ran as FOUR AQE stage-jobs at width
-    # 32). Static right-sizing up front beats AQE discovering the same
-    # coalesce per stage, per job — and never widens past the session
-    # default, so a 100 TB run keeps its configured width. Conf is
-    # restored in `finally` (runtime conf, driver-sequential loop — no
-    # concurrent-query interference).
+    # Right-size the shuffle width BEFORE any job runs, from Catalyst's
+    # optimized-plan size estimate (parquet footer sizes — available
+    # without running a job); once round 1's observation returns the
+    # MEASURED contracted edge count, the loop re-sizes from that. On a
+    # contracted/small graph each job at the session's full shuffle
+    # width is pure task-launch + AQE-replan overhead (measured ~25% of
+    # q15d wall-clock). Static right-sizing up front beats AQE
+    # discovering the same coalesce per stage, per job — and never
+    # widens past the session default, so a 100 TB run keeps its
+    # configured width. Conf is restored in `finally` (runtime conf,
+    # driver-sequential loop — no concurrent-query interference).
     sess_conf = stream.edges.sparkSession.conf
     old_parts = sess_conf.get("spark.sql.shuffle.partitions")
     old_aqe = sess_conf.get("spark.sql.adaptive.enabled")
@@ -293,18 +283,13 @@ def connected_components_alternating(
         sess_conf.set("spark.sql.shuffle.partitions", str(width0))
         if width0 <= 4:
             sess_conf.set("spark.sql.adaptive.enabled", "false")
-        # The first checksum doubles as the persist-materializing action
-        # AND the edge-count probe — one job where checkpoint+count
-        # would be two.
-        prev_sum = _checksum(e)
-        loop_parts = max(1, min(int(old_parts), prev_sum[0] // 250_000 + 1))
-        sess_conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-        if loop_parts <= 4:
-            # tiny regime: AQE replan latency outweighs anything it
-            # could re-decide over ≤4 right-sized partitions
-            sess_conf.set("spark.sql.adaptive.enabled", "false")
-        else:
-            sess_conf.set("spark.sql.adaptive.enabled", old_aqe)
+        # No up-front checksum job: round 1 both materializes the
+        # persist and records the first (count, set-hash) signature via
+        # its observe(), so convergence tracking starts one round in.
+        # The only input that loses a round to this is one that is
+        # ALREADY a star forest (detected after 2 rounds instead of 1);
+        # every other input saves a whole driver-synchronized job.
+        prev_sum = None
         # ONE job per contraction round: the round's eager
         # localCheckpoint both cuts lineage (mandatory — each star
         # operator references its input 3-4×, so two un-cut rounds
@@ -345,6 +330,20 @@ def connected_components_alternating(
             if cur_sum == prev_sum:
                 converged = True
                 break
+            if prev_sum is None:
+                # first measured edge count — re-size the loop's shuffle
+                # width to the data (same policy the old up-front
+                # checksum applied, now from a free side-observation)
+                loop_parts = max(
+                    1, min(int(old_parts), cur_sum[0] // 250_000 + 1)
+                )
+                sess_conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+                if loop_parts <= 4:
+                    # tiny regime: AQE replan latency outweighs anything
+                    # it could re-decide over ≤4 right-sized partitions
+                    sess_conf.set("spark.sql.adaptive.enabled", "false")
+                else:
+                    sess_conf.set("spark.sql.adaptive.enabled", old_aqe)
             prev_sum = cur_sum
         if stats is not None:
             stats["rounds"] = rounds
