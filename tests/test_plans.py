@@ -246,3 +246,42 @@ def test_release_persisted_drains_all_session_state(spark, sf_dir):
     # (tolerate blocks that predate this test; nothing NEW may remain)
     leaked = persistent_ids() - before_ids
     assert not leaked, f"leaked persistent RDDs: {leaked}"
+
+
+def test_bounded_take_one_pass_and_conf_restore(spark):
+    """Small estimated inputs drain in one job (the incremental
+    CollectLimit scale-up would cost a driver round-trip per 1→4→16
+    partition round); the session conf must be restored afterwards —
+    including when the probed plan throws mid-collect."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from gelly_streaming_spark.plans.probe import _CONF, bounded_take
+
+    before = spark.conf.get(_CONF, None)
+    d = spark.range(0, 100, 1, 8).select(F.col("id").alias("v"))
+    rows = bounded_take(d, 1000)
+    assert len(rows) == 100
+    assert spark.conf.get(_CONF, None) == before
+    # overflow sentinel: n+1 rows come back when the bound is exceeded
+    assert len(bounded_take(d, 10)) == 11
+    # conf restored even when execution fails inside the probe
+    bad = d.select(F.expr("assert_true(v < 50)"), "v")
+    with pytest.raises(Exception):
+        bounded_take(bad, 1000)
+    assert spark.conf.get(_CONF, None) == before
+
+
+def test_fixture_graphs_are_local_relations(spark):
+    """Fixtures must stay driver-local data: a parallelized
+    createDataFrame puts ≤9 rows in defaultParallelism RDD slices, so
+    every probe/collect launched one task per slice plus a Python
+    worker round (measured ~1 s per fixture collect on a 32-core
+    session)."""
+    from gelly_streaming_spark.sources.fixtures import FIXTURE_GRAPHS, fixture_graph
+
+    for name, rows in FIXTURE_GRAPHS.items():
+        df = fixture_graph(spark, name)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "LocalRelation" in plan, f"{name} is not a LocalRelation:\n{plan}"
+        assert df.count() == len(rows)
