@@ -757,11 +757,14 @@ class _parity_stream_confs:
     ``spark.sql.shuffle.partitions`` (AQE never re-plans it), and a
     2-micro-batch replay of a small fixture does not amortize 32 state
     stores per operator — measured 13.6 s → 7.6 s across the four
-    streaming parity queries at 8, a further ~0.5 s/query at 4,
-    ~0.2 s/query more at 2, and ~0.06 s/query at 1 (every state store
-    pays per-batch commit + snapshot bookkeeping; below 2 the residual
-    is the query start/stop floor, measured ~0.5 s on this host for a
-    trivial 1-batch query). Production streams size this per deployment.
+    streaming parity queries at 8, a further ~0.5 s/query at 4. Going
+    BELOW 4 was measured and rejected: the state-store bookkeeping
+    saved is ~0.06 s/query on a trivial fixture, but the same width
+    also serializes the replay's DATA work (q27s's 190 k-row windowed
+    agg ran 1.3–1.5 s at width 1 vs 0.85–0.95 s at 4; q28s 0.68 vs
+    0.57). 4 is the measured basin for both regimes; the residual is
+    the query start/stop floor (~0.5 s on this host). Production
+    streams size this per deployment.
 
     The offset/commit/state checkpoint also goes to a RAM disk when one
     exists (measured ~0.2–0.4 s/query of fsync latency): a parity
@@ -774,7 +777,7 @@ class _parity_stream_confs:
 
     _CKPT_CONF = "spark.sql.streaming.checkpointLocation"
 
-    def __init__(self, spark: SparkSession, n: int = 1):
+    def __init__(self, spark: SparkSession, n: int = 4):
         self.spark, self.n = spark, n
         self.ckpt_dir: str | None = None
 
