@@ -33,6 +33,10 @@ from gelly_streaming_spark.operators.aggregation import SummaryAggregation
 from gelly_streaming_spark.operators.graphstream import GraphStream
 from gelly_streaming_spark.plans.memory import free_checkpoint
 
+# Measured edge count above which the alternating-CC star operations
+# switch to their skew-safe (partial-agg + AQE-splittable join) form.
+_SKEW_SAFE_EDGES = 50_000_000
+
 
 def _try_small_union_find(e: DataFrame, small_input_rows: int) -> DataFrame | None:
     """Adaptive small-graph fast path, fused to ONE driver action.
@@ -166,6 +170,7 @@ def connected_components_alternating(
     max_iter: int = 50,
     stats: dict | None = None,
     small_input_rows: int = 100_000,
+    skew_safe: bool | None = None,
 ) -> DataFrame:
     """CC via alternating large-star / small-star contractions — the
     O(log n)-round map-reduce formulation (Kiveris et al., "Connected
@@ -185,12 +190,29 @@ def connected_components_alternating(
 
     At fixpoint the edge set is a forest of stars (child → component
     minimum). ``stats``, if given, receives ``{"rounds": N}`` — the
-    convergence-rate property tests read it.
+    convergence-rate property tests read it — and ``{"skew_safe": bool}``.
 
     Adaptive (same policy as ``connected_components``): inputs under
     ``small_input_rows`` canonical edges run a driver-local union-find —
     a multi-round distributed fixpoint over a bounded graph is pure job
     overhead; ``small_input_rows=0`` forces the distributed path.
+
+    ``skew_safe`` picks the neighborhood-min formulation:
+
+    - ``False`` — window aggregate over ``partitionBy(src)``: ONE
+      shuffle per star op, but every row of a vertex's neighborhood
+      lands in one window task, and AQE cannot split a window
+      partition. Right for bounded/certification inputs.
+    - ``True`` — partial-aggregated ``groupBy(src).min`` joined back to
+      the rows: two shuffles per star op, but the min survives any
+      degree skew via map-side combine, and the row-attach join is a
+      sort-merge join AQE's skew handling CAN split. Star contraction
+      concentrates edges onto component roots — at 100 TB a giant
+      component's root is exactly the hub this formulation exists for.
+    - ``None`` (default) — auto: windows while the measured edge count
+      is bounded (≤ ``_SKEW_SAFE_EDGES``), the skew-safe form beyond;
+      re-decided per round from the checkpoint observation's count, so
+      a contracting graph can legitimately switch mid-run.
     """
     e = (
         stream.edges.select(
@@ -210,15 +232,15 @@ def connected_components_alternating(
 
     from pyspark.sql import Window
 
-    # Every helper references its input EXACTLY ONCE: symmetrization is
-    # an explode (not a union of two scans), and the per-vertex
-    # neighborhood minimum is a window aggregate over the same shuffle
-    # (not a groupBy + self-join, which scans the input twice more).
-    # Catalyst does no common-subexpression sharing across subtrees, so
-    # the join formulation compiled each round to ~24 duplicated scan
-    # subtrees of the checkpoint; this linear chain is 3 shuffles flat.
-    # Skew profile is unchanged at 100 TB: the join on src hashed the
-    # symmetrized set by src exactly like the window partitioning does.
+    # Every helper references its CHECKPOINTED input exactly once on the
+    # window path: symmetrization is an explode (not a union of two
+    # scans), and the neighborhood minimum is a window aggregate over
+    # the same shuffle. Catalyst does no common-subexpression sharing
+    # across subtrees, so a naive join formulation once compiled each
+    # round to ~24 duplicated scan subtrees of the checkpoint; the
+    # skew-safe path below re-introduces the join deliberately but over
+    # the cheap checkpoint scan (2 scans/op, not 24), trading one extra
+    # shuffle per star op for skew immunity (see the docstring).
     def _sym(edges: DataFrame) -> DataFrame:
         return edges.select(
             F.explode(
@@ -230,13 +252,21 @@ def connected_components_alternating(
         ).select(F.col("x.s").alias("src"), F.col("x.d").alias("dst"))
 
     _w = Window.partitionBy("src")
+    skew = {"safe": bool(skew_safe)}
+
+    def _with_nbr_min(rows: DataFrame) -> DataFrame:
+        # attach min(dst) over each src group as `_mn`
+        if skew["safe"]:
+            mins = rows.groupBy("src").agg(F.min("dst").alias("_mn"))
+            return rows.join(mins, "src")
+        return rows.withColumn("_mn", F.min("dst").over(_w))
 
     def _large_star(edges: DataFrame) -> DataFrame:
         # min over the CLOSED neighborhood; no output dedup — duplicates
         # are bounded by |sym| and collapse in small-star's distinct
         return (
-            _sym(edges)
-            .withColumn("mn", F.least(F.min("dst").over(_w), F.col("src")))
+            _with_nbr_min(_sym(edges))
+            .withColumn("mn", F.least(F.col("_mn"), F.col("src")))
             .where(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
             .where(F.col("src") != F.col("dst"))
@@ -247,10 +277,10 @@ def connected_components_alternating(
         # minimum: emit both endpoints via explode, dedup once
         le = _sym(edges).where(F.col("dst") <= F.col("src"))
         return (
-            le.withColumn("mn", F.min("dst").over(_w))
+            _with_nbr_min(le)
             .select(
                 F.explode(F.array(F.col("dst"), F.col("src"))).alias("src"),
-                F.col("mn").alias("dst"),
+                F.col("_mn").alias("dst"),
             )
             .where(F.col("src") != F.col("dst"))
             .distinct()
@@ -279,6 +309,11 @@ def connected_components_alternating(
     except Exception:
         est_bytes = 1 << 62  # unknown — keep the session width
     width0 = max(1, min(int(old_parts), est_bytes // (64 << 20) + 1))
+    if skew_safe is None:
+        # auto: ~16 bytes/canonical edge — flip to the skew-safe star
+        # ops when the estimate clears the threshold; re-decided per
+        # round below once measured counts exist
+        skew["safe"] = est_bytes > _SKEW_SAFE_EDGES * 16
     try:
         sess_conf.set("spark.sql.shuffle.partitions", str(width0))
         if width0 <= 4:
@@ -344,9 +379,14 @@ def connected_components_alternating(
                     sess_conf.set("spark.sql.adaptive.enabled", "false")
                 else:
                     sess_conf.set("spark.sql.adaptive.enabled", old_aqe)
+            if skew_safe is None:
+                # a contracting graph legitimately shrinks back under the
+                # threshold — fall back to the cheaper window form then
+                skew["safe"] = cur_sum[0] > _SKEW_SAFE_EDGES
             prev_sum = cur_sum
         if stats is not None:
             stats["rounds"] = rounds
+            stats["skew_safe"] = skew["safe"]
         if not converged:
             # a partially-contracted forest is WRONG components, not a
             # slower answer — never return it silently

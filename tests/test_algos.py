@@ -111,6 +111,45 @@ def test_cc_alternating_matches_and_converges_fast(spark):
     assert stats["rounds"] <= 15, f"path took {stats['rounds']} rounds"
 
 
+def test_cc_alternating_skew_safe_form_matches(spark):
+    """The skew-safe star ops (partial-agg min + AQE-splittable join —
+    the 100 TB hub-degree path) must produce the same labels and the
+    same O(log n) convergence as the window form, on both a power-law
+    graph and a long path."""
+    from gelly_streaming_spark.algos.connected_components import (
+        connected_components_alternating,
+    )
+
+    g5 = GraphStream(g5_powerlaw(spark, n_vertices=300, n_edges=900))
+    want = {
+        (r.id, r.component)
+        for r in connected_components_alternating(
+            g5, small_input_rows=0, skew_safe=False
+        ).collect()
+    }
+    stats: dict = {}
+    got = {
+        (r.id, r.component)
+        for r in connected_components_alternating(
+            g5, stats=stats, small_input_rows=0, skew_safe=True
+        ).collect()
+    }
+    assert got == want
+    assert stats["skew_safe"] is True
+    assert 0 < stats["rounds"] <= 10
+
+    n = 1000
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    stats = {}
+    labels = connected_components_alternating(
+        GraphStream(path), stats=stats, small_input_rows=0, skew_safe=True
+    )
+    assert {r.component for r in labels.collect()} == {0}
+    assert stats["rounds"] <= 15, f"path took {stats['rounds']} rounds"
+
+
 def test_cc_summary_windowed(spark):
     gs = GraphStream(fixture_graph(spark, "g1"))
     out = connected_components_summary(gs, window="2 minutes", num_buckets=2).collect()
