@@ -285,3 +285,20 @@ def test_fixture_graphs_are_local_relations(spark):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "LocalRelation" in plan, f"{name} is not a LocalRelation:\n{plan}"
         assert df.count() == len(rows)
+
+
+def test_top_k_per_group_has_partial_window_group_limit(spark):
+    """top_k_per_group's skew safety is Catalyst's WindowGroupLimit:
+    each map partition pre-trims to k per group BEFORE the exchange, so
+    a hot group ships k rows per upstream partition, not its whole
+    population. Pin both the partial (below the shuffle) and final
+    instances in the physical plan."""
+    from gelly_streaming_spark.operators.joins import top_k_per_group
+
+    d = spark.range(0, 1000).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
+    )
+    out = top_k_per_group(d, ["g"], [F.desc("v")], 3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert out.count() == 15
