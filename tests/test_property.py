@@ -149,3 +149,69 @@ def test_bipartiteness_matches_bfs(spark, edges):
         for r in bipartiteness_check(GraphStream(_df(spark, clean))).collect()
     }
     assert got == _py_bipartite_components(clean)
+
+
+asof_rows = st.tuples(
+    st.lists(  # left: (key, ts, row_id)
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(  # right: (key, ts, payload)
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+
+
+@pytest.mark.property
+@given(data=asof_rows)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    """asof_join (union-merge window formulation) vs pandas.merge_asof
+    on random keyed event tables: same latest-right-row-per-left match,
+    same inclusive <= semantics, same max-tie-breaker winner among
+    equal-timestamp right rows, None for unmatched lefts."""
+    import pandas as pd
+
+    from gelly_streaming_spark.operators.joins import asof_join
+
+    lrows, rrows = data
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], "k long, lts long, lid long"
+    )
+    right = spark.createDataFrame(rrows, "k long, rts long, rv long") if rrows else (
+        spark.createDataFrame([], "k long, rts long, rv long")
+    )
+    got = {
+        (r["lid"], r["rts"], r["rv"])
+        for r in asof_join(
+            left, right, "k", "k", "lts", "rts", tie_breaker="rv"
+        ).collect()
+    }
+
+    lpdf = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], columns=["k", "lts", "lid"]
+    ).sort_values("lts", kind="stable")
+    rpdf = pd.DataFrame(
+        rrows, columns=["k", "rts", "rv"], dtype="int64"
+    ).sort_values(["rts", "rv"], kind="stable")
+    merged = pd.merge_asof(
+        lpdf,
+        rpdf,
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    want = {
+        (
+            int(r.lid),
+            None if pd.isna(r.rts) else int(r.rts),
+            None if pd.isna(r.rv) else int(r.rv),
+        )
+        for r in merged.itertuples()
+    }
+    assert got == want
