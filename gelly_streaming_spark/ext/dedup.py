@@ -115,3 +115,53 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def near_dup_collapse(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.95,
+    tokens: Column | None = None,
+    method: str = "exact",
+) -> DataFrame:
+    """Collapse near-duplicate clusters to one kept representative each:
+    rows (keep_id, cluster_size) — the dedup ARTIFACT a training-data
+    pipeline actually consumes, where the pair operators only report
+    evidence.
+
+    Clusters are the connected components of the near-dup pair graph:
+    pairwise similarity is not transitive (A~B and B~C at θ do not imply
+    A~C), so grouping by any single pair endpoint over- or under-merges
+    — CC over the pair graph is the standard LSH-dedup collapse. The
+    kept id is the component minimum (exactly the min-label CC label);
+    docs in no pair are their own singleton clusters.
+
+    ``method="exact"`` scores pairs with the exact ppjoin/bitset path
+    (oracle-checkable — q31); ``"minhash"`` uses the MinHash-LSH
+    candidate path (the 100 TB default, identical collapse semantics,
+    property-tested recall). Every stage is an existing engine operator:
+    pair scoring → CC → one aggregation; nothing new materializes on
+    the driver beyond CC's adaptive bounded probe."""
+    from gelly_streaming_spark.algos.connected_components import connected_components
+    from gelly_streaming_spark.operators.graphstream import GraphStream
+
+    toks = tokens if tokens is not None else F.split(F.col(text_col), " ")
+    if method == "exact":
+        pairs = jaccard_pairs(docs, id_col, toks, threshold)
+    elif method == "minhash":
+        pairs = minhash_lsh_pairs(docs, id_col, toks, threshold)
+    else:
+        raise ValueError(f"unknown method {method!r} (exact|minhash)")
+    comp = connected_components(
+        GraphStream(
+            pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    lab = ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("comp")
+    )
+    return lab.groupBy(F.col("comp").alias("keep_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )

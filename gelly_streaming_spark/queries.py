@@ -654,6 +654,38 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q31_SQL = """
+WITH RECURSIVE
+tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i FROM tok a
+          JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT a, b FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+          WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95),
+eu AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+walk(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN eu e ON e.u = w.id
+),
+lab AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+SELECT comp AS keep_id, COUNT(*) AS cluster_size FROM lab GROUP BY comp
+"""
+
+
+@_q("q31_near_dup_collapse", _Q31_SQL,
+    "near-dup dedup COLLAPSE: one kept representative per connected "
+    "component of the exact-Jaccard >= 0.95 pair graph (pairwise "
+    "similarity is not transitive, so the collapse needs CC, not a "
+    "group-by on pair endpoints) - the dedup artifact a training-data "
+    "pipeline consumes; composed entirely from certified operators "
+    "(q22 pair scoring + q15 CC + one aggregation)")
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.dedup import near_dup_collapse
+
+    return near_dup_collapse(load_table(spark, sf_dir, "documents"))
+
+
 _Q23_SQL = """
 WITH scored AS (
   SELECT a.vec_id AS qid, b.vec_id AS vec_id,

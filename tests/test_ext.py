@@ -278,3 +278,42 @@ def test_codec_injection_through_extract_features(spark):
     assert rows[1].width == 10 and rows[1].height == 20 and rows[1].n_frames == 3
     assert rows[1].feature == [float(b"f"[0])] * 8
     assert rows[2].width == 7 and rows[2].height == 14
+
+
+def test_near_dup_collapse_transitive_chain(spark):
+    """A~B and B~C at θ with A!~C must still collapse to ONE cluster
+    (the non-transitivity case a pair-endpoint group-by gets wrong),
+    and untouched docs stay singleton clusters."""
+    from gelly_streaming_spark.ext.dedup import near_dup_collapse
+
+    rows = [
+        # A~B share 9/10 tokens; B~C share 9/10; A~C share 8/10 < 0.8/θ
+        (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 a"),
+        (2, "t0 t1 t2 t3 t4 t5 t6 t7 t8 b"),
+        (3, "t0 t1 t2 t3 t4 t5 t6 t7 b c"),
+        (10, "completely different words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["keep_id"], r["cluster_size"])
+        for r in near_dup_collapse(docs, threshold=0.8).collect()
+    }
+    # jaccard(1,2)=9/11≈0.818, jaccard(2,3)=9/11, jaccard(1,3)=8/12<0.8
+    assert got == {(1, 3), (10, 1)}
+
+
+def test_near_dup_collapse_minhash_matches_exact(spark, docs):
+    """The MinHash-LSH collapse (100 TB path) must agree with the exact
+    collapse on the documents fixture — same clusters, same keepers
+    (LSH candidates are exact-verified, so only recall could differ)."""
+    from gelly_streaming_spark.ext.dedup import near_dup_collapse
+
+    exact = {
+        (r["keep_id"], r["cluster_size"])
+        for r in near_dup_collapse(docs, threshold=0.95).collect()
+    }
+    mh = {
+        (r["keep_id"], r["cluster_size"])
+        for r in near_dup_collapse(docs, threshold=0.95, method="minhash").collect()
+    }
+    assert mh == exact
