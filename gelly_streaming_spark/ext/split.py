@@ -1,0 +1,150 @@
+"""Deterministic dataset splitting and sampling for training-data pipelines.
+
+A 100 TB corpus is split into train/val/test ONCE, and the assignment must
+be (a) reproducible across runs, clusters, and engines, (b) a pure
+row-local projection — no shuffle, no global ordering, no randomness
+state — and (c) stable under re-partitioning and insertion of new rows
+(an existing document never changes split when the corpus grows).
+
+``F.rand(seed)`` fails (a) and (c): Spark seeds it per-partition, so the
+assignment changes whenever partitioning changes. Instead we hash the
+stable row key with a small multiplicative congruential hash chosen to be
+expressible in portable integer SQL (so the DuckDB oracle can replicate
+it bit-for-bit) and overflow-safe for any BIGINT key:
+
+    bucket(key) = ((key % M) * A + B) % M,   M = 99991 (prime), A = 40503
+
+``key % M`` first keeps the product under 2^42 — no BIGINT overflow for
+ANY 64-bit key, unlike hashing ``key * A`` directly. The same three
+integer ops run identically in Spark, DuckDB, and any ANSI engine.
+
+This is deliberately NOT a cryptographic or avalanche hash: it is a
+splitter. For adversarial keys use ``F.xxhash64`` (Spark-only, so the
+oracle pairing is lost); for sequential synthetic keys the multiplicative
+step already decorrelates bucket from key order (A is coprime to M).
+
+Scale: split assignment is a zero-shuffle projection fused into the scan;
+stratified counting is one partial-agg shuffle on (split, stratum);
+deterministic per-group sampling is one hash-partitioned window with a
+rank-limit pushdown (WindowGroupLimit trims to n per group map-side
+before the shuffle — asserted in tests/test_plans.py).
+
+REF: no reference counterpart (gelly-streaming has no dataset-split
+surface); this is part of the training-data pipeline extension layer
+(SURVEY.md §2.11) alongside ext/dedup.py and ext/text.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_M = 99991  # prime modulus — buckets in [0, 99991)
+_A = 40503  # multiplier, coprime to _M
+_B = 30029
+
+
+def split_bucket(key: Column) -> Column:
+    """Deterministic bucket in [0, 99991) from a BIGINT key column.
+
+    Pure integer arithmetic, overflow-safe for any 64-bit key, and
+    replicable verbatim in the SQL oracle (see SPLIT_BUCKET_SQL).
+    """
+    return (((key % _M) * _A + _B) % _M).cast("long")
+
+
+#: DuckDB/ANSI equivalent of split_bucket() — format with the key column.
+SPLIT_BUCKET_SQL = f"(({{key}} % {_M}) * {_A} + {_B}) % {_M}"
+
+
+def assign_split(
+    key: Column,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8), ("val", 0.1), ("test", 0.1),
+    ),
+) -> Column:
+    """Label each row train/val/test (or any named fractions) from its
+    stable key. Fractions are cumulative thresholds over the bucket
+    space, so every row gets exactly one label and the expected share of
+    each label equals its weight. Row-local: fuses into the scan with no
+    shuffle and no RNG state."""
+    total = sum(w for _, w in weights)
+    b = split_bucket(key)
+    expr = F.lit(weights[-1][0])  # remainder absorbs rounding
+    acc = 0.0
+    cuts = []
+    for name, w in weights[:-1]:
+        acc += w / total
+        cuts.append((name, int(acc * _M)))
+    for name, cut in reversed(cuts):
+        expr = F.when(b < cut, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def assign_split_sql(
+    key_sql: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8), ("val", 0.1), ("test", 0.1),
+    ),
+) -> str:
+    """The oracle-side CASE expression mirroring assign_split()."""
+    total = sum(w for _, w in weights)
+    b = SPLIT_BUCKET_SQL.format(key=key_sql)
+    acc = 0.0
+    arms = []
+    for name, w in weights[:-1]:
+        acc += w / total
+        arms.append(f"WHEN ({b}) < {int(acc * _M)} THEN '{name}'")
+    return f"CASE {' '.join(arms)} ELSE '{weights[-1][0]}' END"
+
+
+def stratified_split_report(
+    df: DataFrame,
+    key_col: str,
+    strata_cols: Sequence[str],
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8), ("val", 0.1), ("test", 0.1),
+    ),
+) -> DataFrame:
+    """Per-(split, stratum) audit counts for a deterministic split:
+    one partial-agg shuffle, integer outputs only (exactly hashable
+    against the oracle)."""
+    return (
+        df.select(
+            assign_split(F.col(key_col), weights).alias("split"),
+            *[F.col(c) for c in strata_cols],
+        )
+        .groupBy("split", *strata_cols)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def deterministic_sample_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    n: int,
+) -> DataFrame:
+    """Keep the ``n`` rows per group with the smallest hash bucket —
+    a reproducible, partitioning-independent downsample (the fixed-size
+    analogue of reservoir sampling, without RNG state).
+
+    Ties within a bucket break on the raw key, so the selection is a
+    total order. Catalyst plans the rank-limit as WindowGroupLimit:
+    each map task trims its partition to n rows per group BEFORE the
+    shuffle, so the exchange moves O(groups * n), not O(rows) — the
+    property that makes this viable at 100 TB.
+    """
+    k = F.col(key_col)
+    w = (
+        F.row_number()
+        .over(
+            Window.partitionBy(*group_cols)
+            .orderBy(split_bucket(k).asc(), k.asc())
+        )
+        .alias("rn")
+    )
+    return df.select(*df.columns, w).where(F.col("rn") <= n).drop("rn")

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Minimal per-language stopword marker lists for the n-gram/stopword
 # language-ID heuristic (deterministic, dependency-free).
@@ -83,6 +84,64 @@ def fingerprint(text: Column, shingle: int = 5) -> Column:
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, shingle)))
     )
     return F.array_min(shingles)
+
+
+def vocabulary(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Tokenizer-vocabulary build: top-``k`` tokens by collection
+    frequency (``cf`` = total occurrences) with document frequency
+    (``df`` = docs containing the token), totally ordered by
+    (cf DESC, token ASC) with a dense ``rank``.
+
+    Plan shape (the one that survives 100 TB): explode is a row-local
+    generator fused into the scan; the groupBy does ONE partial-agg
+    shuffle keyed on token — cf partial-aggregates map-side, and df
+    comes from counting each (doc, token) pair once via an in-row
+    array_distinct BEFORE the explode (no count-distinct shuffle, no
+    second pass over the corpus). The final top-k sorts only the
+    aggregated token table (vocabulary-sized, not corpus-sized) with a
+    TakeOrdered, never a global sort of rows.
+    """
+    # Per-document (token, occurrences) pairs computed IN-ROW by
+    # run-length over the sorted token array — O(T log T) per doc (a
+    # naive count-each-distinct-token rescan is O(T²), which dies on
+    # 100k-token documents). F.get (0-based, null OOB) instead of
+    # element_at, which raises under ANSI mode at array end.
+    st = F.array_sort(tokenize(F.col(text_col)))
+    n = F.size(st)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.lit(None).cast("array<int>")
+    )
+    run_ends = F.filter(
+        idx,
+        lambda i: F.coalesce(F.get(st, i + 1) != F.get(st, i), F.lit(True)),
+    )
+    pairs = F.transform(
+        run_ends,
+        lambda e, j: F.struct(
+            F.get(st, e).alias("token"),
+            (e - F.coalesce(F.get(run_ends, j - 1), F.lit(-1))).alias("occ"),
+        ),
+    )
+    tok = docs.select(
+        F.col(doc_id_col).alias("_doc"),
+        F.explode(pairs).alias("p"),
+    )
+    agg = tok.groupBy(F.col("p.token").alias("token")).agg(
+        F.sum("p.occ").alias("cf"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    # Distributed top-k: orderBy+limit plans as TakeOrderedAndProject
+    # (per-partition heaps, k rows to the driver side of the exchange) —
+    # a global row_number window would instead sort the whole token
+    # table in ONE partition. rank is then assigned on the k-row result.
+    topk = agg.orderBy(F.col("cf").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("cf").desc(), F.col("token").asc())
+    return topk.select("token", "cf", "df", F.row_number().over(w).alias("rank"))
 
 
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:

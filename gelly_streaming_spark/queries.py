@@ -1024,6 +1024,79 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q32–Q34: dataset-split / vocabulary / deterministic-sample — the
+# remaining training-data-pipeline primitives (SURVEY.md §2.11), each a
+# pure-integer-output query so the oracle hash is exact.
+# ---------------------------------------------------------------------------
+def _q32_sql() -> str:
+    from gelly_streaming_spark.ext.split import assign_split_sql
+
+    case = assign_split_sql("doc_id")
+    return (
+        f"SELECT {case} AS split, lang, COUNT(*) AS n_docs "
+        "FROM documents GROUP BY 1, 2"
+    )
+
+
+@_q("q32_stratified_split", _q32_sql(),
+    "deterministic train/val/test assignment (portable multiplicative "
+    "hash on doc_id — partitioning-independent, reproducible across "
+    "engines) audited as per-(split, lang) counts; assignment is a "
+    "zero-shuffle row-local projection, the audit one partial-agg shuffle")
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.split import stratified_split_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_split_report(docs, "doc_id", ["lang"])
+
+
+_Q34_K = 99991
+_Q34_SQL = (
+    "SELECT doc_id, lang FROM ("
+    "  SELECT doc_id, lang, ROW_NUMBER() OVER ("
+    "    PARTITION BY lang "
+    f"   ORDER BY ((doc_id % {_Q34_K}) * 40503 + 30029) % {_Q34_K}, doc_id"
+    "  ) AS rn FROM documents) WHERE rn <= 25"
+)
+
+
+@_q("q34_deterministic_sample", _Q34_SQL,
+    "per-language deterministic downsample (25 docs/lang by hash order — "
+    "reservoir-sampling semantics without RNG state, stable under "
+    "repartitioning and corpus growth); WindowGroupLimit trims map-side "
+    "so the exchange moves O(groups*k) rows")
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.split import deterministic_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return deterministic_sample_per_group(docs, ["lang"], "doc_id", 25)
+
+
+_Q33_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+             FROM documents),
+per_doc AS (SELECT doc_id, token, COUNT(*) AS occ FROM tok
+            WHERE token <> '' GROUP BY 1, 2),
+agg AS (SELECT token, SUM(occ) AS cf, COUNT(*) AS df FROM per_doc GROUP BY 1)
+SELECT token, CAST(cf AS BIGINT) AS cf, df,
+       CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, token) AS INT) AS rank
+FROM agg ORDER BY cf DESC, token LIMIT 50
+"""
+
+
+@_q("q33_vocab", _Q33_SQL,
+    "tokenizer-vocabulary build: top-50 tokens by collection frequency "
+    "with exact document frequency — df computed via in-row run-length "
+    "over the sorted token array (ONE shuffle total, no count-distinct "
+    "expand, no second corpus pass), top-k as TakeOrdered not global sort")
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.text import vocabulary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocabulary(docs, k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

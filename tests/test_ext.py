@@ -317,3 +317,102 @@ def test_near_dup_collapse_minhash_matches_exact(spark, docs):
         for r in near_dup_collapse(docs, threshold=0.95, method="minhash").collect()
     }
     assert mh == exact
+
+
+# ---------------------------------------------------------------------------
+# ext/split.py: deterministic splitting / sampling
+# ---------------------------------------------------------------------------
+def test_split_partitioning_invariant_and_total(spark, docs):
+    """The split assignment is a pure function of the key: repartitioning
+    must not move a single document (the property F.rand(seed) lacks),
+    every doc gets exactly one label, and shares track the weights."""
+    from gelly_streaming_spark.ext.split import assign_split
+
+    base = {
+        r["doc_id"]: r["split"]
+        for r in docs.select(
+            "doc_id", assign_split(F.col("doc_id")).alias("split")
+        ).collect()
+    }
+    shuffled = {
+        r["doc_id"]: r["split"]
+        for r in docs.repartition(7, "lang").select(
+            "doc_id", assign_split(F.col("doc_id")).alias("split")
+        ).collect()
+    }
+    assert base == shuffled
+    n = len(base)
+    from collections import Counter
+
+    shares = Counter(base.values())
+    assert set(shares) <= {"train", "val", "test"}
+    assert shares["train"] / n == pytest.approx(0.8, abs=0.12)
+
+
+def test_split_stable_under_corpus_growth(spark, docs):
+    """An existing document never changes split when new rows arrive:
+    the assignment over a half-corpus equals its restriction from the
+    full corpus (row-local hash, no global state)."""
+    from gelly_streaming_spark.ext.split import assign_split
+
+    full = {
+        r["doc_id"]: r["split"]
+        for r in docs.select(
+            "doc_id", assign_split(F.col("doc_id")).alias("split")
+        ).collect()
+    }
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    for r in half.select(
+        "doc_id", assign_split(F.col("doc_id")).alias("split")
+    ).collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_deterministic_sample_per_group(spark, docs):
+    from gelly_streaming_spark.ext.split import deterministic_sample_per_group
+    from gelly_streaming_spark.plans.checks import explain_str
+
+    s = deterministic_sample_per_group(
+        docs.select("doc_id", "lang"), ["lang"], "doc_id", 5
+    )
+    rows = {(r["lang"], r["doc_id"]) for r in s.collect()}
+    again = {
+        (r["lang"], r["doc_id"])
+        for r in deterministic_sample_per_group(
+            docs.select("doc_id", "lang").repartition(11), ["lang"], "doc_id", 5
+        ).collect()
+    }
+    assert rows == again  # partitioning-independent selection
+    from collections import Counter
+
+    per = Counter(lang for lang, _ in rows)
+    full = Counter(
+        r["lang"] for r in docs.select("lang").collect()
+    )
+    for lang, c in per.items():
+        assert c == min(5, full[lang])
+    # scale guard: the rank-limit must trim map-side (WindowGroupLimit),
+    # so the exchange moves O(groups*k) rows, not the corpus
+    assert "WindowGroupLimit" in explain_str(s)
+
+
+def test_vocabulary_matches_pandas(spark, docs):
+    """The in-row run-length df/cf (one shuffle, no count-distinct
+    expand) must agree with a naive pandas recount."""
+    from collections import Counter
+
+    from gelly_streaming_spark.ext.text import vocabulary
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    cf: Counter = Counter()
+    df: Counter = Counter()
+    for t in pdf["text"]:
+        toks = [x for x in t.split() if x]
+        cf.update(toks)
+        df.update(set(toks))
+    expect = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = vocabulary(docs, k=10).orderBy("rank").collect()
+    assert [(r["token"], r["cf"]) for r in got] == expect
+    for r in got:
+        assert r["df"] == df[r["token"]]
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
