@@ -86,6 +86,32 @@ def fingerprint(text: Column, shingle: int = 5) -> Column:
     return F.array_min(shingles)
 
 
+def token_counts(text: Column) -> Column:
+    """Per-document (token, occurrences) pairs as an in-row
+    ``array<struct<token,occ>>``, computed by run-length over the SORTED
+    token array — O(T log T) per doc (a naive count-each-distinct-token
+    rescan is O(T²), which dies on 100k-token documents). Uses F.get
+    (0-based, null OOB) instead of element_at, which raises under ANSI
+    mode at array end. The term-frequency kernel shared by vocabulary()
+    and tfidf_keywords(): one projection, zero shuffles."""
+    st = F.array_sort(tokenize(text))
+    n = F.size(st)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.lit(None).cast("array<int>")
+    )
+    run_ends = F.filter(
+        idx,
+        lambda i: F.coalesce(F.get(st, i + 1) != F.get(st, i), F.lit(True)),
+    )
+    return F.transform(
+        run_ends,
+        lambda e, j: F.struct(
+            F.get(st, e).alias("token"),
+            (e - F.coalesce(F.get(run_ends, j - 1), F.lit(-1))).alias("occ"),
+        ),
+    )
+
+
 def vocabulary(
     docs: DataFrame,
     text_col: str = "text",
@@ -106,30 +132,9 @@ def vocabulary(
     aggregated token table (vocabulary-sized, not corpus-sized) with a
     TakeOrdered, never a global sort of rows.
     """
-    # Per-document (token, occurrences) pairs computed IN-ROW by
-    # run-length over the sorted token array — O(T log T) per doc (a
-    # naive count-each-distinct-token rescan is O(T²), which dies on
-    # 100k-token documents). F.get (0-based, null OOB) instead of
-    # element_at, which raises under ANSI mode at array end.
-    st = F.array_sort(tokenize(F.col(text_col)))
-    n = F.size(st)
-    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
-        F.lit(None).cast("array<int>")
-    )
-    run_ends = F.filter(
-        idx,
-        lambda i: F.coalesce(F.get(st, i + 1) != F.get(st, i), F.lit(True)),
-    )
-    pairs = F.transform(
-        run_ends,
-        lambda e, j: F.struct(
-            F.get(st, e).alias("token"),
-            (e - F.coalesce(F.get(run_ends, j - 1), F.lit(-1))).alias("occ"),
-        ),
-    )
     tok = docs.select(
         F.col(doc_id_col).alias("_doc"),
-        F.explode(pairs).alias("p"),
+        F.explode(token_counts(F.col(text_col))).alias("p"),
     )
     agg = tok.groupBy(F.col("p.token").alias("token")).agg(
         F.sum("p.occ").alias("cf"),
@@ -142,6 +147,51 @@ def vocabulary(
     topk = agg.orderBy(F.col("cf").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("cf").desc(), F.col("token").asc())
     return topk.select("token", "cf", "df", F.row_number().over(w).alias("rank"))
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` keywords per document by TF-IDF
+    (``occ * ln(N / df)``, rounded to 6 decimals BEFORE ranking so the
+    ordering depends only on values both engines agree on bit-for-bit —
+    ranking raw doubles would let a 1-ulp libm difference flip a
+    near-tie across engines).
+
+    Plan: term frequencies come from the shared in-row token_counts()
+    kernel; document frequency is ONE token-keyed partial-agg shuffle;
+    the df table is vocabulary-sized, so it broadcast-joins back to the
+    pairs; the per-doc top-k is a WindowGroupLimit (map-side trim to k
+    before the doc_id exchange). N is a single scalar count — the one
+    driver value, same at any scale."""
+    n_docs = docs.count()
+    pairs = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(token_counts(F.col(text_col))).alias("p"),
+    ).select(
+        "doc_id", F.col("p.token").alias("token"), F.col("p.occ").alias("occ")
+    )
+    df_t = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = pairs.join(F.broadcast(df_t), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("occ") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.select(
+            "doc_id", "token", "tfidf", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
 
 
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1097,6 +1097,35 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocabulary(docs, k=50)
 
 
+_Q35_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+             FROM documents),
+per_doc AS (SELECT doc_id, token, COUNT(*) AS occ FROM tok
+            WHERE token <> '' GROUP BY 1, 2),
+dft AS (SELECT token, COUNT(*) AS df FROM per_doc GROUP BY 1),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (SELECT doc_id, per_doc.token AS token,
+                  ROUND(occ * LN(n / df), 6) AS tfidf
+           FROM per_doc JOIN dft ON per_doc.token = dft.token CROSS JOIN nd)
+SELECT doc_id, token, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rn
+  FROM scored) WHERE rn <= 3
+"""
+
+
+@_q("q35_tfidf_keywords", _Q35_SQL,
+    "top-3 TF-IDF keywords per document: shared in-row term-frequency "
+    "kernel + one token-keyed shuffle for df + broadcast join back + "
+    "WindowGroupLimit per-doc top-k; scores rounded BEFORE ranking so "
+    "cross-engine ordering is ulp-proof")
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.text import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

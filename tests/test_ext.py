@@ -416,3 +416,44 @@ def test_vocabulary_matches_pandas(spark, docs):
     for r in got:
         assert r["df"] == df[r["token"]]
     assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_multimodal_resize_real_bmp(spark):
+    """resize_media transforms REAL BMP payloads in place through the
+    mapInPandas stage: exact nearest-neighbor pixel mapping, solid color
+    preserved, meta.bytes updated, compressed codecs honestly refused."""
+    import numpy as np
+
+    from gelly_streaming_spark.ext.multimodal import (
+        _bmp_pixels,
+        encode_bmp,
+        extract_features,
+        media_decoder,
+        resize_image,
+        resize_media,
+    )
+
+    # kernel-level exactness: 1x2 gradient -> 2x4 duplicates each pixel
+    px = np.array([[[1, 2, 3], [4, 5, 6]]], np.uint8)
+    out = resize_image(encode_bmp(px), 4, 2)
+    w2, rows2, px2 = _bmp_pixels(out)
+    assert (w2, rows2) == (4, 2)
+    assert (px2 == px[[0, 0]][:, [0, 0, 1, 1]]).all()
+
+    # end-to-end through Spark plumbing on a solid-color image
+    bmp = _tiny_bmp(8, 6, (10, 200, 30))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), ("t", "image/bmp", len(bmp)))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<source:string,mime:string,bytes:bigint>",
+    )
+    resized = resize_media(media, 3, 9)
+    row = resized.collect()[0]
+    assert row.meta.bytes == len(bytes(row.payload))
+    img = extract_features(resized, decoder=media_decoder).collect()[0]
+    assert (img.width, img.height) == (3, 9)
+    assert [round(x) for x in img.feature[:3]] == [30, 200, 10]
+    assert all(abs(x) < 1e-9 for x in img.feature[3:6])
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"not-a-bmp", 2, 2)
