@@ -87,13 +87,19 @@ def fingerprint(text: Column, shingle: int = 5) -> Column:
 
 
 def token_counts(text: Column) -> Column:
-    """Per-document (token, occurrences) pairs as an in-row
-    ``array<struct<token,occ>>``, computed by run-length over the SORTED
-    token array — O(T log T) per doc (a naive count-each-distinct-token
-    rescan is O(T²), which dies on 100k-token documents). Uses F.get
-    (0-based, null OOB) instead of element_at, which raises under ANSI
-    mode at array end. The term-frequency kernel shared by vocabulary()
-    and tfidf_keywords(): one projection, zero shuffles."""
+    """Per-document (token, occurrences) pairs as ONE in-row
+    ``array<struct<token,occ>>`` expression: run-length over the SORTED
+    token array. Uses F.get (0-based, null OOB) instead of element_at,
+    which raises under ANSI mode at array end.
+
+    SCALE WARNING: as a single nested expression, outer arrays (`st`,
+    `run_ends`) referenced inside HOF lambdas are re-evaluated PER
+    ELEMENT (Catalyst inlines them; higher-order functions are
+    interpreted, not codegen'd), so this form is O(T²·sort) per doc —
+    measured: it turned q33 at sf0.1 (100-token docs) into a
+    multi-minute straggler stage. Use token_pairs() for anything beyond
+    tiny rows: it stages the same kernel across projections so each
+    array materializes once per row and the cost is O(T log T)."""
     st = F.array_sort(tokenize(text))
     n = F.size(st)
     idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
@@ -110,6 +116,42 @@ def token_counts(text: Column) -> Column:
             (e - F.coalesce(F.get(run_ends, j - 1), F.lit(-1))).alias("occ"),
         ),
     )
+
+
+def token_pairs(
+    docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pairs: array<struct<token,occ>>) via the run-length
+    kernel STAGED across projections: the sorted array and the run-end
+    index array each materialize once per row as real columns, so lambda
+    accesses are O(1) attribute reads and the whole kernel is O(T log T)
+    per document (the single-expression form in token_counts() re-derives
+    the nested arrays per element — see its scale warning). Each alias is
+    referenced more than once downstream, which is exactly the condition
+    under which CollapseProject keeps the projection boundary instead of
+    inlining the expression back into the lambdas; regression-guarded by
+    a wall-clock test in tests/test_ext.py. Zero shuffles."""
+    st_col = F.array_sort(tokenize(F.col(text_col)))
+    d1 = docs.select(F.col(doc_id_col).alias("doc_id"), st_col.alias("_st"))
+    st = F.col("_st")
+    n = F.size(st)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.lit(None).cast("array<int>")
+    )
+    run_ends = F.filter(
+        idx,
+        lambda i: F.coalesce(F.get(st, i + 1) != F.get(st, i), F.lit(True)),
+    )
+    d2 = d1.select("doc_id", "_st", run_ends.alias("_ends"))
+    ends = F.col("_ends")
+    pairs = F.transform(
+        ends,
+        lambda e, j: F.struct(
+            F.get(F.col("_st"), e).alias("token"),
+            (e - F.coalesce(F.get(ends, j - 1), F.lit(-1))).alias("occ"),
+        ),
+    )
+    return d2.select("doc_id", pairs.alias("pairs"))
 
 
 def vocabulary(
@@ -132,9 +174,8 @@ def vocabulary(
     aggregated token table (vocabulary-sized, not corpus-sized) with a
     TakeOrdered, never a global sort of rows.
     """
-    tok = docs.select(
-        F.col(doc_id_col).alias("_doc"),
-        F.explode(token_counts(F.col(text_col))).alias("p"),
+    tok = token_pairs(docs, text_col, doc_id_col).select(
+        F.col("doc_id").alias("_doc"), F.explode("pairs").alias("p")
     )
     agg = tok.groupBy(F.col("p.token").alias("token")).agg(
         F.sum("p.occ").alias("cf"),
@@ -168,9 +209,8 @@ def tfidf_keywords(
     before the doc_id exchange). N is a single scalar count — the one
     driver value, same at any scale."""
     n_docs = docs.count()
-    pairs = docs.select(
-        F.col(doc_id_col).alias("doc_id"),
-        F.explode(token_counts(F.col(text_col))).alias("p"),
+    pairs = token_pairs(docs, text_col, doc_id_col).select(
+        "doc_id", F.explode("pairs").alias("p")
     ).select(
         "doc_id", F.col("p.token").alias("token"), F.col("p.occ").alias("occ")
     )

@@ -215,3 +215,39 @@ def test_asof_join_matches_pandas_merge_asof(spark, data):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+doc_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab c\tx\n")),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@pytest.mark.property
+@given(texts=doc_texts)
+@settings(**_SETTINGS)
+def test_token_counts_matches_counter(spark, texts):
+    """The in-row run-length term-frequency kernel (ext/text.token_counts)
+    vs a pure-Python Counter on arbitrary whitespace-y strings — covers
+    empty docs, all-whitespace docs, repeated tokens, and mixed
+    separators (the classes the fixture corpus misses)."""
+    from pyspark.sql import functions as F
+
+    from gelly_streaming_spark.ext.text import token_counts
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: {p["token"]: p["occ"] for p in (r["pairs"] or [])}
+        for r in df.select(
+            "doc_id", token_counts(F.col("text")).alias("pairs")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = dict(collections.Counter(t.split()))
+        assert got.get(i, {}) == expect, (i, repr(t))
