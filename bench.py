@@ -10,12 +10,20 @@ The DuckDB oracle side is timed in the same run by default (the
 BASELINE.md gate is engine ≤ 2× DuckDB; same-run numbers make the ratio
 same-host, same-hour). Set BENCH_DUCKDB=0 to skip it, BENCH_RUNS to
 change the per-query run count (default 3, median reported).
+
+Delivery hardening (BENCH_r05/r06 failure modes): the headline JSON line
+is re-printed after EVERY completed query (last-line-wins, <1900 chars),
+SIGTERM/SIGINT flush a final line before exiting, Spark console progress
+bars are disabled, and a wall-clock budget (BENCH_BUDGET_SEC, default
+300) degrades runs-per-query 3->2->1 and stops cleanly with
+"partial": true rather than being killed mid-stage.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import statistics
 import sys
 import time
@@ -136,10 +144,39 @@ def _warm_up(spark, sf_dir: str) -> None:
         pass  # streaming warm-up is best-effort; queries still run cold
 
 
+class _Budget:
+    """Wall-clock budget for the whole bench run (env BENCH_BUDGET_SEC,
+    default 300 s). The driver kills bench.py with SIGTERM at ITS budget
+    (rc 124, BENCH_r06) — printing nothing until the end loses the whole
+    round's signal. Under budget pressure this degrades runs-per-query
+    3→1 and finally stops cleanly with ``"partial": true``; independent
+    of the budget, the headline line is re-printed after EVERY completed
+    query (last-line-wins) and on SIGTERM/SIGINT, so any kill point
+    still leaves a parseable line in the output tail."""
+
+    def __init__(self) -> None:
+        self.total = float(os.environ.get("BENCH_BUDGET_SEC", "300"))
+        self.start = time.time()
+
+    def remaining(self) -> float:
+        return self.total - (time.time() - self.start)
+
+    def runs_allowed(self, configured: int) -> int:
+        rem = self.remaining()
+        if rem <= 5:
+            return 0  # stop — leave time to flush the final line
+        if rem < 0.2 * self.total:
+            return 1
+        if rem < 0.4 * self.total:
+            return min(configured, 2)
+        return configured
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    budget = _Budget()
 
     builder = (
         SparkSession.builder.appName("gelly-streaming-bench")
@@ -196,10 +233,152 @@ def main() -> None:
     duck: dict[str, float] = {}
     duck_min: dict[str, float] = {}
     errors: dict[str, str] = {}
+    n_total = len(REGISTRY)
+    partial = {"v": True}  # flipped off only when the loop completes
+
+    def build_result() -> dict:
+        # `value` = copart build + per-query medians of every SUCCESSFUL
+        # query. An errored query is absent from `queries`, so the total
+        # is a subtotal over `comparable_queries` — flagged loudly,
+        # never a silent improvement.
+        total = round(sum(timings.values()) + copart_build_sec, 3)
+        # worst-run total: includes every one-time session build that
+        # only run 1 pays (memoized triangle-kernel prep, replay
+        # staging, strategy probes) — the median headline excludes
+        # those by construction, so this is the honest upper bound the
+        # median is read against.
+        total_max = round(sum(timings_max.values()) + copart_build_sec, 3)
+        result = {
+            "metric": "total_wallclock_declared_queries",
+            "value": total,
+            "value_max_runs": total_max,
+            "unit": "sec",
+            "queries": timings,
+            "queries_min": timings_min,
+            "queries_max": timings_max,
+            "sf": float(sf),
+            "runs_per_query": runs_per_query,
+            "session_setup_sec": setup_sec,
+            "copart_build_sec": copart_build_sec,
+            "policy": (
+                "value = copart_build_sec + sum of per-query medians of up to "
+                f"{runs_per_query} runs; copart materialized-view build is "
+                "charged once to the engine total, while DuckDB recomputes "
+                "that join inside each of q07/q11b/q17/q18's timed SQL. "
+                "Session-lifetime builds that happen inside a query's FIRST "
+                "run (e.g. q17's memoized triangle-kernel prep, replay "
+                "staging, strategy probes) are excluded from the median by "
+                "construction — queries_max carries them per-query and "
+                "value_max_runs totals them. A query that errors on any run "
+                "is excluded from queries/value entirely and listed under "
+                "errors. partial=true means the wall-clock budget "
+                f"(BENCH_BUDGET_SEC={budget.total:.0f}) or a signal stopped "
+                "the run before every query completed; under budget pressure "
+                "runs-per-query degrades 3->2->1 before stopping"
+            ),
+            "errors_present": bool(errors),
+            "comparable_queries": len(timings),
+            "registered_queries": n_total,
+            "partial": partial["v"],
+        }
+        if errors:
+            result["errors"] = errors
+            result["errored_queries"] = sorted(errors)
+
+        # Same-run DuckDB baseline ON BY DEFAULT (BENCH_DUCKDB=0
+        # disables), so every BENCH_r*.json carries its own same-host
+        # ratio. Timed interleaved run-for-run with the engine.
+        if duck_con is not None:
+            result["duckdb_queries"] = duck
+            result["duckdb_queries_min"] = duck_min
+            result["duckdb_total_sec"] = round(sum(duck.values()), 3)
+            if result["duckdb_total_sec"] > 0:
+                result["ratio_vs_duckdb"] = round(
+                    total / result["duckdb_total_sec"], 3
+                )
+            # Floor-vs-plan split (BASELINE.md): queries where the
+            # DuckDB median is >= 0.1 s are "heavy" — above the
+            # trivial-query engine floor, so the ratio over them
+            # compares plan quality rather than job-launch constants.
+            heavy = [n for n in duck if duck[n] >= 0.1 and n in timings]
+            heavy_duck = sum(duck[n] for n in heavy)
+            if heavy_duck > 0:
+                result["heavy_queries"] = sorted(heavy)
+                result["heavy_engine_sec"] = round(
+                    sum(timings[n] for n in heavy), 3
+                )
+                result["heavy_duckdb_sec"] = round(heavy_duck, 3)
+                result["ratio_heavy"] = round(
+                    result["heavy_engine_sec"] / heavy_duck, 3
+                )
+        return result
+
+    def emit(write_detail: bool = False) -> None:
+        """Print the compact headline JSON line (and optionally persist
+        the full detail file). Called after EVERY completed query so the
+        driver's last-2000-chars tail always contains a complete line no
+        matter when the process is killed (last-line-wins); each line is
+        kept <1900 chars so it fits the tail window whole."""
+        result = build_result()
+        if write_detail:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "bench_detail.json",
+                ),
+                "w",
+            ) as fh:
+                json.dump(result, fh, indent=1)
+        compact = {
+            k: result[k]
+            for k in (
+                "metric", "value", "value_max_runs", "unit", "queries", "sf",
+                "runs_per_query", "session_setup_sec", "copart_build_sec",
+                "errors_present", "comparable_queries", "registered_queries",
+                "partial", "errored_queries", "duckdb_total_sec",
+                "ratio_vs_duckdb", "heavy_engine_sec", "heavy_duckdb_sec",
+                "ratio_heavy",
+            )
+            if k in result
+        }
+        compact["detail"] = "bench_detail.json"
+        line = json.dumps(compact)
+        # Degrade gracefully if the query set ever grows the line past
+        # the tail window (queries dict is the only O(n) part).
+        if len(line) > 1900:
+            compact["queries"] = {
+                k: round(v, 2) for k, v in compact["queries"].items()
+            }
+            line = json.dumps(compact)
+        # `queries` is part of the driver contract — shed optional
+        # fields instead if the line is still too long.
+        for opt in ("value_max_runs", "errored_queries", "session_setup_sec",
+                    "heavy_engine_sec", "heavy_duckdb_sec", "policy"):
+            if len(line) <= 1900:
+                break
+            compact.pop(opt, None)
+            line = json.dumps(compact)
+        print(line, flush=True)
+
+    def _on_signal(signum, frame):  # noqa: ANN001 - signal API
+        # The driver's timeout sends SIGTERM; flush a final parseable
+        # line and exit immediately (no Spark teardown — the process is
+        # being killed anyway and a clean stop() can hang in the JVM).
+        try:
+            emit(write_detail=True)
+        finally:
+            os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     for name, q in sorted(REGISTRY.items()):
+        runs_now = budget.runs_allowed(runs_per_query)
+        if runs_now == 0:
+            break  # budget exhausted — stop cleanly, partial stays true
         runs: list[float] = []
         druns: list[float] = []
-        for _ in range(runs_per_query):
+        for _ in range(runs_now):
             t0 = time.time()
             try:
                 q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -211,6 +390,8 @@ def main() -> None:
                 t0 = time.time()
                 duck_con.sql(q.sql).fetchall()
                 druns.append(time.time() - t0)
+            if budget.remaining() <= 5:
+                break  # keep whatever runs we have; flush and move on
         # a query that errored on ANY run is excluded from timings
         # entirely (not a median of its lucky runs): `queries`,
         # `comparable_queries`, and the DuckDB side then all cover the
@@ -222,114 +403,11 @@ def main() -> None:
             if druns:
                 duck[name] = round(statistics.median(druns), 3)
                 duck_min[name] = round(min(druns), 3)
+        emit()  # last-line-wins checkpoint after every query
+    else:
+        partial["v"] = False
 
-    # `value` = copart build + per-query medians of every SUCCESSFUL
-    # query. An errored query is absent from `queries`, so the total is
-    # a subtotal over `comparable_queries` — flagged loudly, never a
-    # silent improvement.
-    total = round(sum(timings.values()) + copart_build_sec, 3)
-    # worst-run total: includes every one-time session build that only
-    # run 1 pays (memoized triangle-kernel prep, replay staging, strategy
-    # probes) — the median headline excludes those by construction, so
-    # this is the honest upper bound the median is read against.
-    total_max = round(sum(timings_max.values()) + copart_build_sec, 3)
-    result = {
-        "metric": "total_wallclock_declared_queries",
-        "value": total,
-        "value_max_runs": total_max,
-        "unit": "sec",
-        "queries": timings,
-        "queries_min": timings_min,
-        "queries_max": timings_max,
-        "sf": float(sf),
-        "runs_per_query": runs_per_query,
-        "session_setup_sec": setup_sec,
-        "copart_build_sec": copart_build_sec,
-        "policy": (
-            "value = copart_build_sec + sum of per-query medians of "
-            f"{runs_per_query} runs; copart materialized-view build is charged "
-            "once to the engine total, while DuckDB recomputes that join "
-            "inside each of q07/q11b/q17/q18's timed SQL. Session-lifetime "
-            "builds that happen inside a query's FIRST run (e.g. q17's "
-            "memoized triangle-kernel prep, replay staging, strategy probes) "
-            "are excluded from the median by construction — queries_max "
-            "carries them per-query and value_max_runs totals them, so the "
-            "one-time costs are visible in a headline field, not only "
-            "per-query. A query that errors on any run is excluded from "
-            "queries/value entirely and listed under errors"
-        ),
-        "errors_present": bool(errors),
-        "comparable_queries": len(timings),
-    }
-    if errors:
-        result["errors"] = errors
-        result["errored_queries"] = sorted(errors)
-
-    # Same-run DuckDB baseline ON BY DEFAULT (BENCH_DUCKDB=0 disables),
-    # so every BENCH_r*.json carries its own same-host ratio instead of
-    # depending on a cross-session DuckDB measurement. Timed above,
-    # interleaved run-for-run with the engine.
-    if duck_con is not None:
-        result["duckdb_queries"] = duck
-        result["duckdb_queries_min"] = duck_min
-        result["duckdb_total_sec"] = round(sum(duck.values()), 3)
-        if result["duckdb_total_sec"] > 0:
-            result["ratio_vs_duckdb"] = round(total / result["duckdb_total_sec"], 3)
-        # Floor-vs-plan split, machine-readable (BASELINE.md): queries
-        # where the DuckDB median is >= 0.1 s are "heavy" — above the
-        # trivial-query engine floor, so the ratio over them compares
-        # plan quality rather than JVM job-launch constants. The heavy
-        # set excludes the copart build charge (its consumers' DuckDB
-        # oracles re-derive the join inside their own timed SQL).
-        heavy = [n for n in duck if duck[n] >= 0.1 and n in timings]
-        heavy_duck = sum(duck[n] for n in heavy)
-        if heavy_duck > 0:
-            result["heavy_queries"] = sorted(heavy)
-            result["heavy_engine_sec"] = round(sum(timings[n] for n in heavy), 3)
-            result["heavy_duckdb_sec"] = round(heavy_duck, 3)
-            result["ratio_heavy"] = round(
-                result["heavy_engine_sec"] / heavy_duck, 3
-            )
-
-    # Full result (per-query DuckDB tables, min/max runs, policy prose)
-    # goes to bench_detail.json; stdout gets a COMPACT headline line.
-    # The driver records only the LAST 2000 chars of bench output and
-    # parses the JSON line out of that tail — round 5's 7 kB line was
-    # truncated mid-JSON and recorded as parsed:null, so the headline
-    # line must fit the tail window whole.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
-        "w",
-    ) as fh:
-        json.dump(result, fh, indent=1)
-
-    compact = {
-        k: result[k]
-        for k in (
-            "metric", "value", "value_max_runs", "unit", "queries", "sf",
-            "runs_per_query", "session_setup_sec", "copart_build_sec",
-            "errors_present", "comparable_queries", "errored_queries",
-            "duckdb_total_sec", "ratio_vs_duckdb", "heavy_engine_sec",
-            "heavy_duckdb_sec", "ratio_heavy",
-        )
-        if k in result
-    }
-    compact["detail"] = "bench_detail.json"
-    line = json.dumps(compact)
-    # Belt-and-braces: degrade gracefully if the query set ever grows the
-    # line past the tail window (queries dict is the only O(n) part).
-    if len(line) > 1900:
-        compact["queries"] = {k: round(v, 2) for k, v in compact["queries"].items()}
-        line = json.dumps(compact)
-    # `queries` is part of the driver contract — shed optional fields
-    # instead if the line is still too long.
-    for opt in ("value_max_runs", "errored_queries", "session_setup_sec",
-                "heavy_engine_sec", "heavy_duckdb_sec"):
-        if len(line) <= 1900:
-            break
-        compact.pop(opt, None)
-        line = json.dumps(compact)
-    print(line)
+    emit(write_detail=True)
 
 
 if __name__ == "__main__":

@@ -45,6 +45,10 @@ BUILD_CONFS: dict[str, str] = {
     "spark.sql.files.minPartitionNum": "32",
     "spark.sql.files.openCostInBytes": "262144",
     "spark.ui.enabled": "false",
+    # Progress bars write \r-frames to stderr for every stage; under the
+    # bench driver they flood the captured output tail and can push the
+    # headline JSON line out of the parse window (BENCH_r06 failure mode).
+    "spark.ui.showConsoleProgress": "false",
 }
 
 
