@@ -45,8 +45,6 @@ def _warm_up(spark, sf_dir: str) -> None:
     Measured: the FIRST shuffle+join query in a fresh session pays ~2-3 s
     of JIT alone (copart build: 5.5 s cold vs 1.6 s warm at sf0.1).
     The DuckDB baseline is timed warm the same way."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from gelly_streaming_spark.sources.tables import TABLES, load_table
@@ -132,13 +130,14 @@ def _warm_up(spark, sf_dir: str) -> None:
     spark.createDataFrame([(1, 2)], "a long, b long").collect()
     # streaming machinery: file source + stateful agg + state store
     try:
+        from gelly_streaming_spark.plans.memory import session_tmpdir
         from gelly_streaming_spark.streaming.runner import run_to_memory
         from gelly_streaming_spark.streaming.sources import replay
 
         tiny = spark.range(0, 8).select(
             F.col("id").alias("src"), F.col("id").alias("dst")
         )
-        s = replay(tiny, tempfile.mkdtemp(prefix="gss_warm_"), 1)
+        s = replay(tiny, session_tmpdir("gss_warm_"), 1)
         run_to_memory(s.groupBy("src").count(), "complete")
     except Exception:
         pass  # streaming warm-up is best-effort; queries still run cold

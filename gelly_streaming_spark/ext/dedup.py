@@ -124,6 +124,7 @@ def near_dup_collapse(
     threshold: float = 0.95,
     tokens: Column | None = None,
     method: str = "exact",
+    small_input_rows: int = 1_000_000,
 ) -> DataFrame:
     """Collapse near-duplicate clusters to one kept representative each:
     rows (keep_id, cluster_size) — the dedup ARTIFACT a training-data
@@ -152,7 +153,13 @@ def near_dup_collapse(
     ``method="exact"`` scores rep pairs with the exact ppjoin/bitset
     path (oracle-checkable — q31); ``"minhash"`` uses the MinHash-LSH
     candidate path (the 100 TB default, identical collapse semantics,
-    property-tested recall)."""
+    property-tested recall).
+
+    ``small_input_rows`` caps the driver union-find fast path over the
+    rep pair graph (default 1 M edges — see the inline measurement);
+    pass 0 to force the distributed CC fixpoint, the path a pair graph
+    past the bound takes at 100 TB (exercised by
+    tests/test_ext.py::test_near_dup_collapse_distributed_fallback)."""
     from gelly_streaming_spark.algos.connected_components import connected_components
     from gelly_streaming_spark.operators.graphstream import GraphStream
     from gelly_streaming_spark.plans.memory import free_checkpoint
@@ -190,7 +197,7 @@ def near_dup_collapse(
         # job overhead — measured 5.7 s distributed vs ~0.5 s driver at
         # sf0.1's 191 k pairs; past the bound CC runs distributed
         comp = connected_components(
-            GraphStream(pair_edges), small_input_rows=1_000_000
+            GraphStream(pair_edges), small_input_rows=small_input_rows
         )
     finally:
         free_checkpoint(pair_edges)

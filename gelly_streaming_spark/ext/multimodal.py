@@ -259,13 +259,18 @@ def resize_media(
     """Batch image resize via Arrow-batched mapInPandas: payloads are
     transformed in place (meta.bytes updated), never touching the driver
     and never shuffling — the stage fuses onto the scan, so at 100 TB it
-    is a pure map over whatever partitioning the source already has."""
+    is a pure map over whatever partitioning the source already has.
+
+    Only ``kind == 'image'`` rows are resized; audio/video rows (legal in
+    MEDIA_SCHEMA's mixed table) pass through untouched instead of feeding
+    the image resizer a non-image payload and failing the whole stage."""
     do_resize = resizer or resize_image
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             new_payloads = [
-                do_resize(bytes(p), width, height) for p in pdf["payload"]
+                do_resize(bytes(p), width, height) if kind == "image" else p
+                for kind, p in zip(pdf["kind"], pdf["payload"])
             ]
             pdf = pdf.assign(payload=new_payloads)
             pdf["meta"] = [

@@ -12,11 +12,15 @@ stable row key with a small multiplicative congruential hash chosen to be
 expressible in portable integer SQL (so the DuckDB oracle can replicate
 it bit-for-bit) and overflow-safe for any BIGINT key:
 
-    bucket(key) = ((key % M) * A + B) % M,   M = 99991 (prime), A = 40503
+    bucket(key) = (((key % M + M) % M) * A + B) % M,
+    M = 99991 (prime), A = 40503
 
 ``key % M`` first keeps the product under 2^42 — no BIGINT overflow for
-ANY 64-bit key, unlike hashing ``key * A`` directly. The same three
-integer ops run identically in Spark, DuckDB, and any ANSI engine.
+ANY 64-bit key, unlike hashing ``key * A`` directly; the ``+ M) % M``
+folds the dividend-signed remainder (both Spark and DuckDB ``%`` follow
+the dividend's sign) so negative keys land in [0, M) like any other key
+instead of collapsing into the first split arm. The same integer ops run
+identically in Spark, DuckDB, and any ANSI engine.
 
 This is deliberately NOT a cryptographic or avalanche hash: it is a
 splitter. For adversarial keys use ``F.xxhash64`` (Spark-only, so the
@@ -27,7 +31,8 @@ Scale: split assignment is a zero-shuffle projection fused into the scan;
 stratified counting is one partial-agg shuffle on (split, stratum);
 deterministic per-group sampling is one hash-partitioned window with a
 rank-limit pushdown (WindowGroupLimit trims to n per group map-side
-before the shuffle — asserted in tests/test_plans.py).
+before the shuffle — asserted in
+tests/test_ext.py::test_deterministic_sample_per_group).
 
 REF: no reference counterpart (gelly-streaming has no dataset-split
 surface); this is part of the training-data pipeline extension layer
@@ -50,14 +55,14 @@ _B = 30029
 def split_bucket(key: Column) -> Column:
     """Deterministic bucket in [0, 99991) from a BIGINT key column.
 
-    Pure integer arithmetic, overflow-safe for any 64-bit key, and
-    replicable verbatim in the SQL oracle (see SPLIT_BUCKET_SQL).
+    Pure integer arithmetic, overflow-safe and sign-safe for any 64-bit
+    key, and replicable verbatim in the SQL oracle (see SPLIT_BUCKET_SQL).
     """
-    return (((key % _M) * _A + _B) % _M).cast("long")
+    return ((((key % _M) + _M) % _M * _A + _B) % _M).cast("long")
 
 
 #: DuckDB/ANSI equivalent of split_bucket() — format with the key column.
-SPLIT_BUCKET_SQL = f"(({{key}} % {_M}) * {_A} + {_B}) % {_M}"
+SPLIT_BUCKET_SQL = f"((({{key}} % {_M}) + {_M}) % {_M} * {_A} + {_B}) % {_M}"
 
 
 def assign_split(

@@ -97,9 +97,14 @@ def token_counts(text: Column) -> Column:
     ELEMENT (Catalyst inlines them; higher-order functions are
     interpreted, not codegen'd), so this form is O(T²·sort) per doc —
     measured: it turned q33 at sf0.1 (100-token docs) into a
-    multi-minute straggler stage. Use token_pairs() for anything beyond
-    tiny rows: it stages the same kernel across projections so each
-    array materializes once per row and the cost is O(T log T)."""
+    multi-minute straggler stage. Staging the kernel across projections
+    does NOT survive downstream consumption either: CollapseProject and
+    the generator-pushdown rules re-inline the staged arrays as soon as
+    the pairs feed an explode (measured: 19 array_sort copies in q33's
+    optimized plan, 38 in q35's). Property-tested against a Counter
+    recount (tests/test_property.py); for corpus-scale work use
+    token_doc_counts(), whose word-count plan is whole-stage-codegen
+    end to end with no HOF at all."""
     st = F.array_sort(tokenize(text))
     n = F.size(st)
     idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
@@ -118,40 +123,31 @@ def token_counts(text: Column) -> Column:
     )
 
 
-def token_pairs(
+def token_doc_counts(
     docs: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, pairs: array<struct<token,occ>>) via the run-length
-    kernel STAGED across projections: the sorted array and the run-end
-    index array each materialize once per row as real columns, so lambda
-    accesses are O(1) attribute reads and the whole kernel is O(T log T)
-    per document (the single-expression form in token_counts() re-derives
-    the nested arrays per element — see its scale warning). Each alias is
-    referenced more than once downstream, which is exactly the condition
-    under which CollapseProject keeps the projection boundary instead of
-    inlining the expression back into the lambdas; regression-guarded by
-    a wall-clock test in tests/test_ext.py. Zero shuffles."""
-    st_col = F.array_sort(tokenize(F.col(text_col)))
-    d1 = docs.select(F.col(doc_id_col).alias("doc_id"), st_col.alias("_st"))
-    st = F.col("_st")
-    n = F.size(st)
-    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
-        F.lit(None).cast("array<int>")
+    """(doc_id, token, occ) — term frequencies per document via the
+    canonical distributed word-count plan: a row-local explode fused
+    into the scan, then ONE hash aggregation keyed on (doc_id, token)
+    whose map-side partial agg compresses duplicates before the
+    exchange — the shuffle moves per-doc DISTINCT tokens, the same rows
+    an in-row run-length would have emitted post-explode.
+
+    Why not an in-row HOF kernel: Catalyst re-inlines staged array
+    projections through Generate (CollapseProject + generator pushdown),
+    re-deriving the sorted array per ELEMENT — measured O(T²) blow-up
+    that turned q33 at sf0.1 into a 480 s+ straggler (plan-shape
+    regression guarded in tests/test_ext.py::
+    test_vocab_and_tfidf_plans_have_no_hof_resort). This form is
+    whole-stage codegen end to end and AQE-sizable at any scale."""
+    return (
+        docs.select(
+            F.col(doc_id_col).alias("doc_id"),
+            F.explode(tokenize(F.col(text_col))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("occ"))
     )
-    run_ends = F.filter(
-        idx,
-        lambda i: F.coalesce(F.get(st, i + 1) != F.get(st, i), F.lit(True)),
-    )
-    d2 = d1.select("doc_id", "_st", run_ends.alias("_ends"))
-    ends = F.col("_ends")
-    pairs = F.transform(
-        ends,
-        lambda e, j: F.struct(
-            F.get(F.col("_st"), e).alias("token"),
-            (e - F.coalesce(F.get(ends, j - 1), F.lit(-1))).alias("occ"),
-        ),
-    )
-    return d2.select("doc_id", pairs.alias("pairs"))
 
 
 def vocabulary(
@@ -165,21 +161,27 @@ def vocabulary(
     (``df`` = docs containing the token), totally ordered by
     (cf DESC, token ASC) with a dense ``rank``.
 
-    Plan shape (the one that survives 100 TB): explode is a row-local
-    generator fused into the scan; the groupBy does ONE partial-agg
-    shuffle keyed on token — cf partial-aggregates map-side, and df
-    comes from counting each (doc, token) pair once via an in-row
-    array_distinct BEFORE the explode (no count-distinct shuffle, no
-    second pass over the corpus). The final top-k sorts only the
-    aggregated token table (vocabulary-sized, not corpus-sized) with a
-    TakeOrdered, never a global sort of rows.
+    Plan shape (the one that survives 100 TB): two row-local generators
+    fused into the scan — every token for cf, the in-row
+    ``array_distinct`` of the tokens for df (each doc contributes one
+    row per distinct token, so df is a plain count: no count-distinct
+    expand, no (doc, token) pre-aggregation shuffle) — unioned and
+    funneled through ONE partial-agg shuffle keyed on token. No
+    higher-order-function lambdas anywhere (see token_doc_counts for
+    why that matters). The final top-k sorts only the aggregated token
+    table (vocabulary-sized, not corpus-sized) with a TakeOrdered,
+    never a global sort of rows.
     """
-    tok = token_pairs(docs, text_col, doc_id_col).select(
-        F.col("doc_id").alias("_doc"), F.explode("pairs").alias("p")
+    t = tokenize(F.col(text_col))
+    occ = docs.select(
+        F.explode(t).alias("token"), F.lit(1).alias("is_occ")
     )
-    agg = tok.groupBy(F.col("p.token").alias("token")).agg(
-        F.sum("p.occ").alias("cf"),
-        F.count(F.lit(1)).alias("df"),
+    dst = docs.select(
+        F.explode(F.array_distinct(t)).alias("token"), F.lit(0).alias("is_occ")
+    )
+    agg = occ.unionByName(dst).groupBy("token").agg(
+        F.sum("is_occ").alias("cf"),
+        F.sum(1 - F.col("is_occ")).alias("df"),
     )
     # Distributed top-k: orderBy+limit plans as TakeOrderedAndProject
     # (per-partition heaps, k rows to the driver side of the exchange) —
@@ -195,6 +197,7 @@ def tfidf_keywords(
     text_col: str = "text",
     doc_id_col: str = "doc_id",
     k: int = 3,
+    broadcast_df: bool | None = None,
 ) -> DataFrame:
     """Top-``k`` keywords per document by TF-IDF
     (``occ * ln(N / df)``, rounded to 6 decimals BEFORE ranking so the
@@ -202,20 +205,26 @@ def tfidf_keywords(
     ranking raw doubles would let a 1-ulp libm difference flip a
     near-tie across engines).
 
-    Plan: term frequencies come from the shared in-row token_counts()
-    kernel; document frequency is ONE token-keyed partial-agg shuffle;
-    the df table is vocabulary-sized, so it broadcast-joins back to the
-    pairs; the per-doc top-k is a WindowGroupLimit (map-side trim to k
-    before the doc_id exchange). N is a single scalar count — the one
-    driver value, same at any scale."""
+    Plan: term frequencies come from token_doc_counts()'s word-count
+    plan (one (doc_id, token) partial-agg shuffle, full codegen);
+    document frequency is ONE further token-keyed partial-agg shuffle
+    over that already-distinct table; the df table is vocabulary-sized,
+    so it usually broadcast-joins back to the pairs; the per-doc top-k
+    is a WindowGroupLimit (map-side trim to k before the doc_id
+    exchange). N is a single scalar count — the one driver value, same
+    at any scale.
+
+    ``broadcast_df``: None (default) sets no hint — AQE's runtime
+    join-strategy switching converts to broadcast when the materialized
+    df table is actually small, and falls back to a shuffle join when a
+    100 TB corpus's full vocabulary exceeds the broadcast limit. True
+    forces the broadcast hint (caller knows the vocabulary is bounded)."""
     n_docs = docs.count()
-    pairs = token_pairs(docs, text_col, doc_id_col).select(
-        "doc_id", F.explode("pairs").alias("p")
-    ).select(
-        "doc_id", F.col("p.token").alias("token"), F.col("p.occ").alias("occ")
-    )
+    pairs = token_doc_counts(docs, text_col, doc_id_col)
     df_t = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = pairs.join(F.broadcast(df_t), "token").select(
+    if broadcast_df:
+        df_t = F.broadcast(df_t)
+    scored = pairs.join(df_t, "token").select(
         "doc_id",
         "token",
         F.round(

@@ -16,7 +16,21 @@ every ``LogicalRDD`` scan it finds (verified: the entry leaves
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
+
+
+def session_tmpdir(prefix: str) -> str:
+    """``mkdtemp`` + ``atexit`` rmtree: every session-lifetime staging
+    dir (replay chunks, restaged tables, bench warm-up) is removed at
+    interpreter exit even when ``release_persisted`` is never called
+    (pytest sessions, ad-hoc shells) — no orphan ``gss_*`` dirs in /tmp."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _collect_logical_rdds(plan, out: list) -> None:
@@ -76,12 +90,18 @@ def release_persisted(spark) -> int:
                     pass
         memo.clear()
     # Replay staging: remove the session's staged chunk dirs from disk.
-    import shutil
-
     stage = getattr(spark, "_gss_replay_stage", None) or {}
     for d in stage.values():
         shutil.rmtree(d, ignore_errors=True)
     stage.clear()
+    # Restaged-table copies: remove the dirs AND the memo together (an
+    # entry surviving its dir would point later scans at deleted files);
+    # the next load_table simply restages cold.
+    tstage = getattr(spark, "_gss_table_stage", None) or {}
+    for d in tstage.values():
+        if d is not None:
+            shutil.rmtree(d, ignore_errors=True)
+    tstage.clear()
     # Table-plan memo: plain logical plans (no storage), but the entries
     # pin restaged-scan refs — drop them with the rest of the session
     # caches so a release really returns the session to a cold state.

@@ -1051,17 +1051,22 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_split_report(docs, "doc_id", ["lang"])
 
 
-_Q34_K = 99991
-_Q34_SQL = (
-    "SELECT doc_id, lang FROM ("
-    "  SELECT doc_id, lang, ROW_NUMBER() OVER ("
-    "    PARTITION BY lang "
-    f"   ORDER BY ((doc_id % {_Q34_K}) * 40503 + 30029) % {_Q34_K}, doc_id"
-    "  ) AS rn FROM documents) WHERE rn <= 25"
-)
+def _q34_sql() -> str:
+    # ORDER BY is derived from the engine's own SPLIT_BUCKET_SQL so the
+    # oracle can never desynchronize from ext/split's hash constants.
+    from gelly_streaming_spark.ext.split import SPLIT_BUCKET_SQL
+
+    bucket = SPLIT_BUCKET_SQL.format(key="doc_id")
+    return (
+        "SELECT doc_id, lang FROM ("
+        "  SELECT doc_id, lang, ROW_NUMBER() OVER ("
+        "    PARTITION BY lang "
+        f"   ORDER BY {bucket}, doc_id"
+        "  ) AS rn FROM documents) WHERE rn <= 25"
+    )
 
 
-@_q("q34_deterministic_sample", _Q34_SQL,
+@_q("q34_deterministic_sample", _q34_sql(),
     "per-language deterministic downsample (25 docs/lang by hash order — "
     "reservoir-sampling semantics without RNG state, stable under "
     "repartitioning and corpus growth); WindowGroupLimit trims map-side "
@@ -1087,9 +1092,9 @@ FROM agg ORDER BY cf DESC, token LIMIT 50
 
 @_q("q33_vocab", _Q33_SQL,
     "tokenizer-vocabulary build: top-50 tokens by collection frequency "
-    "with exact document frequency — df computed via in-row run-length "
-    "over the sorted token array (ONE shuffle total, no count-distinct "
-    "expand, no second corpus pass), top-k as TakeOrdered not global sort")
+    "with exact document frequency — df via in-row array_distinct explode "
+    "(ONE shuffle total, no count-distinct expand, no HOF lambdas), "
+    "top-k as TakeOrdered not global sort")
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gelly_streaming_spark.ext.text import vocabulary
 
@@ -1115,10 +1120,10 @@ SELECT doc_id, token, tfidf FROM (
 
 
 @_q("q35_tfidf_keywords", _Q35_SQL,
-    "top-3 TF-IDF keywords per document: shared in-row term-frequency "
-    "kernel + one token-keyed shuffle for df + broadcast join back + "
-    "WindowGroupLimit per-doc top-k; scores rounded BEFORE ranking so "
-    "cross-engine ordering is ulp-proof")
+    "top-3 TF-IDF keywords per document: word-count tf kernel (explode + "
+    "partial-agg, full codegen) + one token-keyed shuffle for df + AQE "
+    "runtime broadcast back + WindowGroupLimit per-doc top-k; scores "
+    "rounded BEFORE ranking so cross-engine ordering is ulp-proof")
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gelly_streaming_spark.ext.text import tfidf_keywords
 

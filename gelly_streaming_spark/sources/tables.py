@@ -80,8 +80,6 @@ def _maybe_restage(spark: SparkSession, path: str, df: DataFrame, name: str):
     if path not in cache:
         staged = None
         try:
-            import tempfile
-
             import pyarrow.parquet as pq
 
             md = pq.ParquetFile(path).metadata
@@ -89,7 +87,9 @@ def _maybe_restage(spark: SparkSession, path: str, df: DataFrame, name: str):
             if md.num_rows >= _STAGE_MIN_ROWS and md.num_row_groups < max(
                 4, par // 4
             ):
-                out = tempfile.mkdtemp(prefix=f"gss_stage_{name}_")
+                from gelly_streaming_spark.plans.memory import session_tmpdir
+
+                out = session_tmpdir(f"gss_stage_{name}_")
                 n = int(min(par, max(8, md.num_rows // 50_000)))
                 key = _STAGE_KEYS.get(name)
                 part = (

@@ -72,7 +72,6 @@ def replay(
     removed by ``plans.memory.release_persisted``.
     """
     import os
-    import tempfile
     import time
 
     import pyarrow.parquet as pq
@@ -91,7 +90,9 @@ def replay(
             )
 
     if stage_dir is None:
-        stage_dir = tempfile.mkdtemp(prefix="gss_replay_")
+        from gelly_streaming_spark.plans.memory import session_tmpdir
+
+        stage_dir = session_tmpdir("gss_replay_")
     os.makedirs(stage_dir, exist_ok=True)
     # A reused stage dir must not replay a previous call's chunks: the
     # file source globs every chunk-*.parquet it finds, so stale files

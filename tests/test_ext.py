@@ -457,3 +457,135 @@ def test_multimodal_resize_real_bmp(spark):
 
     with pytest.raises(NotImplementedError):
         resize_image(b"not-a-bmp", 2, 2)
+
+
+def test_resize_media_passes_through_non_images(spark):
+    """A mixed image|audio|video media table (legal per MEDIA_SCHEMA)
+    must resize only the image rows; audio/video payloads pass through
+    byte-identical instead of crashing the mapInPandas stage."""
+    from gelly_streaming_spark.ext.multimodal import (
+        _bmp_pixels,
+        resize_media,
+    )
+
+    bmp = _tiny_bmp(8, 6, (1, 2, 3))
+    wav = b"RIFFxxxxWAVEfake-payload"
+    vid = b"\x00\x00\x00 ftypisom-fake-mp4"
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bmp), ("t", "image/bmp", len(bmp))),
+            (2, "audio", bytearray(wav), ("t", "audio/wav", len(wav))),
+            (3, "video", bytearray(vid), ("t", "video/mp4", len(vid))),
+        ],
+        "media_id long, kind string, payload binary, "
+        "meta struct<source:string,mime:string,bytes:bigint>",
+    )
+    rows = {r.media_id: r for r in resize_media(media, 4, 3).collect()}
+    w, h, _ = _bmp_pixels(bytes(rows[1].payload))
+    assert (w, h) == (4, 3)
+    assert bytes(rows[2].payload) == wav
+    assert bytes(rows[3].payload) == vid
+    for r in rows.values():
+        assert r.meta.bytes == len(bytes(r.payload))
+
+
+def test_split_bucket_sign_safe_and_oracle_parity(spark):
+    """Negative 64-bit keys must land in [0, M) like any other key (both
+    Spark and DuckDB % follow the dividend's sign — without the +M fold
+    every negative key collapsed into the first split arm), and the
+    Spark expression must agree bit-for-bit with SPLIT_BUCKET_SQL."""
+    import duckdb
+
+    from gelly_streaming_spark.ext.split import _M, SPLIT_BUCKET_SQL, split_bucket
+
+    keys = [0, 1, -1, 7, -7, 99990, -99991, 2**62, -(2**62), -123456789]
+    df = spark.createDataFrame([(k,) for k in keys], "key long")
+    got = {
+        r["key"]: r["b"]
+        for r in df.select("key", split_bucket(F.col("key")).alias("b")).collect()
+    }
+    expr = SPLIT_BUCKET_SQL.format(key="key")
+    oracle = dict(
+        duckdb.sql(
+            f"SELECT key, {expr} AS b FROM (VALUES "
+            + ", ".join(f"(CAST({k} AS BIGINT))" for k in keys)
+            + ") t(key)"
+        ).fetchall()
+    )
+    assert got == oracle
+    for b in got.values():
+        assert 0 <= b < _M
+
+
+def test_vocab_and_tfidf_plans_have_no_hof_resort(spark, docs):
+    """Regression guard for the q33 480 s+ straggler: Catalyst re-inlines
+    staged array projections through Generate, re-deriving array_sort
+    per element (measured 19 copies in q33's optimized plan, 38 in
+    q35's, before the word-count rewrite). The corpus-scale text plans
+    must contain NO array_sort at all — cf/df/tf come from explode +
+    hash aggregation, codegen end to end."""
+    from gelly_streaming_spark.ext.text import (
+        tfidf_keywords,
+        token_doc_counts,
+        vocabulary,
+    )
+
+    for frame in (
+        vocabulary(docs, k=10),
+        tfidf_keywords(docs),
+        token_doc_counts(docs),
+    ):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("array_sort") == 0, plan
+
+
+def test_token_doc_counts_matches_counter(spark, docs):
+    """The word-count kernel must agree with a naive pandas recount."""
+    from collections import Counter
+
+    from gelly_streaming_spark.ext.text import token_doc_counts
+
+    pdf = docs.select("doc_id", "text").limit(200).toPandas()
+    expect = Counter()
+    for did, t in zip(pdf["doc_id"], pdf["text"]):
+        for tok in t.split():
+            if tok:
+                expect[(did, tok)] += 1
+    sub = docs.join(
+        spark.createDataFrame(pdf[["doc_id"]]), "doc_id", "left_semi"
+    )
+    got = {
+        (r["doc_id"], r["token"]): r["occ"]
+        for r in token_doc_counts(sub).collect()
+    }
+    assert got == dict(expect)
+
+
+def test_near_dup_collapse_distributed_fallback(spark):
+    """Force the pair-graph CC past the driver union-find bound
+    (small_input_rows=0 — the path a 100 TB dup graph takes) and check
+    the collapse is identical to the driver-path answer on a chain of
+    overlapping docs."""
+    from gelly_streaming_spark.ext.dedup import near_dup_collapse
+
+    base = [f"tok{i}" for i in range(22)]
+    rows = []
+    for i in range(40):
+        # docs i, j share >=20/24 tokens (jaccard >=0.833) -> one cluster
+        toks = base[:]
+        toks[i % 22] = f"uniq{i}"
+        rows.append((i, " ".join(toks)))
+    rows.append((100, "completely unrelated content right here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {
+        (r["keep_id"], r["cluster_size"])
+        for r in near_dup_collapse(docs, threshold=0.8).collect()
+    }
+    dist = {
+        (r["keep_id"], r["cluster_size"])
+        for r in near_dup_collapse(
+            docs, threshold=0.8, small_input_rows=0
+        ).collect()
+    }
+    assert dist == fast
+    assert (100, 1) in dist
