@@ -460,6 +460,52 @@ def q15d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_Q15E_BODY = """
+e AS (SELECT date_trunc('day', ts) AS bucket, src, dst
+      FROM edges_events
+      WHERE src < 120 AND ts < TIMESTAMP '2024-01-16'),
+bks AS (SELECT DISTINCT bucket FROM e),
+ce AS (SELECT b.bucket AS bucket, e.src, e.dst FROM bks b JOIN e ON e.bucket <= b.bucket),
+eu AS (SELECT DISTINCT bucket, src AS u, dst AS v FROM ce
+       UNION SELECT DISTINCT bucket, dst, src FROM ce),
+verts AS (SELECT DISTINCT bucket, u AS id FROM eu),
+walk(bucket, id, comp) AS (
+  SELECT bucket, id, id FROM verts
+  UNION
+  SELECT w.bucket, e.v, w.comp FROM walk w
+  JOIN eu e ON e.bucket = w.bucket AND e.u = w.id
+)
+SELECT bucket, id, MIN(comp) AS component FROM walk GROUP BY bucket, id
+"""
+
+
+@_q("q15e_cc_summary_windowed",
+    _with(_Q15E_BODY, "edges_events", recursive=True),
+    "A7 WindowGraphAggregation: per-tumbling-day CC summaries with state "
+    "carried across windows (transientState=false, the reference CC ctor "
+    "shape, REF:WindowGraphAggregation.java:~70 [M]) — one component "
+    "mapping emitted per window over the cumulative edge set, hash-matched "
+    "against a per-bucket recursive-CTE oracle. Vertex set bounded "
+    "(user_id < 120, pushed into the scan): the oracle's recursive label "
+    "walk materializes O(V^2) (id, comp) pairs per bucket, so an "
+    "unbounded fixture made the DuckDB side quadratic (380 s+ at sf0.1) "
+    "while the engine's union-find path stayed linear")
+def q15e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.connected_components import (
+        connected_components_summary,
+    )
+
+    edges = E.edges_events(spark, sf_dir).where(
+        (F.col("src") < 120) & (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    )
+    # buckets sized to the bounded fixture (the knob is partition tuning,
+    # like shuffle.partitions — a cluster run raises it to executor width)
+    out = connected_components_summary(
+        GraphStream(edges), window="1 day", num_buckets=8
+    )
+    return out.select("bucket", "id", "component")
+
+
 def _fixture_union_sql() -> str:
     from gelly_streaming_spark.sources.fixtures import fixture_rows
 

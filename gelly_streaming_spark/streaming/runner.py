@@ -138,6 +138,7 @@ def run_update_merge(
     sdf: DataFrame,
     key_cols: list[str],
     timeout_sec: int = 300,
+    collapse_every: int = 8,
 ) -> DataFrame:
     """Execute an UPDATE-mode streaming aggregation with an available-now
     trigger and return the final upserted state.
@@ -152,25 +153,38 @@ def run_update_merge(
     ``run_to_memory`` rejects update mode and points here).
 
     Scale: state stays a distributed DataFrame keyed by ``key_cols``;
-    per batch one anti-join + union, lineage cut per merge, superseded
-    checkpoints freed — never a driver materialization.
+    per batch one anti-join + union composed LAZILY over per-batch
+    checkpoints, collapsed (checkpoint + free superseded blocks) every
+    ``collapse_every`` batches — never a driver materialization, never
+    more than O(collapse_every) pinned batches.
     """
     from gelly_streaming_spark.plans.memory import free_checkpoint
 
     state: list[DataFrame] = []
+    pinned: list[DataFrame] = []
 
     def _merge(bdf: DataFrame, _epoch: int) -> None:
+        # Each batch is checkpointed ONCE (sever the incremental-exec
+        # lineage before the query's temp checkpoint vanishes on stop);
+        # the upsert itself stays a LAZY plan over those checkpoints —
+        # merging eagerly re-checkpointed every round (one extra job per
+        # batch) for state the caller reads only after the last trigger.
+        # Every ``collapse_every`` batches the chain is collapsed to one
+        # checkpoint and the superseded blocks freed, so an unbounded
+        # stream pins O(collapse_every) batches, not its whole history.
         ckpt = bdf.localCheckpoint()
+        pinned.append(ckpt)
         if state:
             prev = state.pop()
-            merged = ckpt.unionByName(
-                prev.join(ckpt, key_cols, "left_anti")
-            ).localCheckpoint()
-            free_checkpoint(prev)
-            free_checkpoint(ckpt)
-            state.append(merged)
+            state.append(ckpt.unionByName(prev.join(ckpt, key_cols, "left_anti")))
         else:
             state.append(ckpt)
+        if len(pinned) >= collapse_every:
+            merged = state.pop().localCheckpoint()
+            while pinned:
+                free_checkpoint(pinned.pop())
+            pinned.append(merged)
+            state.append(merged)
 
     writer = (
         sdf.writeStream.foreachBatch(_merge)
