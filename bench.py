@@ -26,6 +26,7 @@ import os
 import signal
 import statistics
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -371,6 +372,13 @@ def main() -> None:
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
 
+    # Per-query watchdog: a single stuck engine query (the r6 failure —
+    # q33 blocked 480 s+ inside one Spark action) must not starve every
+    # query after it. The timer cancels all in-flight Spark jobs, the
+    # blocked action raises, and the query is recorded under errors
+    # while the loop continues. Armed around the ENGINE side only.
+    per_query_cap = float(os.environ.get("BENCH_QUERY_TIMEOUT_SEC", "120"))
+
     for name, q in sorted(REGISTRY.items()):
         runs_now = budget.runs_allowed(runs_per_query)
         if runs_now == 0:
@@ -378,6 +386,12 @@ def main() -> None:
         runs: list[float] = []
         druns: list[float] = []
         for _ in range(runs_now):
+            watchdog = threading.Timer(
+                min(per_query_cap, max(5.0, budget.remaining())),
+                spark.sparkContext.cancelAllJobs,
+            )
+            watchdog.daemon = True
+            watchdog.start()
             t0 = time.time()
             try:
                 q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -385,6 +399,8 @@ def main() -> None:
             except Exception as ex:  # one broken query must not kill the run
                 errors[name] = f"{type(ex).__name__}: {ex}"[:300]
                 break
+            finally:
+                watchdog.cancel()
             if duck_con is not None and q.sql is not None:
                 t0 = time.time()
                 duck_con.sql(q.sql).fetchall()
