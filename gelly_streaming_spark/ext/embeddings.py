@@ -42,7 +42,13 @@ def knn_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k per query: rows (qid, vec_id, sim) with a total
-    order (sim DESC, vec_id ASC) inside each query group."""
+    order (sim DESC, vec_id ASC) inside each query group.
+
+    The broadcast hint on the QUERY side is intentional and size-safe by
+    contract: brute-force kNN is the exactness baseline for a bounded
+    probe batch streamed against an arbitrarily large corpus. A query set
+    too big to broadcast is the signal to switch to knn_lsh/knn_ivf (the
+    scale paths), not to shuffle a |C|x|Q| cross join."""
     # Norms are per-vector, not per-pair: computing them once per side
     # (|C| + |Q| array folds) instead of inside the cross join
     # (2·|C|·|Q| folds) cuts the scored row's higher-order-function work

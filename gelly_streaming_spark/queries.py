@@ -143,6 +143,11 @@ def q05b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("id"))
     )
     e = E.edges_cust_order(spark, sf_dir)
+    # broadcast hint: the build side is a filtered DIMENSION table
+    # (customer keys), bounded at any SF relative to the edge fact table
+    # — the one case where a static hint beats waiting for AQE's runtime
+    # size check. Data-dependent build sides (e.g. tfidf's df table)
+    # leave the decision to AQE instead.
     out = e.join(cust.hint("broadcast"), e.src == cust.id, "left_semi")
     return out.select("src", "dst")
 
