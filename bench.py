@@ -401,7 +401,16 @@ def main() -> None:
                 break
             finally:
                 watchdog.cancel()
-            if duck_con is not None and q.sql is not None:
+            if duck_con is not None and q.sql is not None and (
+                not druns or druns[0] <= 5.0
+            ):
+                # A DuckDB oracle whose FIRST run exceeds 5 s (the two
+                # quadratic exact-Jaccard SQLs run 15-20 s each at
+                # sf0.1) is timed once, not per run: re-sampling it
+                # costs ~40 s/query of wall-clock budget to refine a
+                # number whose run-to-run noise is irrelevant at that
+                # magnitude, and that budget is better spent keeping
+                # runs_per_query at 3 for the engine side.
                 t0 = time.time()
                 duck_con.sql(q.sql).fetchall()
                 druns.append(time.time() - t0)
