@@ -243,6 +243,95 @@ def tfidf_keywords(
     )
 
 
+def doc_shingles(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shingle) — every ``n``-token shingle of every document
+    (duplicates kept; docs shorter than ``n`` tokens contribute none).
+
+    Plan: posexplode (row-local, fused into the scan) then a sliding
+    collect_list window partitioned by doc_id — ONE shuffle moving the
+    token stream, with each document's tokens landing in a single task
+    (documents are bounded; a single doc always fits a task). No
+    higher-order-function lambdas: building shingles as an in-row
+    ``transform(sequence, i -> slice(tokens, i, n))`` re-evaluates the
+    tokenization per element once Catalyst inlines it through the
+    downstream explode — the measured O(T²) blow-up documented in
+    token_doc_counts()."""
+    tok = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, n - 1)
+    )
+    sh = tok.select(
+        "doc_id",
+        F.concat_ws(" ", F.collect_list("token").over(w)).alias("shingle"),
+        F.count(F.lit(1)).over(w).alias("_w"),
+    )
+    return sh.where(F.col("_w") == n).drop("_w")
+
+
+def decontaminate(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-decontamination scan: (doc_id, n_hits) for every corpus
+    document sharing at least one ``n``-token shingle with the blocklist
+    (the eval/benchmark set), where ``n_hits`` counts the DISTINCT
+    shared shingles — the standard n-gram-overlap test a training corpus
+    runs against held-out benchmarks before training.
+
+    Scale: the blocklist is an eval set — bounded by definition — so its
+    distinct-shingle table is broadcast-joinable (left to AQE's runtime
+    size check); the corpus side streams through one window shuffle
+    (doc_shingles) and one partial-agg count. Production hashes
+    shingles (xxhash64) to shrink the join key; the string key is kept
+    here so the DuckDB oracle replicates the semantics verbatim."""
+    corpus_sh = doc_shingles(docs, n, text_col, doc_id_col)
+    block_sh = (
+        doc_shingles(blocklist, n, text_col, doc_id_col)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        corpus_sh.join(block_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+    )
+
+
+def ngram_repetition(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document duplicate n-gram statistics — the Gopher/
+    MassiveText boilerplate-repetition quality signal — as exact
+    integers: (doc_id, n_ngrams, n_distinct). The repetition fraction is
+    ``1 - n_distinct/n_ngrams``; integers are returned so the oracle
+    hash is exact (no float division to disagree on).
+
+    Plan: doc_shingles' single window shuffle, then one (doc, shingle)
+    partial-agg and one per-doc rollup — both map-side combining."""
+    sh = doc_shingles(docs, n, text_col, doc_id_col)
+    per = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+
+
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document profile: token count, quality, language,
     fingerprint — a single projection, zero shuffles."""

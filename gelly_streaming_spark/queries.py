@@ -1182,6 +1182,69 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_keywords(docs, k=3)
 
 
+# Shared shingle CTE for q36/q37: positions matter, so empty tokens are
+# filtered BEFORE slicing (Spark's tokenize() drops them in-array);
+# t[p:p+n-1] is DuckDB's 1-based inclusive slice = n tokens.
+_SHINGLE_CTE = """
+tok AS (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents),
+sh AS (SELECT doc_id, array_to_string(t[p:p+{m}], ' ') AS shingle
+       FROM tok, UNNEST(generate_series(1, greatest(len(t) - {m}, 0))) AS u(p))
+"""
+
+_Q36_SQL = (
+    "WITH " + _SHINGLE_CTE.format(m=2) + """,
+block AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+SELECT c.doc_id, COUNT(DISTINCT c.shingle) AS n_hits
+FROM corpus c JOIN block b ON c.shingle = b.shingle
+GROUP BY 1
+"""
+)
+
+
+@_q("q36_decontaminate", _Q36_SQL,
+    "benchmark decontamination: corpus docs sharing any n-token shingle "
+    "with a held-out eval set (doc_id % 97 = 0 simulates the benchmark), "
+    "n_hits = distinct shared shingles. n=3 here because the synthetic "
+    "fixture's vocabulary has no exact >=5-gram cross-doc repeats "
+    "(production runs 8-13-gram windows — same plan, one constant). One "
+    "windowed shingle shuffle per side, eval-set shingles AQE-broadcast, "
+    "partial-agg count — the pre-training n-gram overlap scan at its "
+    "100 TB shape")
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.text import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    block = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, block, n=3)
+
+
+_Q37_SQL = (
+    "WITH " + _SHINGLE_CTE.format(m=2) + """,
+per AS (SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+       COUNT(*) AS n_distinct
+FROM per GROUP BY 1
+"""
+)
+
+
+@_q("q37_ngram_repetition", _Q37_SQL,
+    "within-document duplicate-trigram statistics (the Gopher/MassiveText "
+    "boilerplate-repetition quality signal) as exact integers "
+    "(n_ngrams, n_distinct per doc) — windowed shingles, two partial-agg "
+    "rollups, no HOF lambdas")
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.text import ngram_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_repetition(docs, n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

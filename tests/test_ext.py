@@ -561,6 +561,50 @@ def test_token_doc_counts_matches_counter(spark, docs):
     assert got == dict(expect)
 
 
+def test_doc_shingles_and_repetition_hand_computed(spark):
+    """Shingle windows and duplicate-n-gram stats on a doc small enough
+    to enumerate by hand; docs shorter than n contribute nothing."""
+    from gelly_streaming_spark.ext.text import doc_shingles, ngram_repetition
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y")],
+        "doc_id long, text string",
+    )
+    sh = sorted(
+        (r["doc_id"], r["shingle"]) for r in doc_shingles(docs, n=3).collect()
+    )
+    # 3 windows: 'a b a', 'b a b', 'a b a' (duplicate kept) — doc 2 too short
+    assert sh == [(1, "a b a"), (1, "a b a"), (1, "b a b")]
+    rep = {
+        r["doc_id"]: (r["n_ngrams"], r["n_distinct"])
+        for r in ngram_repetition(docs, n=3).collect()
+    }
+    assert rep == {1: (3, 2)}
+
+
+def test_decontaminate_hand_computed(spark):
+    """A corpus doc sharing exactly one distinct trigram with the
+    blocklist is flagged with n_hits=1; unrelated docs are absent."""
+    from gelly_streaming_spark.ext.text import decontaminate
+
+    block = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "lazy dog saw the quick brown fox leave"),  # shares 2 trigrams
+            (2, "completely unrelated tokens only here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(corpus, block, n=3).collect()
+    }
+    # shared trigrams: 'the quick brown', 'quick brown fox'
+    assert got == {1: 2}
+
+
 def test_near_dup_collapse_distributed_fallback(spark):
     """Force the pair-graph CC past the driver union-find bound
     (small_input_rows=0 — the path a 100 TB dup graph takes) and check
