@@ -211,24 +211,39 @@ def tfidf_keywords(
     over that already-distinct table; the df table is vocabulary-sized,
     so it usually broadcast-joins back to the pairs; the per-doc top-k
     is a WindowGroupLimit (map-side trim to k before the doc_id
-    exchange). N is a single scalar count — the one driver value, same
-    at any scale.
+    exchange). N (the corpus size) is computed INSIDE the plan as a
+    1-row aggregate cross-joined in (broadcast nested loop over one
+    row) — not a separate ``docs.count()`` action, which cost an extra
+    driver-synchronized job per call and made the function eager.
 
     ``broadcast_df``: None (default) sets no hint — AQE's runtime
     join-strategy switching converts to broadcast when the materialized
     df table is actually small, and falls back to a shuffle join when a
     100 TB corpus's full vocabulary exceeds the broadcast limit. True
     forces the broadcast hint (caller knows the vocabulary is bounded)."""
-    n_docs = docs.count()
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("_n_docs")
+    )
     pairs = token_doc_counts(docs, text_col, doc_id_col)
-    df_t = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # df from its own in-row array_distinct explode over the (pruned,
+    # single-column) docs scan — NOT from `pairs`: Spark does no
+    # common-subexpression sharing across the self-referencing join, so
+    # deriving df from pairs executed the whole (doc, token) aggregation
+    # subtree twice (measured ~0.2 s of q35's warm time at sf0.1).
+    df_t = (
+        docs.select(
+            F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     if broadcast_df:
         df_t = F.broadcast(df_t)
-    scored = pairs.join(df_t, "token").select(
+    scored = pairs.join(df_t, "token").crossJoin(n_docs).select(
         "doc_id",
         "token",
         F.round(
-            F.col("occ") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("occ") * F.log(F.col("_n_docs") / F.col("df")), 6
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(
