@@ -112,6 +112,25 @@ def _warm_up(spark, sf_dir: str) -> None:
         .select("e.*").distinct()
         .write.mode("overwrite").format("noop").save()
     )
+    # the full decontamination shape on synthetic rows: sliding
+    # collect_list window over posexplode (the shingle kernel shared by
+    # q36/q37), distinct, AQE-probed join, count-distinct expand —
+    # measured 6.2 s cold vs 0.8 s warm for q36 at sf0.1, mostly
+    # first-use codegen/AQE machinery this pass absorbs
+    from gelly_streaming_spark.ext.text import decontaminate
+
+    fake_docs = spark.range(0, 512, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[(F.col("id") * (i + 1) % 37).cast("string") for i in range(12)]
+        ).alias("text"),
+    )
+    decontaminate(
+        fake_docs.where(F.col("doc_id") % 7 != 0),
+        fake_docs.where(F.col("doc_id") % 7 == 0),
+        n=3,
+    ).write.mode("overwrite").format("noop").save()
+
     # Arrow/pandas worker pool (one task per core)
     d.groupBy("k").applyInPandas(
         lambda p: p.head(1), "k long, v long"
