@@ -383,8 +383,12 @@ def main() -> None:
         # The driver's timeout sends SIGTERM; flush a final parseable
         # line and exit immediately (no Spark teardown — the process is
         # being killed anyway and a clean stop() can hang in the JVM).
+        # os._exit skips atexit, so staging dirs are purged explicitly.
         try:
             emit(write_detail=True)
+            from gelly_streaming_spark.plans.memory import purge_session_tmpdirs
+
+            purge_session_tmpdirs()
         finally:
             os._exit(0)
 

@@ -23,14 +23,27 @@ import tempfile
 from pyspark.sql import DataFrame
 
 
+_SESSION_TMPDIRS: list[str] = []
+
+
 def session_tmpdir(prefix: str) -> str:
     """``mkdtemp`` + ``atexit`` rmtree: every session-lifetime staging
     dir (replay chunks, restaged tables, bench warm-up) is removed at
     interpreter exit even when ``release_persisted`` is never called
     (pytest sessions, ad-hoc shells) — no orphan ``gss_*`` dirs in /tmp."""
     d = tempfile.mkdtemp(prefix=prefix)
+    _SESSION_TMPDIRS.append(d)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
+
+
+def purge_session_tmpdirs() -> None:
+    """Remove every session_tmpdir-created dir NOW. For exit paths that
+    bypass atexit — bench.py's SIGTERM handler must ``os._exit`` (a
+    normal shutdown can hang in the JVM teardown), which skips the
+    registered cleanups."""
+    while _SESSION_TMPDIRS:
+        shutil.rmtree(_SESSION_TMPDIRS.pop(), ignore_errors=True)
 
 
 def _collect_logical_rdds(plan, out: list) -> None:
