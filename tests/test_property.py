@@ -251,3 +251,62 @@ def test_token_counts_matches_counter(spark, texts):
     for i, t in enumerate(texts):
         expect = dict(collections.Counter(t.split()))
         assert got.get(i, {}) == expect, (i, repr(t))
+
+
+@pytest.mark.property
+@given(texts=doc_texts)
+@settings(**_SETTINGS)
+def test_shingle_ops_match_python_reference(spark, texts):
+    """doc_shingles / ngram_repetition / decontaminate vs a pure-Python
+    sliding-window reference on arbitrary whitespace-y strings — covers
+    empty docs, docs shorter than n, duplicate shingles, and mixed
+    separators. Blocklist = every third doc (so overlap both exists and
+    is absent across generated cases)."""
+    from pyspark.sql import functions as F
+
+    from gelly_streaming_spark.ext.text import (
+        decontaminate,
+        doc_shingles,
+        ngram_repetition,
+    )
+
+    n = 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def ref_shingles(t):
+        toks = t.split()
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    got_sh = collections.defaultdict(list)
+    for r in doc_shingles(df, n=n).collect():
+        got_sh[r["doc_id"]].append(r["shingle"])
+    for i, t in enumerate(texts):
+        assert sorted(got_sh.get(i, [])) == sorted(ref_shingles(t)), (i, repr(t))
+
+    got_rep = {
+        r["doc_id"]: (r["n_ngrams"], r["n_distinct"])
+        for r in ngram_repetition(df, n=n).collect()
+    }
+    for i, t in enumerate(texts):
+        sh = ref_shingles(t)
+        expect = (len(sh), len(set(sh))) if sh else None
+        assert got_rep.get(i) == expect, (i, repr(t))
+
+    block_ids = {i for i in range(len(texts)) if i % 3 == 0}
+    block_sh = set().union(*(set(ref_shingles(texts[i])) for i in block_ids)) if block_ids else set()
+    corpus = df.where(F.col("doc_id") % 3 != 0)
+    block = df.where(F.col("doc_id") % 3 == 0)
+    got_hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(corpus, block, n=n).collect()
+    }
+    expect_hits = {}
+    for i, t in enumerate(texts):
+        if i in block_ids:
+            continue
+        hits = len(set(ref_shingles(t)) & block_sh)
+        if hits:
+            expect_hits[i] = hits
+    assert got_hits == expect_hits
