@@ -302,3 +302,29 @@ def test_top_k_per_group_has_partial_window_group_limit(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert out.count() == 15
+
+
+def test_all_batch_query_plans_no_cartesian(spark, sf_dir):
+    """Blanket plan-hygiene net over the WHOLE registry: no query may
+    plan a CartesianProduct, and BroadcastNestedLoopJoin is allowed only
+    where a bounded broadcast cross join is the design (kNN probe batch
+    vs corpus, the exact near-dup GEMM blocking, tfidf's 1-row in-plan
+    corpus count). Streaming replays are excluded (executing them here
+    re-runs the streaming engine; their shapes are covered by
+    tests/test_streaming.py)."""
+    import re
+
+    from gelly_streaming_spark.plans.checks import explain_str
+
+    allowed_bnlj = {
+        "q23_knn_cosine",          # bounded query batch broadcast vs corpus
+        "q23b_embedding_near_dup", # blocked GEMM: bounded block id cross
+        "q35_tfidf_keywords",      # 1-row corpus-count aggregate crossJoin
+    }
+    for name, q in sorted(REGISTRY.items()):
+        if re.match(r"q\d+s_", name):
+            continue
+        plan = explain_str(q.fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        if name not in allowed_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, name
