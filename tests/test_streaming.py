@@ -432,3 +432,31 @@ def test_parity_confs_restored_and_ckpt_removed_on_failure(spark):
     )
     if leaked_dir is not None:  # None when /dev/shm is unavailable
         assert not os.path.exists(leaked_dir), leaked_dir
+
+
+def test_rocksdb_state_store_certifies_scale_confs(spark, sf_dir, tmp_path):
+    """STREAMING_SCALE_CONFS (the 100 TB streaming configuration —
+    RocksDB state store + changelog checkpointing) must actually run on
+    this Spark build, not just be documented: execute a stateful
+    streaming aggregation under the RocksDB provider and check parity
+    with the batch answer. Confs are runtime-settable per query start;
+    restored afterwards so the rest of the suite keeps the default
+    HDFS-backed store."""
+    from gelly_streaming_spark.session import STREAMING_SCALE_CONFS
+
+    batch = edges_cust_order(spark, sf_dir)
+    prev = {}
+    for k, v in STREAMING_SCALE_CONFS.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        stream = replay(batch, str(tmp_path / "rocks"), num_batches=3)
+        got = run_to_memory(GraphStream(stream).degrees(), "complete")
+        want = GraphStream(batch).degrees()
+        assert _sorted_rows(got) == _sorted_rows(want)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
