@@ -105,6 +105,21 @@ def main() -> None:
     out["stream_dedup_edges_per_sec"] = int(n_ev / dt)
     out["stream_dedup_sec"] = round(dt, 3)
 
+    # text-pipeline throughput: corpus tokens/sec through the vocabulary
+    # word-count plan (explode + one token-keyed partial-agg shuffle) ---
+    from gelly_streaming_spark.ext.text import token_count, vocabulary
+    from gelly_streaming_spark.sources.tables import load_table
+
+    docs = load_table(spark, args.sf_dir, "documents")
+    n_tok = docs.select(F.sum(token_count(F.col("text")))).collect()[0][0]
+    vocabulary(docs, k=50).write.mode("overwrite").format("noop").save()  # warm
+    t0 = time.time()
+    vocabulary(docs, k=50).write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    out["vocab_tokens_per_sec"] = int(n_tok / dt)
+    out["vocab_sec"] = round(dt, 3)
+    out["vocab_tokens"] = int(n_tok)
+
     print(json.dumps(out))
 
 
