@@ -206,20 +206,11 @@ def main() -> None:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    t_setup = time.time()
-    _warm_up(spark, sf_dir)
-    setup_sec = round(time.time() - t_setup, 3)
-
-    # Cost-attribution policy (stated in the output JSON): the
-    # session-lifetime copart_canonical view shared by q07/q11b/q17/q18
-    # is built ONCE here as a TIMED line item included in `value`; the
-    # DuckDB side recomputes the equivalent join inside each consumer
-    # query's timed SQL (its oracle strings are self-contained).
-    from gelly_streaming_spark.sources.edges import copart_canonical
-
-    t0 = time.time()
-    copart_canonical(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    copart_build_sec = round(time.time() - t0, 3)
+    # Mutable scalars shared with the emit closures — populated during
+    # setup, but the signal handler must be able to build a valid line
+    # even if the kill arrives BEFORE setup finishes (warm-up runs tens
+    # of seconds; a kill inside it previously printed nothing at all).
+    meta = {"setup_sec": 0.0, "copart_build_sec": 0.0}
 
     # BENCH_RUNS timed executions per query (default 3); the headline
     # per-query number is the MEDIAN (min also reported). Median-of-3
@@ -260,13 +251,13 @@ def main() -> None:
         # query. An errored query is absent from `queries`, so the total
         # is a subtotal over `comparable_queries` — flagged loudly,
         # never a silent improvement.
-        total = round(sum(timings.values()) + copart_build_sec, 3)
+        total = round(sum(timings.values()) + meta["copart_build_sec"], 3)
         # worst-run total: includes every one-time session build that
         # only run 1 pays (memoized triangle-kernel prep, replay
         # staging, strategy probes) — the median headline excludes
         # those by construction, so this is the honest upper bound the
         # median is read against.
-        total_max = round(sum(timings_max.values()) + copart_build_sec, 3)
+        total_max = round(sum(timings_max.values()) + meta["copart_build_sec"], 3)
         result = {
             "metric": "total_wallclock_declared_queries",
             "value": total,
@@ -277,8 +268,8 @@ def main() -> None:
             "queries_max": timings_max,
             "sf": float(sf),
             "runs_per_query": runs_per_query,
-            "session_setup_sec": setup_sec,
-            "copart_build_sec": copart_build_sec,
+            "session_setup_sec": meta["setup_sec"],
+            "copart_build_sec": meta["copart_build_sec"],
             "policy": (
                 "value = copart_build_sec + sum of per-query medians of up to "
                 f"{runs_per_query} runs; copart materialized-view build is "
@@ -332,14 +323,18 @@ def main() -> None:
                 )
         return result
 
-    def emit(write_detail: bool = False) -> None:
-        """Print the compact headline JSON line (and optionally persist
-        the full detail file). Called after EVERY completed query so the
-        driver's last-2000-chars tail always contains a complete line no
-        matter when the process is killed (last-line-wins); each line is
-        kept <1900 chars so it fits the tail window whole."""
+    def emit(newline_first: bool = False) -> None:
+        """Print the compact headline JSON line and persist the full
+        detail file. Called after EVERY completed query so the driver's
+        last-2000-chars tail always contains a complete line no matter
+        when the process is killed (last-line-wins); each line is kept
+        <1900 chars so it fits the tail window whole. The detail file is
+        rewritten on every emit too — an uncatchable kill (SIGKILL/OOM)
+        must not leave a headline pointing at a PREVIOUS run's detail.
+        ``newline_first`` self-delimits the line when the caller may be
+        interrupting a partially-written stdout line (signal handler)."""
         result = build_result()
-        if write_detail:
+        try:
             with open(
                 os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),
@@ -348,6 +343,8 @@ def main() -> None:
                 "w",
             ) as fh:
                 json.dump(result, fh, indent=1)
+        except OSError:
+            pass  # detail file is best-effort; the stdout line is the contract
         compact = {
             k: result[k]
             for k in (
@@ -372,47 +369,80 @@ def main() -> None:
         # `queries` is part of the driver contract — shed optional
         # fields instead if the line is still too long.
         for opt in ("value_max_runs", "errored_queries", "session_setup_sec",
-                    "heavy_engine_sec", "heavy_duckdb_sec", "policy"):
+                    "heavy_engine_sec", "heavy_duckdb_sec"):
             if len(line) <= 1900:
                 break
             compact.pop(opt, None)
             line = json.dumps(compact)
+        if newline_first:
+            sys.stdout.write("\n")
         print(line, flush=True)
 
     def _on_signal(signum, frame):  # noqa: ANN001 - signal API
         # The driver's timeout sends SIGTERM; flush a final parseable
         # line and exit immediately (no Spark teardown — the process is
         # being killed anyway and a clean stop() can hang in the JVM).
-        # os._exit skips atexit, so staging dirs are purged explicitly.
+        # The handler interrupts the main thread, possibly mid-print:
+        # newline_first self-delimits so the flushed line is parseable
+        # even when it lands after a partially-written one. os._exit
+        # skips atexit, so staging dirs are purged explicitly.
         try:
-            emit(write_detail=True)
+            emit(newline_first=True)
             from gelly_streaming_spark.plans.memory import purge_session_tmpdirs
 
             purge_session_tmpdirs()
         finally:
             os._exit(0)
 
+    # Handlers registered BEFORE warm-up: a driver kill during the
+    # multi-ten-second setup must still flush a (zero-query, partial)
+    # parseable line, not die silently.
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
+
+    t_setup = time.time()
+    _warm_up(spark, sf_dir)
+    meta["setup_sec"] = round(time.time() - t_setup, 3)
+
+    # Cost-attribution policy (stated in the output JSON): the
+    # session-lifetime copart_canonical view shared by q07/q11b/q17/q18
+    # is built ONCE here as a TIMED line item included in `value`; the
+    # DuckDB side recomputes the equivalent join inside each consumer
+    # query's timed SQL (its oracle strings are self-contained).
+    from gelly_streaming_spark.sources.edges import copart_canonical
+
+    t0 = time.time()
+    copart_canonical(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    meta["copart_build_sec"] = round(time.time() - t0, 3)
 
     # Per-query watchdog: a single stuck engine query (the r6 failure —
     # q33 blocked 480 s+ inside one Spark action) must not starve every
     # query after it. The timer cancels all in-flight Spark jobs, the
     # blocked action raises, and the query is recorded under errors
     # while the loop continues. Armed around the ENGINE side only.
+    # `armed` closes the already-fired race: a Timer past its deadline
+    # cannot be cancel()ed, so without the flag its cancelAllJobs could
+    # land on the NEXT query's healthy jobs.
     per_query_cap = float(os.environ.get("BENCH_QUERY_TIMEOUT_SEC", "120"))
+    out_of_budget = False
 
     for name, q in sorted(REGISTRY.items()):
         runs_now = budget.runs_allowed(runs_per_query)
-        if runs_now == 0:
+        if runs_now == 0 or out_of_budget:
             break  # budget exhausted — stop cleanly, partial stays true
         runs: list[float] = []
         druns: list[float] = []
         for _ in range(runs_now):
-            watchdog = threading.Timer(
-                min(per_query_cap, max(5.0, budget.remaining())),
-                spark.sparkContext.cancelAllJobs,
-            )
+            deadline = min(per_query_cap, max(5.0, budget.remaining()))
+            armed = {"on": True}
+            fired = {"v": False}
+
+            def _cancel(armed=armed, fired=fired):
+                if armed["on"]:
+                    fired["v"] = True
+                    spark.sparkContext.cancelAllJobs()
+
+            watchdog = threading.Timer(deadline, _cancel)
             watchdog.daemon = True
             watchdog.start()
             t0 = time.time()
@@ -420,29 +450,50 @@ def main() -> None:
                 q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 runs.append(time.time() - t0)
             except Exception as ex:  # one broken query must not kill the run
-                errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+                if fired["v"] and deadline < per_query_cap:
+                    # cancelled because the BUDGET ran out mid-run, not
+                    # because this query hung: that is budget truncation
+                    # (query simply absent, partial stays true), not a
+                    # per-query failure to publish under `errors`.
+                    out_of_budget = True
+                elif fired["v"]:
+                    errors[name] = (
+                        f"watchdog: cancelled after {deadline:.0f}s "
+                        f"(BENCH_QUERY_TIMEOUT_SEC)"
+                    )
+                else:
+                    errors[name] = f"{type(ex).__name__}: {ex}"[:300]
                 break
             finally:
+                armed["on"] = False
                 watchdog.cancel()
-            if duck_con is not None and q.sql is not None and (
-                not druns or druns[0] <= 5.0
+            if (
+                duck_con is not None
+                and q.sql is not None
+                and (not druns or druns[0] <= 5.0)
+                and budget.remaining() > 10
             ):
                 # A DuckDB oracle whose FIRST run exceeds 5 s (the two
                 # quadratic exact-Jaccard SQLs run 15-20 s each at
                 # sf0.1) is timed once, not per run: re-sampling it
                 # costs ~40 s/query of wall-clock budget to refine a
                 # number whose run-to-run noise is irrelevant at that
-                # magnitude, and that budget is better spent keeping
-                # runs_per_query at 3 for the engine side.
+                # magnitude. The duck side has no watchdog, so it is
+                # also skipped outright once <10 s of budget remain —
+                # and a duck failure must never kill the bench.
                 t0 = time.time()
-                duck_con.sql(q.sql).fetchall()
-                druns.append(time.time() - t0)
+                try:
+                    duck_con.sql(q.sql).fetchall()
+                    druns.append(time.time() - t0)
+                except Exception:
+                    pass  # oracle-side failure: engine timing still counts
             if budget.remaining() <= 5:
                 break  # keep whatever runs we have; flush and move on
         # a query that errored on ANY run is excluded from timings
         # entirely (not a median of its lucky runs): `queries`,
         # `comparable_queries`, and the DuckDB side then all cover the
-        # exact same query set, as the policy states.
+        # exact same query set, as the policy states. A budget-truncated
+        # query keeps the runs it completed.
         if runs and name not in errors:
             timings[name] = round(statistics.median(runs), 3)
             timings_min[name] = round(min(runs), 3)
@@ -452,9 +503,10 @@ def main() -> None:
                 duck_min[name] = round(min(druns), 3)
         emit()  # last-line-wins checkpoint after every query
     else:
-        partial["v"] = False
+        if not out_of_budget:
+            partial["v"] = False
 
-    emit(write_detail=True)
+    emit()
 
 
 if __name__ == "__main__":

@@ -1184,7 +1184,10 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared shingle CTE for q36/q37: positions matter, so empty tokens are
 # filtered BEFORE slicing (Spark's tokenize() drops them in-array);
-# t[p:p+n-1] is DuckDB's 1-based inclusive slice = n tokens.
+# t[p:p+n-1] is DuckDB's 1-based inclusive slice = n tokens. The engine
+# side's n and the SQL side's slice bound derive from the SAME constant
+# so the two widths can never silently desynchronize.
+_SHINGLE_N = 3  # production runs 8-13; see q36's docstring for why 3 here
 _SHINGLE_CTE = """
 tok AS (SELECT doc_id,
                list_filter(string_split_regex(text, '\\s+'),
@@ -1192,10 +1195,10 @@ tok AS (SELECT doc_id,
         FROM documents),
 sh AS (SELECT doc_id, array_to_string(t[p:p+{m}], ' ') AS shingle
        FROM tok, UNNEST(generate_series(1, greatest(len(t) - {m}, 0))) AS u(p))
-"""
+""".replace("{m}", str(_SHINGLE_N - 1))
 
 _Q36_SQL = (
-    "WITH " + _SHINGLE_CTE.format(m=2) + """,
+    "WITH " + _SHINGLE_CTE + """,
 block AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
 corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
 SELECT c.doc_id, COUNT(DISTINCT c.shingle) AS n_hits
@@ -1220,11 +1223,11 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     block = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
-    return decontaminate(corpus, block, n=3)
+    return decontaminate(corpus, block, n=_SHINGLE_N)
 
 
 _Q37_SQL = (
-    "WITH " + _SHINGLE_CTE.format(m=2) + """,
+    "WITH " + _SHINGLE_CTE + """,
 per AS (SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY 1, 2)
 SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
        COUNT(*) AS n_distinct
@@ -1242,7 +1245,7 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gelly_streaming_spark.ext.text import ngram_repetition
 
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_repetition(docs, n=3)
+    return ngram_repetition(docs, n=_SHINGLE_N)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
