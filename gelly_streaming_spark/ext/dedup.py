@@ -95,16 +95,36 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs among simhash signatures with Hamming distance ≤ r.
 
-    Scale path: block on 4 16-bit chunks (pigeonhole — any pair within
-    Hamming ≤ 3 agrees exactly on ≥1 chunk), join per chunk, then filter
-    by true popcount. Avoids the all-pairs cross join entirely."""
-    chunks = [
-        F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
-        for c in range(4)
+    Scale path: block on ``max_hamming + 1`` contiguous bit chunks
+    (pigeonhole — a pair differing in ≤ r bits cannot differ in ALL
+    r + 1 chunks, so it agrees exactly on ≥1 chunk), join per chunk,
+    then filter by true popcount. Avoids the all-pairs cross join
+    entirely. The chunk count DERIVES from max_hamming: a fixed 4-chunk
+    split silently dropped true pairs for any r ≥ 4 (e.g. one differing
+    bit in each 16-bit chunk at r = 4 matched no block). Recall-complete
+    for every r in [0, 63]; selectivity degrades as chunks narrow — past
+    r ≈ 16 (≤3-bit chunks) prefer MinHash-LSH."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)
+    bounds = []
+    start = 0
+    for c in range(n_chunks):
+        w = base + (1 if c < extra else 0)
+        bounds.append((start, w))
+        start += w
+    chunk_cols = [
+        (
+            F.col("simhash")  # full-width chunk: the signature IS the key
+            if w == 64
+            else F.shiftright("simhash", s).bitwiseAND(F.lit((1 << w) - 1))
+        ).alias(f"c{c}")
+        for c, (s, w) in enumerate(bounds)
     ]
-    s = sigs.select("id", "simhash", *chunks)
+    s = sigs.select("id", "simhash", *chunk_cols)
     pairs = None
-    for c in range(4):
+    for c in range(n_chunks):
         a = s.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), F.col(f"c{c}").alias("k"))
         b = s.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), F.col(f"c{c}").alias("k"))
         p = a.join(b, "k").where(F.col("a") < F.col("b")).select("a", "b", "ha", "hb")
@@ -162,15 +182,25 @@ def near_dup_collapse(
     tests/test_ext.py::test_near_dup_collapse_distributed_fallback)."""
     from gelly_streaming_spark.algos.connected_components import connected_components
     from gelly_streaming_spark.operators.graphstream import GraphStream
-    from gelly_streaming_spark.plans.memory import free_checkpoint
+    from gelly_streaming_spark.plans.memory import free_checkpoint, track_persist
 
-    grp = docs.groupBy(F.md5(F.col(text_col).cast("binary")).alias("_h")).agg(
-        F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_grp_n")
+    # grp is consumed twice (the reps semi-join under the pair-scoring
+    # subtree AND the final cluster-size rollup) — persist it so the
+    # full-corpus md5 aggregation runs once, not per consumer.
+    grp = track_persist(
+        docs.groupBy(F.md5(F.col(text_col).cast("binary")).alias("_h")).agg(
+            F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_grp_n")
+        )
     )
     reps = docs.join(
         grp.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
     )
-    toks = tokens if tokens is not None else F.split(F.col(text_col), " ")
+    # default tokenizer = tokenize() (split on \s+, empties dropped) —
+    # the SAME default as minhash_dedup_pairs/ngram_jaccard_pairs, so
+    # the pair-evidence operators and the collapse can never disagree
+    # on a corpus with irregular whitespace (a single-space split kept
+    # empty tokens and scored 'a b' vs 'a  b' at 2/3 instead of 1).
+    toks = tokens if tokens is not None else tokenize(F.col(text_col))
     if method == "exact":
         pairs = jaccard_pairs(reps, id_col, toks, threshold)
     elif method == "minhash":

@@ -199,10 +199,13 @@ def _exact_pairs_gemm(
                 norm_l = np.linalg.norm(mat_l, axis=1)
                 norm_r = np.linalg.norm(mat_r, axis=1)
                 # dot/(|a||b|), the oracle's formula shape; round-6 before
-                # the threshold on both engines so boundaries are shared
-                sims = np.round(
-                    (mat_l @ mat_r.T) / (norm_l[:, None] * norm_r[None, :]), 6
-                )
+                # the threshold on both engines so boundaries are shared.
+                # Ties round away from zero (np.floor(|x|*1e6+0.5)) to
+                # match F.round (HALF_UP) on the LSH rerank path and
+                # DuckDB ROUND in the oracle — np.round is half-to-even
+                # and made an exact dyadic tie strategy-dependent.
+                raw = (mat_l @ mat_r.T) / (norm_l[:, None] * norm_r[None, :])
+                sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
                 li, ri = np.nonzero(
                     (sims >= threshold) & (ids_l[:, None] != ids_r[None, :])
                 )
@@ -336,7 +339,15 @@ def knn_ivf(
 
 
 def lsh_signature(vec, planes: np.ndarray) -> Column:
-    """Random-hyperplane signature: one bit per plane, packed to a long."""
+    """Random-hyperplane signature: one bit per plane, packed to a long.
+
+    Guards the vector length against the planes' dimensionality:
+    F.zip_with pads the shorter array with nulls, so a dim mismatch
+    silently nulled every dot product and resolved every bit to 0 —
+    ALL vectors landed in bucket 0 and the per-bucket join degenerated
+    to the full O(n²) cross join the LSH path exists to avoid (results
+    stayed correct after rerank, masking the blow-up). Now it raises."""
+    dim = planes.shape[1]
     packed = None
     for i, plane in enumerate(planes):
         dot = F.aggregate(
@@ -351,7 +362,17 @@ def lsh_signature(vec, planes: np.ndarray) -> Column:
         bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         packed = term if packed is None else packed.bitwiseOR(term)
-    return packed
+    return F.when(
+        F.size(vec) == dim, packed
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_signature: vector length "),
+                F.size(vec).cast("string"),
+                F.lit(f" != planes dim {dim}"),
+            )
+        )
+    )
 
 
 def knn_lsh(

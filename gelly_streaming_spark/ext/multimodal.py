@@ -284,8 +284,12 @@ def resize_media(
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plan: explode sampled frame indices per video
-    (metadata-only — the per-frame decode is the stubbed kernel)."""
-    feats = extract_features(media)
+    (metadata-only — the per-frame decode is the stubbed kernel).
+
+    The kind filter runs BEFORE the decode stage: Spark cannot push a
+    filter below mapInPandas, so filtering after extract_features paid
+    full payload-decode cost for every non-video row of a mixed table."""
+    feats = extract_features(media.where(F.col("kind") == "video"))
     return feats.where(F.col("kind") == "video").select(
         "media_id",
         F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))).alias("frame_idx"),

@@ -33,14 +33,33 @@ def token_sets(docs: DataFrame, id_col: str, tokens: Column) -> DataFrame:
     )
 
 
-def _verify_intersections(tok: DataFrame, cand: DataFrame) -> DataFrame:
+def _round_half_up6(arr):
+    """Round a NON-NEGATIVE float array to 6 decimals with ties away
+    from zero — the rounding both Spark's F.round (HALF_UP) and DuckDB's
+    ROUND apply. np.round is half-to-even, so an exactly-representable
+    tie like 125/128 = 0.9765625 rounded differently depending on which
+    kernel produced it, making the emitted value strategy-dependent and
+    breaking the bit-identical oracle parity the module promises."""
+    import numpy as np
+
+    return np.floor(arr * 1e6 + 0.5) / 1e6
+
+
+def _verify_intersections(
+    tok: DataFrame, cand: DataFrame, arrs: DataFrame | None = None
+) -> DataFrame:
     """Exact |A ∩ B| per candidate pair via per-doc sorted token arrays +
     JVM array_intersect: two joins carrying one array per side, instead
     of re-exploding every candidate to |tokens| rows and re-grouping
     (the row formulation shuffled ~candidates x doc-size rows — 38M at
     sf0.1 — and dominated the query; arrays cut it to one row per pair).
-    AQE broadcasts the array table when it fits."""
-    arrs = tok.groupBy("id").agg(F.array_sort(F.collect_list("token")).alias("toks"))
+    AQE broadcasts the array table when it fits. Callers that already
+    hold the (id, sorted toks) table pass it via ``arrs`` — rebuilding it
+    here costs a full-index aggregation + per-doc sort."""
+    if arrs is None:
+        arrs = tok.groupBy("id").agg(
+            F.array_sort(F.collect_list("token")).alias("toks")
+        )
     return (
         cand.join(arrs.select(F.col("id").alias("a"), F.col("toks").alias("_ta")), "a")
         .join(arrs.select(F.col("id").alias("b"), F.col("toks").alias("_tb")), "b")
@@ -119,7 +138,7 @@ def _bitset_rep_pairs(spark, reps: DataFrame, threshold: float, vocab) -> DataFr
                     if len(hit):
                         out_a.append(np.full(len(hit), b_ids[i]))
                         out_b.append(b_ids[i + 1:][hit])
-                        out_j.append(np.round(jac[hit], 6))
+                        out_j.append(_round_half_up6(jac[hit]))
             if out_a:
                 yield pd.DataFrame(
                     {
@@ -170,6 +189,10 @@ def jaccard_pairs(
     Jaccard exactly 1, cross-cluster pairs inherit their representatives'
     value (Jaccard is a function of the token sets alone).
     """
+    if strategy not in ("auto", "ppjoin", "bitset"):
+        raise ValueError(
+            f"unknown strategy {strategy!r} (auto|ppjoin|bitset)"
+        )
     tok_all = token_sets(docs, id_col, tokens)
     arrs = tok_all.groupBy("id").agg(
         F.array_sort(F.collect_list("token")).alias("toks")
@@ -184,7 +207,13 @@ def jaccard_pairs(
     # strategy probe: a corpus drawn from a small vocabulary defeats
     # prefix filtering (every prefix token is hot), but admits the exact
     # bitset all-pairs kernel — pick by the measured vocabulary size,
-    # the same stats-driven plan choice AQE makes for joins
+    # the same stats-driven plan choice AQE makes for joins. The bitset
+    # kernel additionally needs integral ids (they travel through int64
+    # numpy arrays) — non-integral ids stay on the ppjoin path, which is
+    # id-type-agnostic.
+    id_integral = reps.schema["id"].dataType.typeName() in (
+        "long", "integer", "short", "byte"
+    )
     vocab = None
     if strategy in ("auto", "bitset"):
         from gelly_streaming_spark.plans.probe import bounded_take
@@ -198,13 +227,28 @@ def jaccard_pairs(
     if strategy == "auto":
         strategy = (
             "bitset"
-            if vocab is not None and grp.count() <= _BITSET_SETS_LIMIT
+            if vocab is not None and id_integral
+            and grp.count() <= _BITSET_SETS_LIMIT
             else "ppjoin"
         )
     if strategy == "bitset":
+        # forced bitset keeps the SAME bounds the auto path enforces:
+        # reps.toArrow() below is a driver collect, legal only under the
+        # documented set/vocab limits.
         if vocab is None:
             raise ValueError(
                 f"bitset strategy requires ≤{_BITSET_VOCAB_LIMIT} distinct tokens"
+            )
+        if not id_integral:
+            raise ValueError(
+                "bitset strategy requires an integral id column "
+                f"(got {reps.schema['id'].dataType.simpleString()})"
+            )
+        if grp.count() > _BITSET_SETS_LIMIT:
+            raise ValueError(
+                f"bitset strategy bounded at {_BITSET_SETS_LIMIT} distinct "
+                "token sets (driver-collected mask matrix) — use "
+                "strategy='ppjoin' past that"
             )
         rep_pairs = _bitset_rep_pairs(docs.sparkSession, reps, threshold, vocab)
         return _expand_rep_pairs(grp, rep_pairs, threshold)
@@ -267,7 +311,9 @@ def jaccard_pairs(
             .select("a", "b")
             .distinct()
         )
-        inter = _verify_intersections(tok, cand)
+        # reps already holds the sorted (id, toks) arrays — reuse them
+        # instead of letting the verify step re-aggregate the index
+        inter = _verify_intersections(tok, cand, arrs=reps.select("id", "toks"))
     else:
         ta = tok.select(F.col("id").alias("a"), "token")
         tb = tok.select(F.col("id").alias("b"), "token")

@@ -723,7 +723,9 @@ _Q31_SQL = """
 WITH RECURSIVE
 grp AS MATERIALIZED (SELECT MIN(doc_id) AS rep_id, COUNT(*) AS grp_n FROM documents GROUP BY md5(text)),
 rdoc AS (SELECT d.doc_id, d.text FROM documents d JOIN grp g ON g.rep_id = d.doc_id),
-tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM rdoc),
+tok AS (SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS token FROM rdoc),
 sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i FROM tok a
           JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2),

@@ -633,3 +633,77 @@ def test_near_dup_collapse_distributed_fallback(spark):
     }
     assert dist == fast
     assert (100, 1) in dist
+
+
+def test_simhash_blocking_recall_complete_at_high_hamming(spark):
+    """Pigeonhole blocking must derive its chunk count from max_hamming:
+    the old fixed 4x16-bit split missed pairs whose differing bits hit
+    every chunk (e.g. Hamming 4, one bit per 16-bit quarter)."""
+    from gelly_streaming_spark.ext.dedup import simhash_near_pairs
+
+    sigs = spark.createDataFrame(
+        [
+            (1, 0x0001000100010001),  # one bit set in each 16-bit chunk
+            (2, 0x0000000000000000),  # Hamming distance 4 from id 1
+            (3, 0x0001000100010001),  # identical to id 1 (distance 0)
+        ],
+        "id long, simhash long",
+    )
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_pairs(sigs, max_hamming=4).collect()
+    }
+    assert got == {(1, 2): 4, (2, 3): 4, (1, 3): 0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_near_pairs(sigs, max_hamming=64)
+
+
+def test_jaccard_strategies_agree_on_rounding_ties(spark):
+    """The bitset kernel and the ppjoin path must emit bit-identical
+    jaccard values — including exact dyadic ties like 125/128 =
+    0.9765625, which np.round (half-to-even) rounded DOWN while F.round
+    and DuckDB ROUND round up. Also: unknown strategies must raise."""
+    from gelly_streaming_spark.ext.similarity import jaccard_pairs
+
+    shared = [f"t{i}" for i in range(125)]
+    rows = [
+        (1, " ".join(shared + ["xa", "xb"])),   # |A| = 127
+        (2, " ".join(shared + ["yb"])),          # |B| = 126, inter = 125
+        (3, "unrelated words entirely here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = F.split(F.col("text"), " ")
+    res = {}
+    for strat in ("ppjoin", "bitset"):
+        res[strat] = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in jaccard_pairs(
+                docs, "doc_id", toks, 0.9, strategy=strat
+            ).collect()
+        }
+    assert res["ppjoin"] == res["bitset"]
+    assert res["ppjoin"][(1, 2)] == 0.976563  # HALF_UP of 0.9765625
+    with pytest.raises(ValueError):
+        jaccard_pairs(docs, "doc_id", toks, 0.9, strategy="bitmask")
+
+
+def test_lsh_signature_rejects_dim_mismatch(spark):
+    """A vector length different from the planes' dim must raise, not
+    silently collapse every vector into bucket 0 (zip_with null-pads,
+    which turned the LSH bucket join into a full cross join)."""
+    import numpy as np
+
+    from gelly_streaming_spark.ext.embeddings import lsh_signature
+
+    planes = np.random.default_rng(0).standard_normal((4, 8))
+    ok = spark.createDataFrame(
+        [(1, [float(i) for i in range(8)])], "id long, v array<double>"
+    )
+    assert ok.select(lsh_signature(F.col("v"), planes).alias("b")).collect()
+    bad = spark.createDataFrame(
+        [(1, [float(i) for i in range(16)])], "id long, v array<double>"
+    )
+    with pytest.raises(Exception, match="lsh_signature"):
+        bad.select(lsh_signature(F.col("v"), planes).alias("b")).collect()
