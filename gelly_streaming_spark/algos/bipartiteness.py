@@ -106,6 +106,7 @@ def odd_vertex_reach(
     )
     prev = walk.count()
     ckpt = walk  # the live checkpoint backing `walk`
+    converged = False
     for _ in range(max_iter):
         # two expansion steps per convergence check (each check is a
         # driver action; batching halves loop latency)
@@ -125,8 +126,19 @@ def odd_vertex_reach(
         ckpt = walk
         cur = walk.count()
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # a truncated parity closure can MISS odd vertices — reporting
+        # is_bipartite=true from it would be a silent false negative
+        free_checkpoint(eu)
+        free_checkpoint(walk)
+        raise RuntimeError(
+            f"parity closure still growing after max_iter={max_iter} "
+            "double-steps — raise max_iter or use bipartiteness_check "
+            "(O(V) state) for long-diameter graphs"
+        )
 
     free_checkpoint(eu)  # the output plan reads only the final walk checkpoint
     odd = (
@@ -169,18 +181,42 @@ def bipartiteness_check(
     ).localCheckpoint()
 
     # state: (id, comp, parity) — parity of some shortest adoption path.
+    # Convergence via an OBSERVED (count, sum comp, sum parity) signature
+    # fused into each round's checkpoint job — the same move as
+    # connected_components. (comp, parity) is lexicographically monotone
+    # non-increasing per vertex under min(struct): any comp change
+    # strictly decreases sum(comp); a round of parity-only changes keeps
+    # sum(comp) and strictly decreases sum(parity) — so signature
+    # equality ⟺ fixpoint. Replaces the old changed-rows join +
+    # limit(1).count(), which cost one extra driver-synchronized job per
+    # round on top of the checkpoint job that runs anyway.
+    from pyspark.sql import Observation
+
+    def _sig_cols():
+        return (
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("sc"),
+            F.sum(F.col("parity").cast("decimal(38,0)")).alias("sp"),
+        )
+
+    obs0 = Observation()
     labels = (
         eu.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("comp"), F.lit(0).alias("parity"))
+        .observe(obs0, *_sig_cols())
         .localCheckpoint()
     )
+    m0 = obs0.get
+    prev_sig = (m0["n"], m0["sc"], m0["sp"])
+    converged = False
     for _ in range(max_iter):
         msgs = eu.join(labels, eu.src == labels.id).select(
             F.col("dst").alias("id"),
             F.col("comp"),
             (F.lit(1) - F.col("parity")).alias("parity"),
         )
+        obs = Observation()
         new_labels = (
             labels.unionByName(msgs)
             .groupBy("id")
@@ -188,22 +224,26 @@ def bipartiteness_check(
                 F.min(F.struct("comp", "parity")).alias("s")
             )
             .select("id", F.col("s.comp").alias("comp"), F.col("s.parity").alias("parity"))
+            .observe(obs, *_sig_cols())
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(
-                (F.col("n.comp") != F.col("o.comp"))
-                | (F.col("n.parity") != F.col("o.parity"))
-            )
-            .limit(1)
-            .count()
-        )
+        m = obs.get
+        sig = (m["n"], m["sc"], m["sp"])
         free_checkpoint(labels)
         labels = new_labels
-        if changed == 0:
+        if sig == prev_sig:
+            converged = True
             break
+        prev_sig = sig
+    if not converged:
+        # truncated propagation = wrong components AND possibly missed
+        # odd cycles — never return it silently
+        free_checkpoint(eu)
+        free_checkpoint(labels)
+        raise RuntimeError(
+            f"(comp, parity) propagation did not converge within "
+            f"max_iter={max_iter} rounds (needs O(diameter)) — raise max_iter"
+        )
 
     lab = labels.select("id", "comp", "parity")
     conflicts = (

@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 
 from gelly_streaming_spark.operators.aggregation import SummaryAggregation
 from gelly_streaming_spark.operators.graphstream import GraphStream
-from gelly_streaming_spark.plans.memory import free_checkpoint
+from gelly_streaming_spark.plans.memory import free_checkpoint, track_persist
 
 # Measured edge count above which the alternating-CC star operations
 # switch to their skew-safe (partial-agg + AQE-splittable join) form.
@@ -82,7 +82,12 @@ def connected_components(
     ``check_every`` label-propagation rounds run between convergence
     checks — each check is a driver action, so batching rounds roughly
     halves wall-clock on short-diameter graphs at the cost of ≤1 wasted
-    round after the fixpoint."""
+    round after the fixpoint. Raises if ``max_iter`` rounds pass without
+    the fixpoint (a partially-propagated labeling is WRONG components,
+    never returned silently — min-label needs O(diameter) rounds, so a
+    long-path graph should use ``connected_components_alternating``)."""
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     e = (
         stream.edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
@@ -142,6 +147,7 @@ def connected_components(
             )
 
         rounds = 0
+        converged = False
         while rounds < max_iter:
             new_labels = labels
             for _ in range(min(check_every, max_iter - rounds)):
@@ -156,11 +162,20 @@ def connected_components(
             free_checkpoint(labels)
             labels = new_labels
             if sig == prev_sig:
+                converged = True
                 break
             prev_sig = sig
     finally:
         sess_conf.set("spark.sql.shuffle.partitions", old_parts)
         sess_conf.set("spark.sql.adaptive.enabled", old_aqe)
+    if not converged:
+        free_checkpoint(eu)
+        free_checkpoint(labels)
+        raise RuntimeError(
+            f"min-label CC did not converge within max_iter={max_iter} rounds "
+            "(needs O(diameter)) — raise max_iter or use "
+            "connected_components_alternating (O(log n) rounds)"
+        )
     free_checkpoint(eu)  # returned plan reads only the final labels checkpoint
     return labels.select("id", F.col("comp").alias("component"))
 
@@ -227,7 +242,10 @@ def connected_components_alternating(
         if stats is not None:
             stats["rounds"] = 0
         return small
-    e = e.persist()
+    # track_persist, not bare persist: a mid-loop failure unwinds past
+    # the unpersist below, and an untracked frame would be invisible to
+    # release_persisted for the rest of the session.
+    e = track_persist(e)
     e0 = e  # the persisted base edge set (read again by the final verts)
 
     from pyspark.sql import Window
@@ -302,12 +320,9 @@ def connected_components_alternating(
     sess_conf = stream.edges.sparkSession.conf
     old_parts = sess_conf.get("spark.sql.shuffle.partitions")
     old_aqe = sess_conf.get("spark.sql.adaptive.enabled")
-    try:
-        est_bytes = int(
-            e._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()  # noqa: SLF001
-        )
-    except Exception:
-        est_bytes = 1 << 62  # unknown — keep the session width
+    from gelly_streaming_spark.plans.probe import _estimated_bytes
+
+    est_bytes = _estimated_bytes(e)  # shared helper (unknown → huge)
     width0 = max(1, min(int(old_parts), est_bytes // (64 << 20) + 1))
     if skew_safe is None:
         # auto: ~16 bytes/canonical edge — flip to the skew-safe star
@@ -428,9 +443,13 @@ def connected_components_alternating(
 # Union-find summary variant (reference SummaryAggregation shape)
 # ---------------------------------------------------------------------------
 class DisjointSet:
-    """Mergeable union-find forest with path compression + union-by-size
-    (semantics of REF:.../summaries/DisjointSet.java [H]; fresh
-    implementation, dict-based)."""
+    """Mergeable union-find forest with path-halving finds and
+    union-by-MIN-ID (NOT union-by-size: the min id must be the root so
+    component labels are deterministic — the invariant the fast path,
+    the summary variant, and the oracle hash parity all depend on;
+    path-halving alone keeps finds amortized O(log n)). Role of
+    REF:.../summaries/DisjointSet.java [H]; fresh dict-based
+    implementation."""
 
     __slots__ = ("parent",)
 

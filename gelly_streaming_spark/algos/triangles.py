@@ -63,15 +63,19 @@ def _oriented_triangles(
         .groupBy(*keys, "id")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # deg has one row per (keys, vertex) — orders of magnitude smaller
-    # than the wedge volume; broadcast both degree joins.
+    # NO static broadcast hints here: this path is selected precisely
+    # when the edge set exceeds broadcast_limit, so the adjacency table
+    # (whose arrays carry the WHOLE oriented edge list) and the O(V) deg
+    # table can both exceed the broadcast hard limit at scale — a forced
+    # hint would drive the 100 TB path into a driver OOM. AQE's runtime
+    # size check broadcasts them when (and only when) they actually fit.
     ed = (
         e.join(
-            deg.select(*keys, F.col("id").alias("src"), F.col("d").alias("ds")).hint("broadcast"),
+            deg.select(*keys, F.col("id").alias("src"), F.col("d").alias("ds")),
             [*keys, "src"],
         )
         .join(
-            deg.select(*keys, F.col("id").alias("dst"), F.col("d").alias("dd")).hint("broadcast"),
+            deg.select(*keys, F.col("id").alias("dst"), F.col("d").alias("dd")),
             [*keys, "dst"],
         )
     )
@@ -88,8 +92,8 @@ def _oriented_triangles(
     au = adj.select(*keys, "u", F.col("nbrs").alias("nu"))
     av = adj.select(*keys, F.col("u").alias("v"), F.col("nbrs").alias("nv"))
     per_edge = (
-        o.join(au.hint("broadcast"), [*keys, "u"])
-        .join(av.hint("broadcast"), [*keys, "v"], "left")
+        o.join(au, [*keys, "u"])
+        .join(av, [*keys, "v"], "left")
         .select(
             *keys,
             F.when(F.col("nv").isNull(), F.lit(0))
@@ -241,7 +245,9 @@ def _tri_prep_spark(e: DataFrame, tbl):
     src = tbl["src"].to_numpy().astype(np.int64)
     dst = tbl["dst"].to_numpy().astype(np.int64)
     max_id = int(max(src.max(), dst.max()))
-    if max_id > 50_000_000:
+    # same density cutoff as _tri_prep: O(max_id) arrays only when ids
+    # are actually dense relative to the edge count
+    if max_id > max(8 * len(src), 1 << 16):
         return _tri_prep(src, dst)
     n = max_id + 1
     # edge_code: e is canonical, so sorting by (src, dst) makes
@@ -289,15 +295,21 @@ def _tri_prep(src, dst):
     lexsorted by (u, v) and ``edge_code`` the sorted canonical
     ``min*n+max`` codes of ALL edges.
 
-    Dense-id fast path: when the max vertex id is modest, skip the
-    O(m log m) ``np.unique`` remap and index directly (bincount over raw
-    ids). Compact arrays are downcast to int32 when the code space fits —
-    halves the broadcast payload the distributed slices pull."""
+    Dense-id fast path: when the max vertex id is within a small factor
+    of the edge count (ids are actually dense), skip the O(m log m)
+    ``np.unique`` remap and index directly (bincount over raw ids). The
+    cutoff is RELATIVE to m, not an absolute constant: a window holding
+    a handful of edges with one id near 50M would otherwise allocate an
+    O(max_id) deg array (8 B x 50M = 400 MB) in EVERY kernel task —
+    several concurrent window tasks of that shape OOM an executor where
+    the sparse remap uses O(m). Compact arrays are downcast to int32
+    when the code space fits — halves the broadcast payload the
+    distributed slices pull."""
     import numpy as np
 
     m = len(src)
     max_id = int(max(src.max(), dst.max()))
-    if max_id <= 50_000_000:
+    if max_id <= max(8 * m, 1 << 16):
         s0, d0 = src.astype(np.int64), dst.astype(np.int64)
         n = max_id + 1
     else:
