@@ -150,6 +150,12 @@ class SummaryAggregation:
         e = stream.edges
         cols = [F.col("src"), F.col("dst")]
         cols.append(F.col("val") if "val" in e.columns else F.lit(None).alias("val"))
+        if "ts" in e.columns:
+            # order-sensitive summaries (spanner's greedy offers) fold in
+            # event-time order within each (bucket, pkey) group — without
+            # selecting ts here, fold_group's sort was silently a no-op
+            # and the fold order was arbitrary Arrow-batch order
+            cols.append(F.col("ts"))
         if self.window is not None:
             bucket = F.window(F.col("ts"), self.window).start.alias("bucket")
         else:
@@ -159,8 +165,8 @@ class SummaryAggregation:
         init, fold = self.initial, self.fold_pdf
 
         def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            if self.window is not None:
-                pdf = pdf.sort_values("ts") if "ts" in pdf.columns else pdf
+            if "ts" in pdf.columns:
+                pdf = pdf.sort_values("ts")
             s = fold(init(), pdf)
             return pd.DataFrame(
                 {

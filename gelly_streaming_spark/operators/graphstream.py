@@ -82,13 +82,15 @@ class GraphStream:
         """Attribute-based filterVertices: semi-join both endpoints against
         a (possibly filtered) vertex table with an ``id`` column.
 
-        Scale: two left-semi joins; when the vertex side is small Spark
-        broadcasts it (AQE decides), otherwise a shuffled semi-join — both
-        beat materializing a vertex set on the driver."""
+        Scale: two left-semi joins with NO static broadcast hint — AQE's
+        runtime size check broadcasts the vertex side when it actually
+        fits and falls back to a shuffled semi-join when it doesn't (a
+        forced hint would push a billion-id vertex table into the 8 GB
+        broadcast cap at the 100 TB scale this operator targets)."""
         v = vertices.select("id")
         out = (
-            self.edges.join(v.hint("broadcast"), F.col("src") == F.col("id"), "left_semi")
-            .join(v.hint("broadcast"), F.col("dst") == F.col("id"), "left_semi")
+            self.edges.join(v, F.col("src") == F.col("id"), "left_semi")
+            .join(v, F.col("dst") == F.col("id"), "left_semi")
         )
         return GraphStream(out)
 

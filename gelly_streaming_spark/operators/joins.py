@@ -31,13 +31,26 @@ def asof_join(
     Right rows sort before left rows at equal timestamps ⇒ inclusive
     ``<=`` semantics; ``tie_breaker`` ascending makes the winner among
     equal-ts right rows deterministic (the max tie_breaker).
+
+    SQL join semantics on dirty data: NULL keys never match (the window
+    formulation would otherwise group all NULL keys into ONE partition
+    and fabricate matches — left NULL-key rows come back with a NULL
+    payload instead), and right payload columns that collide with a left
+    column name get a ``_right`` suffix (both sides carrying ``ts`` is
+    the common case) so the output never has ambiguous duplicates.
     """
     rcols = [c for c in right.columns if c != right_key]
+    out_rcols = [
+        (c, f"{c}_right" if c in left.columns else c) for c in rcols
+    ]
     payload = F.struct(*[F.col(c) for c in rcols]).alias("_r")
     # NULL right timestamps are no-matches under SQL comparison semantics
     # (right_ts <= left_ts is never true) — but Spark sorts nulls FIRST,
     # which would make such a row a valid "prior" for every left row.
-    right = right.where(F.col(right_ts).isNotNull())
+    # NULL right KEYS likewise never match anything.
+    right = right.where(
+        F.col(right_ts).isNotNull() & F.col(right_key).isNotNull()
+    )
     r_side = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_ts).cast("timestamp").alias("_t"),
@@ -66,9 +79,14 @@ def asof_join(
     matched = u.withColumn("_last", F.last("_r", ignorenulls=True).over(w)).where(
         F.col("_side") == 1
     )
-    return matched.select(
+    # a NULL left key can only have matched fabricated NULL-key partners
+    # in the window partition — null its payload out to SQL semantics
+    last_or_null = F.when(
+        F.col("_k").isNotNull(), F.col("_last")
+    ).otherwise(F.lit(None).cast(r_type))
+    return matched.withColumn("_last", last_or_null).select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_last.{c}").alias(c) for c in rcols],
+        *[F.col(f"_last.{c}").alias(out) for c, out in out_rcols],
     )
 
 

@@ -41,9 +41,14 @@ def assert_no_cartesian(df: DataFrame) -> None:
 def assert_wholestage_codegen(df: DataFrame, min_spans: int = 1) -> None:
     # With AQE on, an unexecuted plan is AdaptiveSparkPlan isFinalPlan=false
     # and reports zero codegen subtrees; execute once so AQE finalizes.
+    # The action must run THIS DataFrame's own QueryExecution (df.count()
+    # builds a new aggregated one and leaves this plan unfinalized) while
+    # hauling no rows to the driver (df.collect() did, defeating the
+    # point of a plan assertion meant for large-input shapes): a JVM-side
+    # count over the same execution's RDD does both.
     import re
 
-    df.collect()
+    df._jdf.queryExecution().toRdd().count()  # noqa: SLF001
     plan = explain_str(df, "codegen")
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
     n = int(m.group(1)) if m else 0

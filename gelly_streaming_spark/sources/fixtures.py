@@ -79,8 +79,10 @@ def g5_powerlaw(spark: SparkSession, n_vertices: int = 10_000, n_edges: int = 50
     """G5 — synthetic power-law graph, deterministic (seed=42).
 
     src ~ Zipf(s=1.1) over 1..n, dst uniform 1..n, self-loops dropped,
-    val = (src*31+dst) % 1000, ts ascending 1 s apart. Generated
-    distributively from spark.range — no driver-side materialization.
+    val = (src*31+dst) % 1000, ts ascending 1 s apart. Generated with
+    seeded numpy ON THE DRIVER and shipped via createDataFrame — fine
+    for its test/micro-bench role at ≤O(100k) edges, NOT a pattern for
+    corpus-scale data (generate via spark.range + column hashes there).
     """
     import numpy as np
 

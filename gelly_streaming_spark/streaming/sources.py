@@ -77,6 +77,12 @@ def replay(
     import pyarrow.parquet as pq
 
     if cache_key is not None:
+        # the staged chunks depend on every replay parameter, not just
+        # the caller's key — folding them in here means a second call
+        # with the same key but different num_batches/order_by can never
+        # silently reuse mismatched chunks (an out-of-order replay fed
+        # to a watermarked query would drop rows with no error)
+        cache_key = (cache_key, num_batches, files_per_trigger, order_by)
         memo = getattr(df.sparkSession, "_gss_replay_stage", None)
         if memo is None:
             memo = {}
@@ -185,8 +191,11 @@ def rate_edges(
         "rowsPerSecond", rows_per_second
     ).load()
     n = F.lit(num_vertices)
-    h1 = F.abs(F.hash(F.col("value"))) / F.lit(2147483647.0)
-    h2 = F.abs(F.hash(F.col("value") * 31 + 7)) / F.lit(2147483647.0)
+    # pmod, not abs: abs(Integer.MIN_VALUE) stays negative (two's
+    # complement), which once in ~2^32 draws produced a negative dst and
+    # src == num_vertices — outside the documented [0, n) contract
+    h1 = F.pmod(F.hash(F.col("value")), F.lit(2147483647)) / F.lit(2147483647.0)
+    h2 = F.pmod(F.hash(F.col("value") * 31 + 7), F.lit(2147483647)) / F.lit(2147483647.0)
     return r.select(
         (F.pow(h1, F.lit(2.0)) * n).cast("long").alias("src"),
         (h2 * n).cast("long").alias("dst"),

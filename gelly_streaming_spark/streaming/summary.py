@@ -49,7 +49,10 @@ class StreamingSummaryAggregation:
     def run(self, edge_stream: DataFrame, timeout_sec: int = 300) -> DataFrame:
         """Consume all available micro-batches; return transform(summary)."""
         run_foreach_batch(edge_stream, self._on_batch, timeout_sec=timeout_sec)
-        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        # the STREAM's session, not getActiveSession(): in a multi-session
+        # process the active session can be someone else's, and a result
+        # created there cannot join the caller's frames
+        spark = edge_stream.sparkSession
         rows = self.agg.transform_fn(self.summary) if self.summary is not None else []
         return spark.createDataFrame(rows, self.agg.out_schema)
 
