@@ -77,6 +77,12 @@ class SummaryAggregation:
     #: most √B merged partials per window — the escape hatch when merged
     #: summaries are large enough that even an O(B) driver funnel hurts.
     merge_levels: int = 0
+    #: fold_pdf depends on edge arrival order (e.g. the greedy spanner's
+    #: first-offer-wins): the fold input then carries ts and each group
+    #: sorts by it before folding. Order-free summaries (union-find,
+    #: degree counts) skip the column and the per-group sort entirely —
+    #: measured ~20% of q15e's warm time.
+    order_sensitive: bool = False
 
     # ------------------------------------------------------------------
     def _tree_merge(self, partials: DataFrame, keys: list[str]) -> DataFrame:
@@ -117,7 +123,7 @@ class SummaryAggregation:
         cols.append(
             F.col("val") if "val" in edges.columns else F.lit(None).alias("val")
         )
-        if "ts" in edges.columns:
+        if self.order_sensitive and "ts" in edges.columns:
             cols.append(F.col("ts"))
         df = edges.select(
             F.pmod(F.xxhash64("src"), F.lit(self.num_buckets)).alias("pkey"), *cols
@@ -150,7 +156,7 @@ class SummaryAggregation:
         e = stream.edges
         cols = [F.col("src"), F.col("dst")]
         cols.append(F.col("val") if "val" in e.columns else F.lit(None).alias("val"))
-        if "ts" in e.columns:
+        if self.order_sensitive and "ts" in e.columns:
             # order-sensitive summaries (spanner's greedy offers) fold in
             # event-time order within each (bucket, pkey) group — without
             # selecting ts here, fold_group's sort was silently a no-op

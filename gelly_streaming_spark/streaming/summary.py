@@ -102,4 +102,7 @@ def streaming_spanner_aggregation(k: int, num_buckets: int = 16) -> SummaryAggre
             [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
         ),
         num_buckets=num_buckets,
+        # greedy first-offer-wins: the fold must see edges in event-time
+        # order within each bucket (fold input carries ts, sorted)
+        order_sensitive=True,
     )
