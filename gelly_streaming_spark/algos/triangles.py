@@ -385,7 +385,7 @@ def _count_triangles_numpy(src, dst) -> int:
 
 
 def triangle_count_windowed(
-    stream: GraphStream,
+    stream: GraphStream | None = None,
     size: str = "1 day",
     strategy: str = "auto",
     per_window_limit: int = 500_000,
@@ -407,11 +407,18 @@ def triangle_count_windowed(
 
     ``canonical_bucketed`` short-circuits edge preparation with an
     already-(bucket, src<dst, distinct) materialized frame (the shared
-    copart view) — no re-dedup, no extra checkpoint.
+    copart view) — no re-dedup, no extra checkpoint; ``stream`` is then
+    unused and may be omitted (building a raw edge plan just to fill the
+    parameter would cost a full Catalyst analysis per call for nothing).
     """
     if canonical_bucketed is not None:
         e, materialized = canonical_bucketed, True
     else:
+        if stream is None:
+            raise ValueError(
+                "triangle_count_windowed needs `stream` when no "
+                "canonical_bucketed frame is supplied"
+            )
         e = _canonical(
             stream.edges.withColumn("bucket", F.window("ts", size).start),
             extra_keys=["bucket"],

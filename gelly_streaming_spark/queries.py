@@ -58,10 +58,19 @@ _VIEW_SQL = {
 
 
 def _with(body: str, *views: str, recursive: bool = False) -> str:
+    """Prefix ``body`` with the named edge-view CTEs. ``body`` either
+    starts with a SELECT (joined with a space) or continues the CTE
+    list (starts with an identifier — joined with ', '); with no views
+    and no recursion there is nothing to add, so the body is returned
+    verbatim rather than emitting invalid ``WITH SELECT``."""
+    if not views and not recursive:
+        return body
     kw = "WITH RECURSIVE " if recursive else "WITH "
     ctes = ", ".join(f"{v} AS ({_VIEW_SQL[v]})" for v in views)
-    sep = ", " if views and recursive else ""
-    return f"{kw}{ctes}{sep}{body}" if views or recursive else f"{kw}{ctes} {body}"
+    if not views:
+        return f"{kw}{body}"
+    sep = " " if body.lstrip().upper().startswith("SELECT") else ", "
+    return f"{kw}{ctes}{sep}{body}"
 
 
 def _dec_sum(col, alias: str):
@@ -84,6 +93,11 @@ REGISTRY: dict[str, Query] = {}
 
 def _q(name: str, sql: Optional[str], doc: str = ""):
     def deco(fn):
+        if name in REGISTRY:
+            # a duplicate name would silently SHADOW the old query —
+            # the correctness contract would shrink by one with no
+            # failing test anywhere
+            raise ValueError(f"duplicate query name {name!r} in REGISTRY")
         REGISTRY[name] = Query(fn=fn, sql=sql, doc=doc)
         return fn
 
@@ -461,7 +475,10 @@ def q15d(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = connected_components_alternating(
         _q15_edges(spark, sf_dir), stats=stats, small_input_rows=0
     )
-    assert stats["rounds"] > 0, "fast path taken despite small_input_rows=0"
+    # explicit raise, not assert: python -O strips asserts, which would
+    # silently void the distributed-path certification this query IS
+    if stats["rounds"] <= 0:
+        raise RuntimeError("fast path taken despite small_input_rows=0")
     return out
 
 
@@ -590,9 +607,12 @@ _Q18_SQL = _with(
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gelly_streaming_spark.algos.triangles import triangle_count_windowed
 
+    # stream omitted: the shared bucketed canonical view IS the input —
+    # constructing the raw copart self-join plan just to fill the
+    # parameter paid a full Catalyst analysis per call for a frame the
+    # function never reads
     return triangle_count_windowed(
-        GraphStream(E.edges_copart(spark, sf_dir)),
-        "1 day",
+        size="1 day",
         canonical_bucketed=E.copart_canonical(spark, sf_dir, "1 day"),
     )
 
@@ -859,12 +879,12 @@ def _replay_tmp(
 ) -> DataFrame:
     from gelly_streaming_spark.streaming.sources import replay
 
-    cache_key = (
-        None if key is None else f"{key}:{num_batches}:{order_by or ''}"
-    )
+    # replay() owns parameter folding: its memo key already includes
+    # (num_batches, files_per_trigger, order_by) — re-encoding them here
+    # would just be a second hand-maintained copy that could drift.
     # stage_dir is left to replay(): it allocates the temp dir only on a
     # memo miss, so memoized reruns create no orphan /tmp dirs.
-    return replay(df, None, num_batches, order_by=order_by, cache_key=cache_key)
+    return replay(df, None, num_batches, order_by=order_by, cache_key=key)
 
 
 class _parity_stream_confs:
@@ -903,10 +923,18 @@ class _parity_stream_confs:
 
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
         self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
-        self.prev_ckpt = self.spark.conf.get(self._CKPT_CONF, None)
-        if self.prev_ckpt is None and os.access("/dev/shm", os.W_OK):
-            self.ckpt_dir = tempfile.mkdtemp(prefix="gss_ckpt_", dir="/dev/shm")
-            self.spark.conf.set(self._CKPT_CONF, self.ckpt_dir)
+        # anything fallible after the conf mutation must restore it:
+        # Python does not call __exit__ when __enter__ raises, and a
+        # leaked partitions=4 would silently serialize every later
+        # batch query in the session
+        try:
+            self.prev_ckpt = self.spark.conf.get(self._CKPT_CONF, None)
+            if self.prev_ckpt is None and os.access("/dev/shm", os.W_OK):
+                self.ckpt_dir = tempfile.mkdtemp(prefix="gss_ckpt_", dir="/dev/shm")
+                self.spark.conf.set(self._CKPT_CONF, self.ckpt_dir)
+        except BaseException:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+            raise
 
     def __exit__(self, *exc):
         import shutil
