@@ -1,0 +1,65 @@
+"""Training-data pipeline extensions (SURVEY.md §2.11) — the operators a
+100 TB corpus-curation pipeline needs beyond the reference's graph
+surface. Re-exported here so pipeline code reads as one namespace (see
+examples/training_data_pipeline.py for the composed flow).
+"""
+
+from gelly_streaming_spark.ext.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_dedup_pairs,
+    near_dup_collapse,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from gelly_streaming_spark.ext.embeddings import (
+    embedding_near_dup_pairs,
+    knn_bruteforce,
+    knn_ivf,
+    knn_lsh,
+)
+from gelly_streaming_spark.ext.similarity import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+)
+from gelly_streaming_spark.ext.split import (
+    assign_split,
+    deterministic_sample_per_group,
+    stratified_split_report,
+)
+from gelly_streaming_spark.ext.text import (
+    decontaminate,
+    doc_shingles,
+    ngram_repetition,
+    text_profile,
+    tfidf_keywords,
+    token_doc_counts,
+    vocabulary,
+)
+
+__all__ = [
+    "exact_dedup",
+    "exact_dedup_groups",
+    "minhash_dedup_pairs",
+    "near_dup_collapse",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_pairs",
+    "embedding_near_dup_pairs",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_lsh",
+    "jaccard_pairs",
+    "minhash_lsh_pairs",
+    "assign_split",
+    "deterministic_sample_per_group",
+    "stratified_split_report",
+    "decontaminate",
+    "doc_shingles",
+    "ngram_repetition",
+    "text_profile",
+    "tfidf_keywords",
+    "token_doc_counts",
+    "vocabulary",
+]
