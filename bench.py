@@ -163,6 +163,56 @@ def _warm_up(spark, sf_dir: str) -> None:
         pass  # streaming warm-up is best-effort; queries still run cold
 
 
+def _short_queries(queries: dict[str, float]) -> dict[str, float]:
+    """Abbreviate per-query keys for the HEADLINE line only (q31_near_...
+    -> q31): the driver keeps just the last 2000 chars of stdout, and at
+    48 full-name queries the line sat ~1860 chars — two more queries
+    would silently truncate the round's only bench signal. The first
+    underscore-delimited token (q05b, q25s, ...) is unique by naming
+    convention; if a future collision appears, fall back to full names
+    and let the length-degradation ladder handle it. Full names always
+    live in bench_detail.json."""
+    short = {k.split("_", 1)[0]: v for k, v in queries.items()}
+    return short if len(short) == len(queries) else queries
+
+
+def compact_line(result: dict) -> str:
+    """Build the headline JSON line (<1900 chars) from a full result
+    dict. Module-level so the tail-window headroom is unit-testable
+    against hypothetical larger query sets (tests/test_bench_cli.py)."""
+    compact = {
+        k: result[k]
+        for k in (
+            "metric", "value", "value_max_runs", "unit", "queries", "sf",
+            "runs_per_query", "session_setup_sec", "copart_build_sec",
+            "errors_present", "comparable_queries", "registered_queries",
+            "partial", "errored_queries", "duckdb_total_sec",
+            "ratio_vs_duckdb", "heavy_engine_sec", "heavy_duckdb_sec",
+            "ratio_heavy",
+        )
+        if k in result
+    }
+    compact["queries"] = _short_queries(compact.get("queries", {}))
+    compact["detail"] = "bench_detail.json"
+    line = json.dumps(compact)
+    # Degrade gracefully if the query set ever grows the line past
+    # the tail window (queries dict is the only O(n) part).
+    if len(line) > 1900:
+        compact["queries"] = {
+            k: round(v, 2) for k, v in compact["queries"].items()
+        }
+        line = json.dumps(compact)
+    # `queries` is part of the driver contract — shed optional
+    # fields instead if the line is still too long.
+    for opt in ("value_max_runs", "errored_queries", "session_setup_sec",
+                "heavy_engine_sec", "heavy_duckdb_sec"):
+        if len(line) <= 1900:
+            break
+        compact.pop(opt, None)
+        line = json.dumps(compact)
+    return line
+
+
 class _Budget:
     """Wall-clock budget for the whole bench run (env BENCH_BUDGET_SEC,
     default 300 s). The driver kills bench.py with SIGTERM at ITS budget
@@ -345,35 +395,7 @@ def main() -> None:
                 json.dump(result, fh, indent=1)
         except OSError:
             pass  # detail file is best-effort; the stdout line is the contract
-        compact = {
-            k: result[k]
-            for k in (
-                "metric", "value", "value_max_runs", "unit", "queries", "sf",
-                "runs_per_query", "session_setup_sec", "copart_build_sec",
-                "errors_present", "comparable_queries", "registered_queries",
-                "partial", "errored_queries", "duckdb_total_sec",
-                "ratio_vs_duckdb", "heavy_engine_sec", "heavy_duckdb_sec",
-                "ratio_heavy",
-            )
-            if k in result
-        }
-        compact["detail"] = "bench_detail.json"
-        line = json.dumps(compact)
-        # Degrade gracefully if the query set ever grows the line past
-        # the tail window (queries dict is the only O(n) part).
-        if len(line) > 1900:
-            compact["queries"] = {
-                k: round(v, 2) for k, v in compact["queries"].items()
-            }
-            line = json.dumps(compact)
-        # `queries` is part of the driver contract — shed optional
-        # fields instead if the line is still too long.
-        for opt in ("value_max_runs", "errored_queries", "session_setup_sec",
-                    "heavy_engine_sec", "heavy_duckdb_sec"):
-            if len(line) <= 1900:
-                break
-            compact.pop(opt, None)
-            line = json.dumps(compact)
+        line = compact_line(result)
         if newline_first:
             sys.stdout.write("\n")
         print(line, flush=True)
@@ -417,14 +439,18 @@ def main() -> None:
 
     # Per-query watchdog: a single stuck engine query (the r6 failure —
     # q33 blocked 480 s+ inside one Spark action) must not starve every
-    # query after it. The timer cancels all in-flight Spark jobs, the
-    # blocked action raises, and the query is recorded under errors
-    # while the loop continues. Armed around the ENGINE side only.
-    # `armed` closes the already-fired race: a Timer past its deadline
-    # cannot be cancel()ed, so without the flag its cancelAllJobs could
-    # land on the NEXT query's healthy jobs.
+    # query after it. The timer cancels THIS run's job group only
+    # (sc.setJobGroup / cancelJobGroup, ADVICE r7): cancelAllJobs had a
+    # disarm race — a timer firing concurrently with query completion
+    # could pass the `armed` check, lose the GIL while the main loop
+    # disarmed and started the next query, then cancel the NEXT query's
+    # healthy jobs. A group-scoped cancel landing late hits an already-
+    # finished group — harmless by construction. `cancel_lock` serializes
+    # the fire/disarm handoff so `fired` can never flip after the main
+    # loop has already classified the run's outcome.
     per_query_cap = float(os.environ.get("BENCH_QUERY_TIMEOUT_SEC", "120"))
     out_of_budget = False
+    cancel_lock = threading.Lock()
 
     for name, q in sorted(REGISTRY.items()):
         runs_now = budget.runs_allowed(runs_per_query)
@@ -432,19 +458,24 @@ def main() -> None:
             break  # budget exhausted — stop cleanly, partial stays true
         runs: list[float] = []
         druns: list[float] = []
-        for _ in range(runs_now):
+        for run_i in range(runs_now):
             deadline = min(per_query_cap, max(5.0, budget.remaining()))
+            group = f"bench:{name}#{run_i}"
             armed = {"on": True}
             fired = {"v": False}
 
-            def _cancel(armed=armed, fired=fired):
-                if armed["on"]:
-                    fired["v"] = True
-                    spark.sparkContext.cancelAllJobs()
+            def _cancel(armed=armed, fired=fired, group=group):
+                with cancel_lock:
+                    if armed["on"]:
+                        fired["v"] = True
+                        spark.sparkContext.cancelJobGroup(group)
 
             watchdog = threading.Timer(deadline, _cancel)
             watchdog.daemon = True
             watchdog.start()
+            spark.sparkContext.setJobGroup(
+                group, f"bench run of {name}", interruptOnCancel=True
+            )
             t0 = time.time()
             try:
                 q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -465,8 +496,18 @@ def main() -> None:
                     errors[name] = f"{type(ex).__name__}: {ex}"[:300]
                 break
             finally:
-                armed["on"] = False
+                with cancel_lock:
+                    armed["on"] = False
                 watchdog.cancel()
+                # PySpark has no clearJobGroup — drop the thread-local
+                # property so untimed work runs ungrouped. NOTE the scope
+                # limit: jobs submitted from streaming threads (q25s-q29s
+                # run availableNow streams inside q.fn) don't inherit the
+                # caller's group; a hang there is backstopped by the
+                # run-level budget + SIGTERM flush, not this watchdog.
+                for p in ("spark.jobGroup.id", "spark.job.description",
+                          "spark.job.interruptOnCancel"):
+                    spark.sparkContext.setLocalProperty(p, None)
             if (
                 duck_con is not None
                 and q.sql is not None

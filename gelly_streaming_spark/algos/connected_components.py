@@ -514,5 +514,7 @@ def connected_components_summary(
         window=window,
         transient_state=False,
         merge_levels=merge_levels,
+        # union-find is order-free: skip the ts carry + per-group sort
+        order_sensitive=False,
     )
     return stream.aggregate(agg)

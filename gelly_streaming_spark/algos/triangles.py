@@ -309,7 +309,10 @@ def _tri_prep(src, dst):
 
     m = len(src)
     max_id = int(max(src.max(), dst.max()))
-    if max_id <= max(8 * m, 1 << 16):
+    # relative density test for small windows, absolute 50M cap for large
+    # batches: max(8m, 64k) alone let a 100M-edge batch allocate O(8m)
+    # int64 deg/bincount arrays (~6.4 GB) per task (ADVICE r7)
+    if max_id <= min(max(8 * m, 1 << 16), 50_000_000):
         s0, d0 = src.astype(np.int64), dst.astype(np.int64)
         n = max_id + 1
     else:

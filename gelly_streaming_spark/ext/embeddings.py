@@ -362,7 +362,12 @@ def lsh_signature(vec, planes: np.ndarray) -> Column:
         bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         packed = term if packed is None else packed.bitwiseOR(term)
+    # nulls first: size(NULL) is NULL, so without the explicit branch the
+    # otherwise() raise fired for null vectors too (ADVICE r7) — a null
+    # embedding yields a null signature (row drops out of every bucket)
     return F.when(
+        vec.isNull(), F.lit(None).cast("long")
+    ).when(
         F.size(vec) == dim, packed
     ).otherwise(
         F.raise_error(

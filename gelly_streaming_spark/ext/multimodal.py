@@ -5,12 +5,15 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so payload bytes never round-trip through the
 driver and batches stay columnar end-to-end.
 
-Decoders: ``media_decoder`` REALLY decodes uncompressed 24-bit BMP and
-16-bit PCM WAV with pure-Python header/pixel/sample parsing (no imaging
-or audio library required), so the plumbing is exercised end-to-end on
-real bytes. Compressed formats (JPEG/PNG/MP3/MP4…) need codec libraries
-absent from this environment and honestly raise ``NotImplementedError``
-via ``strict_decoder`` — inject a real decoder callable in production.
+Decoders: ``media_decoder`` REALLY decodes uncompressed 24-bit BMP,
+non-interlaced 8-bit PNG (full inflate + scanline un-filtering with
+stdlib ``zlib`` only — a genuinely compressed codec), and 16-bit PCM
+WAV with pure-Python header/pixel/sample parsing (no imaging or audio
+library required), so the plumbing is exercised end-to-end on real
+bytes. Remaining compressed formats (JPEG/MP3/MP4…) need codec
+libraries absent from this environment and honestly raise
+``NotImplementedError`` via ``strict_decoder`` — inject a real decoder
+callable in production.
 ``decoder=None`` selects a deterministic fake decoder for synthetic
 payloads (test harness over the documents table).
 """
@@ -126,6 +129,140 @@ def decode_bmp(payload: bytes):
     return int(w), int(rows), 1, feat
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_pixels(payload: bytes):
+    """Parse a non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA)
+    into a top-down (h, w, channels) uint8 array using ONLY stdlib
+    ``zlib`` + numpy: chunk walk, IDAT concat, inflate, and per-scanline
+    un-filtering (filter types 0-4: None/Sub/Up/Average/Paeth per the
+    PNG spec). Palette, 16-bit, and Adam7-interlaced images raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        size, cid = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            "only non-interlaced 8-bit gray/gray+alpha/RGB/RGBA PNG supported"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    lines = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    bpp = channels  # bytes per pixel at depth 8
+    out = np.zeros((h, stride), np.uint16)
+    for y in range(h):
+        f, cur = lines[y, 0], lines[y, 1:].astype(np.uint16)
+        prev = out[y - 1] if y else np.zeros(stride, np.uint16)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # Sub: left neighbor — sequential in x
+            row = cur.copy()
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+            out[y] = row
+        elif f == 2:  # Up
+            out[y] = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            row = cur.copy()
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+            out[y] = row
+        elif f == 4:  # Paeth
+            row = cur.copy()
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+            out[y] = row
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    return w, h, channels, out.astype(np.uint8).reshape(h, w, channels)
+
+
+def encode_png(px) -> bytes:
+    """Re-encode a top-down (h, w, channels) uint8 array (1/2/3/4
+    channels) as a non-interlaced 8-bit PNG, filter 0 per scanline,
+    stdlib zlib (inverse of _png_pixels)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(px, np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, channels = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    lines = np.zeros((h, w * channels + 1), np.uint8)
+    lines[:, 1:] = px.reshape(h, w * channels)
+    idat = zlib.compress(lines.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Real decoder for non-interlaced 8-bit PNG (stdlib zlib only).
+    Returns (width, height, 1, 8-dim feature): per-channel mean and std
+    over an RGB view (gray replicated, alpha dropped) plus log-area and
+    aspect ratio — the same feature contract as decode_bmp."""
+    import math
+
+    import numpy as np
+
+    w, h, channels, px = _png_pixels(payload)
+    rgb = px[:, :, :3] if channels >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
+    ch = rgb.reshape(-1, 3).astype(np.float64)
+    feat = [
+        *(float(x) for x in ch.mean(axis=0)),
+        *(float(x) for x in ch.std(axis=0)),
+        math.log1p(float(w * h)),
+        float(w) / float(h or 1),
+    ]
+    return int(w), int(h), 1, feat
+
+
 def decode_wav(payload: bytes):
     """Real decoder for 16-bit PCM WAV (pure RIFF chunk walk). Returns
     (sample_rate, channels, n_samples, 8-dim feature): rms, mean, peak,
@@ -173,6 +310,8 @@ def media_decoder(payload: bytes, kind: str):
     decoder in production)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     return strict_decoder(payload, kind)
@@ -234,20 +373,26 @@ def extract_features(
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real nearest-neighbor resize for uncompressed 24-bit BMP: decode
-    to pixels, index-map rows/cols, re-encode. Compressed codecs honestly
+    """Real nearest-neighbor resize for uncompressed 24-bit BMP and
+    8-bit PNG (stdlib-zlib codec above): decode to pixels, index-map
+    rows/cols, re-encode in the same container. Other codecs honestly
     raise (inject a resizer callable in production)."""
     import numpy as np
 
-    if payload[:2] != b"BM":
+    if payload[:2] == b"BM":
+        w, rows, px = _bmp_pixels(payload)
+    elif payload[:8] == _PNG_SIG:
+        w, rows, _, px = _png_pixels(payload)
+    else:
         raise NotImplementedError(
-            "resize implemented for uncompressed 24-bit BMP only in this "
-            "environment; inject a resizer callable for other codecs"
+            "resize implemented for uncompressed 24-bit BMP and 8-bit PNG "
+            "only in this environment; inject a resizer callable for other "
+            "codecs"
         )
-    w, rows, px = _bmp_pixels(payload)
     yi = (np.arange(height) * rows // height).astype(np.int64)
     xi = (np.arange(width) * w // width).astype(np.int64)
-    return encode_bmp(px[yi][:, xi])
+    out = px[yi][:, xi]
+    return encode_bmp(out) if payload[:2] == b"BM" else encode_png(out)
 
 
 def resize_media(

@@ -79,10 +79,12 @@ class SummaryAggregation:
     merge_levels: int = 0
     #: fold_pdf depends on edge arrival order (e.g. the greedy spanner's
     #: first-offer-wins): the fold input then carries ts and each group
-    #: sorts by it before folding. Order-free summaries (union-find,
-    #: degree counts) skip the column and the per-group sort entirely —
-    #: measured ~20% of q15e's warm time.
-    order_sensitive: bool = False
+    #: sorts by it before folding. Defaults to True — the SAFE semantics
+    #: (an external order-dependent fold must never silently regress to
+    #: arbitrary Arrow-batch order; ADVICE r7). Order-FREE summaries
+    #: (union-find, degree counts) opt out with False to skip the ts
+    #: carry and per-group sort — measured ~20% of q15e's warm time.
+    order_sensitive: bool = True
 
     # ------------------------------------------------------------------
     def _tree_merge(self, partials: DataFrame, keys: list[str]) -> DataFrame:

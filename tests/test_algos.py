@@ -65,6 +65,7 @@ def test_summary_tree_merge_bounds_driver_partials(spark):
             ),
             num_buckets=256,
             merge_levels=levels,
+            order_sensitive=False,
         )
 
     gs = GraphStream(g5_powerlaw(spark, n_vertices=300, n_edges=900))

@@ -22,6 +22,45 @@ def _tail_line(stdout: str) -> dict:
     return json.loads(lines[-1])
 
 
+def test_headline_headroom_at_60_queries():
+    """The compact headline must stay well inside the driver's 2000-char
+    tail window even if the query set grows to 60 (the r7 line sat at
+    ~1860 chars for 48 full-name queries — two more would have truncated
+    the round's only bench signal). Keys are abbreviated headline-only;
+    full names stay in bench_detail.json."""
+    sys.path.insert(0, REPO)
+    from bench import compact_line
+
+    from gelly_streaming_spark.queries import REGISTRY
+
+    # real registry names first (uniqueness of the abbreviation matters)
+    names = sorted(REGISTRY) + [
+        f"q{38 + i}_hypothetical_future_query_name_{i}" for i in range(60)
+    ]
+    names = names[:60]
+    queries = {n: 12.345 for n in names}
+    result = {
+        "metric": "total_wallclock_declared_queries",
+        "value": 123.456, "value_max_runs": 234.567, "unit": "sec",
+        "queries": queries, "sf": 0.1, "runs_per_query": 3,
+        "session_setup_sec": 25.485, "copart_build_sec": 3.007,
+        "errors_present": False, "comparable_queries": 60,
+        "registered_queries": 60, "partial": False,
+        "duckdb_total_sec": 49.155, "ratio_vs_duckdb": 0.757,
+        "heavy_engine_sec": 24.548, "heavy_duckdb_sec": 47.967,
+        "ratio_heavy": 0.512,
+    }
+    line = compact_line(result)
+    d = json.loads(line)
+    assert len(d["queries"]) == 60  # abbreviation must not collide
+    assert len(line) <= 1700, len(line)
+    # and the real 48-query shape has the VERDICT-mandated headroom
+    real = dict(result, queries={n: 12.345 for n in sorted(REGISTRY)})
+    real_line = compact_line(real)
+    assert len(real_line) <= 1500, len(real_line)
+    assert len(json.loads(real_line)["queries"]) == len(REGISTRY)
+
+
 def test_bench_budget_stop_emits_parseable_tail(sf_dir):
     """A budget-limited run must end rc=0 with a parseable compact line
     in the 2000-char tail, partial flagged, no spurious errors from
