@@ -163,6 +163,11 @@ def jaccard_pairs(
     strategy: str = "auto",
 ) -> DataFrame:
     """Exact all-pairs Jaccard ≥ threshold: rows (a, b, jaccard), a < b.
+    Thin wrapper over ``jaccard_rep_pairs`` that expands representative
+    pairs back to every cluster member (the pair-EVIDENCE surface, q22);
+    consumers that only need cluster-level structure — near_dup_collapse
+    runs connected components over the pair graph — use the rep-level
+    output directly and skip the clique expansion entirely.
 
     jaccard is computed from exact integer set sizes ⇒ bit-identical
     across engines (int ratio in IEEE double). ``prefix_filter=False``
@@ -189,6 +194,33 @@ def jaccard_pairs(
     Jaccard exactly 1, cross-cluster pairs inherit their representatives'
     value (Jaccard is a function of the token sets alone).
     """
+    grp, rep_pairs = jaccard_rep_pairs(
+        docs, id_col, tokens, threshold, prefix_filter, prefix_order, strategy
+    )
+    return _expand_rep_pairs(grp, rep_pairs, threshold)
+
+
+def jaccard_rep_pairs(
+    docs: DataFrame,
+    id_col: str,
+    tokens: Column,
+    threshold: float,
+    prefix_filter: bool = True,
+    prefix_order: str = "df",
+    strategy: str = "auto",
+) -> tuple[DataFrame, DataFrame]:
+    """Cluster-level core of ``jaccard_pairs``: returns
+    ``(grp, rep_pairs)`` where ``grp`` is the identical-token-set
+    cluster table (toks, ids — ids sorted ascending, persisted) and
+    ``rep_pairs`` the exact Jaccard ≥ threshold pairs (a, b, jaccard)
+    over per-cluster minimum-id REPRESENTATIVES only.
+
+    Exposed because the member-level expansion is a clique generator:
+    an identical-set cluster of size k re-emits k(k−1)/2 pairs that
+    carry no information beyond the cluster row itself. Consumers that
+    reduce over cluster structure (near_dup_collapse's connected
+    components) stay at rep level — measured at sf0.1/θ=0.95: 2,049
+    rep pairs vs 190,910 expanded pairs, a 93× smaller CC input."""
     if strategy not in ("auto", "ppjoin", "bitset"):
         raise ValueError(
             f"unknown strategy {strategy!r} (auto|ppjoin|bitset)"
@@ -250,8 +282,7 @@ def jaccard_pairs(
                 "token sets (driver-collected mask matrix) — use "
                 "strategy='ppjoin' past that"
             )
-        rep_pairs = _bitset_rep_pairs(docs.sparkSession, reps, threshold, vocab)
-        return _expand_rep_pairs(grp, rep_pairs, threshold)
+        return grp, _bitset_rep_pairs(docs.sparkSession, reps, threshold, vocab)
 
     tok = track_persist(reps.select("id", F.explode("toks").alias("token")))
     sizes = reps.select("id", F.size("toks").alias("n"))
@@ -333,7 +364,7 @@ def jaccard_pairs(
         .where(jac >= threshold)
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
     )
-    return _expand_rep_pairs(grp, rep_pairs, threshold)
+    return grp, rep_pairs
 
 
 def _expand_rep_pairs(
