@@ -120,6 +120,58 @@ def main() -> None:
     out["vocab_sec"] = round(dt, 3)
     out["vocab_tokens"] = int(n_tok)
 
+    # text-kernel scaling (q35/q36/q37 shapes at 1x and 10x corpus):
+    # proves the shingle-window kernels scale ~linearly in corpus size —
+    # a super-linear curve would implicate the per-doc window shuffle
+    # (ext/text.py doc_shingles). The 10x corpus is 10 shifted copies of
+    # the documents table staged to parquet so both sizes pay the same
+    # scan shape. Reported: seconds at each size + the 10x/1x ratio
+    # (on 32 cores a floor-dominated 1x run makes ratios < 10 expected;
+    # ratios >> 10 are the regression signal).
+    import statistics
+
+    from gelly_streaming_spark.ext.text import (
+        decontaminate,
+        ngram_repetition,
+        tfidf_keywords,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        big_path = os.path.join(tmp, "docs10x")
+        others = [c for c in docs.columns if c != "doc_id"]
+        big = None
+        for i in range(10):
+            c = docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"), *others
+            )
+            big = c if big is None else big.unionByName(c)
+        big.write.mode("overwrite").parquet(big_path)
+        big = spark.read.parquet(big_path)
+        big.write.mode("overwrite").format("noop").save()  # warm the scan
+
+        kernels = {
+            "tfidf": lambda d: tfidf_keywords(d, k=3),
+            "decon": lambda d: decontaminate(
+                d.where(F.col("doc_id") % 97 != 0),
+                d.where(F.col("doc_id") % 97 == 0),
+                n=3,
+            ),
+            "ngram": lambda d: ngram_repetition(d, n=3),
+        }
+        for label, fn in kernels.items():
+            secs = {}
+            for size, d in (("1x", docs), ("10x", big)):
+                fn(d).write.mode("overwrite").format("noop").save()  # warm
+                runs = []
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(d).write.mode("overwrite").format("noop").save()
+                    runs.append(time.time() - t0)
+                secs[size] = round(statistics.median(runs), 3)
+            out[f"text_{label}_1x_sec"] = secs["1x"]
+            out[f"text_{label}_10x_sec"] = secs["10x"]
+            out[f"text_{label}_scaling_ratio"] = round(secs["10x"] / secs["1x"], 2)
+
     print(json.dumps(out))
 
 
