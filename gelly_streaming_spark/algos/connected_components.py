@@ -486,18 +486,15 @@ class DisjointSet:
         return self
 
 
-def connected_components_summary(
-    stream: GraphStream,
+def cc_summary_aggregation(
     window: str | None = None,
     num_buckets: int = 64,
     merge_levels: int = 0,
-) -> DataFrame:
-    """CC via the reference's partial-fold + merge pattern (A6/A7).
-
-    With ``window`` set this is WindowGraphAggregation: one component
-    mapping emitted per tumbling window, state carried across windows
-    (transientState=false, as the reference CC uses). ``merge_levels``
-    tree-reduces partial forests on executors before the driver merge."""
+) -> SummaryAggregation:
+    """The CC summary aggregation itself (union-find fold / forest-merge
+    combine / label transform) — shared by the batch A6/A7 runner below
+    and the A8 streaming bulk runner
+    (streaming.summary.StreamingSummaryAggregation, q15f)."""
 
     def fold(s: DisjointSet, pdf: pd.DataFrame) -> DisjointSet:
         for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
@@ -507,7 +504,7 @@ def connected_components_summary(
     def transform(s: DisjointSet) -> list[tuple]:
         return sorted((x, s.find(x)) for x in s.parent)
 
-    agg = SummaryAggregation(
+    return SummaryAggregation(
         initial=DisjointSet,
         fold_pdf=fold,
         combine_fn=lambda a, b: a.merge(b),
@@ -525,4 +522,20 @@ def connected_components_summary(
         # union-find is order-free: skip the ts carry + per-group sort
         order_sensitive=False,
     )
-    return stream.aggregate(agg)
+
+
+def connected_components_summary(
+    stream: GraphStream,
+    window: str | None = None,
+    num_buckets: int = 64,
+    merge_levels: int = 0,
+) -> DataFrame:
+    """CC via the reference's partial-fold + merge pattern (A6/A7).
+
+    With ``window`` set this is WindowGraphAggregation: one component
+    mapping emitted per tumbling window, state carried across windows
+    (transientState=false, as the reference CC uses). ``merge_levels``
+    tree-reduces partial forests on executors before the driver merge."""
+    return stream.aggregate(
+        cc_summary_aggregation(window, num_buckets, merge_levels)
+    )

@@ -528,6 +528,37 @@ def q15e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("bucket", "id", "component")
 
 
+@_q("q15f_cc_summary_bulk", _Q15_SQL,
+    "A8 SummaryBulkAggregation (REF:SummaryBulkAggregation.java:~40 [M]): "
+    "per-micro-batch distributed bucket folds merged into the carried "
+    "global summary across TWO replayed batches — the cross-batch "
+    "bulk-merge is the A8 semantics — with the final component mapping "
+    "hash-matched against the Q15 recursive-CTE oracle (the last "
+    "test-only aggregation row, promoted per VERDICT r7 #4)")
+def q15f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.connected_components import (
+        cc_summary_aggregation,
+    )
+    from gelly_streaming_spark.streaming.summary import (
+        StreamingSummaryAggregation,
+    )
+
+    edges = _q15_edges(spark, sf_dir).edges
+    with _parity_stream_confs(spark):
+        stream = _replay_tmp(
+            edges.withColumn("ts", F.lit(None).cast("timestamp")),
+            num_batches=2,
+            key=f"q15f:{sf_dir}",
+        )
+        runner = StreamingSummaryAggregation(cc_summary_aggregation(num_buckets=8))
+        out = runner.run(stream)
+    if runner.batches < 2:
+        raise RuntimeError(
+            f"A8 bulk certification needs >=2 merged batches, got {runner.batches}"
+        )
+    return out.select("id", "component")
+
+
 def _fixture_union_sql() -> str:
     from gelly_streaming_spark.sources.fixtures import fixture_rows
 
