@@ -214,6 +214,25 @@ def near_dup_collapse(
             F.element_at("ids", 1).alias("_rep"),
             F.size("ids").cast("long").alias("_grp_n"),
         )
+        # Token-LESS docs (null / empty / whitespace-only text) never
+        # enter the inverted index — explode of an empty token array
+        # emits no rows — but they are still corpus rows the collapse
+        # must account for. They can never merge with anything (a merge
+        # needs a shared token), so they cluster by IDENTICAL TEXT (md5,
+        # the same grouping the oracle's first CTE applies; note "" and
+        # " " both tokenize to [] but are DIFFERENT texts → different
+        # singleton clusters, exactly as a pairwise-Jaccard oracle that
+        # computes intersections from shared-token rows decides).
+        no_tok = docs.where(
+            F.coalesce(F.size(toks), F.lit(0)) <= 0
+        )
+        extra = no_tok.groupBy(
+            F.md5(F.col(text_col).cast("binary")).alias("_h")
+        ).agg(
+            F.min(id_col).alias("_rep"),
+            F.count(F.lit(1)).cast("long").alias("_grp_n"),
+        )
+        mem = mem.unionByName(extra.select("_rep", "_grp_n"))
         pairs = rep_pairs
     elif method == "minhash":
         grp = track_persist(

@@ -140,10 +140,14 @@ def _bitset_rep_pairs(spark, reps: DataFrame, threshold: float, vocab) -> DataFr
                         out_b.append(b_ids[i + 1:][hit])
                         out_j.append(_round_half_up6(jac[hit]))
             if out_a:
+                # canonical a < b: the kernel pairs by MATRIX position
+                # (collection order), not id order — rep-level consumers
+                # (near_dup_collapse) see these rows directly
+                ca, cb = np.concatenate(out_a), np.concatenate(out_b)
                 yield pd.DataFrame(
                     {
-                        "a": np.concatenate(out_a),
-                        "b": np.concatenate(out_b),
+                        "a": np.minimum(ca, cb),
+                        "b": np.maximum(ca, cb),
                         "jaccard": np.concatenate(out_j),
                     }
                 )
@@ -225,10 +229,19 @@ def jaccard_rep_pairs(
         raise ValueError(
             f"unknown strategy {strategy!r} (auto|ppjoin|bitset)"
         )
-    tok_all = token_sets(docs, id_col, tokens)
-    arrs = tok_all.groupBy("id").agg(
-        F.array_sort(F.collect_list("token")).alias("toks")
-    )
+    # Per-doc sorted distinct token arrays ROW-LOCALLY:
+    # array_sort(array_distinct(...)) needs no shuffle at all, where the
+    # old explode → distinct → groupBy/collect_list chain moved the full
+    # token stream through two wide shuffles to build the same arrays.
+    # Token-LESS docs (null / empty / whitespace-only text) are excluded
+    # here exactly as the explode path excluded them (explode of an
+    # empty array emits no rows): they can never share a token, so they
+    # belong to no pair — collapse-level consumers must handle them
+    # separately (near_dup_collapse's md5 complement).
+    arrs = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(F.array_distinct(tokens)).alias("toks"),
+    ).where(F.size("toks") > 0)
     grp = (
         arrs.groupBy("toks")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))

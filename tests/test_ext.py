@@ -755,6 +755,59 @@ def test_decontaminate_hand_computed(spark):
     assert got == {1: 2}
 
 
+def test_near_dup_collapse_pair_graph_stays_rep_level(spark):
+    """The collapse's CC input must be the REPRESENTATIVE pair graph:
+    a k-doc identical-text cluster contributes ONE rep, not k(k-1)/2
+    clique pairs (the r8 redesign — 93x smaller CC input at sf0.1).
+    Guards against reintroducing the member expansion upstream of CC."""
+    from pyspark.sql import functions as F
+
+    from gelly_streaming_spark.ext.dedup import near_dup_collapse
+    from gelly_streaming_spark.ext.similarity import jaccard_rep_pairs
+    from gelly_streaming_spark.ext.text import tokenize
+
+    rows = [(i, "alpha beta gamma delta") for i in range(1, 101)]
+    rows += [(200, "alpha beta gamma epsilon"), (300, "zz yy xx")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    grp, rp = jaccard_rep_pairs(docs, "doc_id", tokenize(F.col("text")), 0.6)
+    # 3 distinct token sets -> at most 3 rep pairs ever; the identical
+    # 100-doc cluster must contribute zero within-cluster pairs
+    pairs = [(r.a, r.b) for r in rp.collect()]
+    assert pairs == [(1, 200)], pairs
+    got = {
+        (r.keep_id, r.cluster_size)
+        for r in near_dup_collapse(docs, threshold=0.6).collect()
+    }
+    assert got == {(1, 101), (300, 1)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        near_dup_collapse(docs, threshold=1.5)
+
+
+def test_near_dup_collapse_token_less_docs(spark):
+    """Docs with null / empty / whitespace-only text never enter the
+    inverted index, but the collapse must still count them: identical
+    texts cluster together (md5 complement — the oracle's grouping),
+    and "" vs " " are DIFFERENT texts -> different singleton clusters
+    even though both tokenize to []."""
+    from gelly_streaming_spark.ext.dedup import near_dup_collapse
+
+    rows = [
+        (1, None), (2, None),          # null-text pair -> one cluster
+        (3, ""),                        # empty text
+        (4, " "),                       # whitespace-only, distinct text
+        (5, "a b c"), (6, "a b c"),     # identical normal docs
+        (7, "a b d"),                   # near-dup of 5/6 at 0.5
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.keep_id, r.cluster_size)
+        for r in near_dup_collapse(docs, threshold=0.5).collect()
+    }
+    assert got == {(1, 2), (3, 1), (4, 1), (5, 3)}, got
+
+
 def test_near_dup_collapse_distributed_fallback(spark):
     """Force the pair-graph CC past the driver union-find bound
     (small_input_rows=0 — the path a 100 TB dup graph takes) and check
