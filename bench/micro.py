@@ -163,11 +163,16 @@ def main() -> None:
             for size, d in (("1x", docs), ("10x", big)):
                 fn(d).write.mode("overwrite").format("noop").save()  # warm
                 runs = []
-                for _ in range(2):
+                for _ in range(3):
                     t0 = time.time()
                     fn(d).write.mode("overwrite").format("noop").save()
                     runs.append(time.time() - t0)
-                secs[size] = round(statistics.median(runs), 3)
+                # MIN of 3: the scaling claim is about the PLAN, and
+                # host-steal noise is strictly additive — observed 4x
+                # swings between adjacent identical runs on this VM
+                # (ngram 10x: 3.1 s and 11.1 s in back-to-back micro
+                # runs); the min is the defensible per-size estimate
+                secs[size] = round(min(runs), 3)
             out[f"text_{label}_1x_sec"] = secs["1x"]
             out[f"text_{label}_10x_sec"] = secs["10x"]
             out[f"text_{label}_scaling_ratio"] = round(secs["10x"] / secs["1x"], 2)
