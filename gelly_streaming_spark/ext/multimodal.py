@@ -137,7 +137,13 @@ def _png_pixels(payload: bytes):
     into a top-down (h, w, channels) uint8 array using ONLY stdlib
     ``zlib`` + numpy: chunk walk, IDAT concat, inflate, and per-scanline
     un-filtering (filter types 0-4: None/Sub/Up/Average/Paeth per the
-    PNG spec). Palette, 16-bit, and Adam7-interlaced images raise."""
+    PNG spec). Palette, 16-bit, and Adam7-interlaced images raise.
+
+    Throughput bound: filters None/Up un-filter vectorized; Sub/Average/
+    Paeth are inherently left-sequential and run a per-byte Python loop
+    (~1-3 s per megapixel-scale image). Fine for thumbnails and test
+    fixtures; for heavy PNG volume inject a codec-library decoder via
+    the ``decoder=`` hook — the Spark-side plumbing is identical."""
     import struct
     import zlib
 
