@@ -382,6 +382,49 @@ def ngram_repetition(
     )
 
 
+def duplicate_passages(
+    docs: DataFrame,
+    n: int = 8,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-passage detection: pairs
+    ``(a, b, shared)`` of documents sharing ≥ ``min_shared`` DISTINCT
+    ``n``-token shingles — the cross-doc leak scan a training corpus
+    runs on itself (the within-corpus sibling of ``decontaminate``,
+    which scans against a held-out eval set; C4/MassiveText drop or
+    collapse documents repeating long passages across the corpus).
+
+    Scale shape: distinct (doc, shingle) inverted index, hot-shingle
+    guard, then a shingle-keyed self-join with per-pair partial-agg
+    counting. ``max_df`` drops shingles present in more than that many
+    documents BEFORE the join: a boilerplate shingle in d documents
+    emits d(d−1)/2 pairs — quadratic in the hot key and pure noise for
+    passage-level dedup (the standard df-cap move, same role as the
+    prefix filter in ppjoin). The cap is exact for its own semantics
+    (the output is DEFINED over df ≤ max_df shingles, and the oracle
+    applies the identical cap); ``max_df=None`` disables the guard for
+    bounded corpora."""
+    sh = doc_shingles(docs, n, text_col, doc_id_col).distinct()
+    if max_df is not None:
+        df_t = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = (
+            sh.join(df_t.where(F.col("_df") <= max_df), "shingle")
+            .select("doc_id", "shingle")
+        )
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document profile: token count, quality, language,
     fingerprint — a single projection, zero shuffles."""

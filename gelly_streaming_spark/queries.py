@@ -1309,6 +1309,33 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_repetition(docs, n=_SHINGLE_N)
 
 
+_Q38_SQL = (
+    "WITH " + _SHINGLE_CTE + """,
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+dfh AS (SELECT shingle, COUNT(*) AS df FROM d GROUP BY 1),
+k AS (SELECT d.doc_id, d.shingle FROM d JOIN dfh USING (shingle) WHERE df <= 20),
+p AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+      FROM k x JOIN k y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)
+SELECT a, b, shared FROM p WHERE shared >= 3
+"""
+)
+
+
+@_q("q38_duplicate_passages", _Q38_SQL,
+    "cross-document duplicated-passage pairs: docs sharing >= 3 distinct "
+    "trigram shingles, with a df <= 20 hot-shingle guard applied "
+    "identically on both sides (a boilerplate shingle in d docs emits "
+    "d(d-1)/2 pairs — the cap is the C4/MassiveText-style scale move, "
+    "and the guard is EXERCISED at sf0.1: max shingle df there is 25) — "
+    "the within-corpus sibling of q36's eval-set decontamination")
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.text import duplicate_passages
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_passages(docs, n=_SHINGLE_N, min_shared=3, max_df=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

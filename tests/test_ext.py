@@ -755,6 +755,36 @@ def test_decontaminate_hand_computed(spark):
     assert got == {1: 2}
 
 
+def test_duplicate_passages_hand_computed(spark):
+    """Cross-doc duplicated trigram passages: docs 1 and 2 share two
+    distinct trigrams of 'x y z w'; the df cap drops a boilerplate
+    shingle present in all four docs (which would otherwise create
+    pairs among unrelated docs 3/4)."""
+    from gelly_streaming_spark.ext.text import duplicate_passages
+
+    boiler = "terms of service apply"
+    docs = spark.createDataFrame(
+        [
+            (1, f"x y z w {boiler}"),
+            (2, f"p x y z w {boiler}"),
+            (3, f"completely different body {boiler}"),
+            (4, f"another unrelated body {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.a, r.b, r.shared)
+        for r in duplicate_passages(docs, n=3, min_shared=2, max_df=3).collect()
+    )
+    # shared by 1/2 with df <= 3: 'x y z', 'y z w', 'z w terms',
+    # 'w terms of' (4 shingles); 'terms of service' / 'of service
+    # apply' appear in ALL four docs (df 4 > 3) and are dropped
+    assert got == [(1, 2, 4)], got
+    # without the cap, boilerplate shingles pair everything with everything
+    uncapped = duplicate_passages(docs, n=3, min_shared=2, max_df=None)
+    assert uncapped.count() == 6
+
+
 def test_near_dup_collapse_pair_graph_stays_rep_level(spark):
     """The collapse's CC input must be the REPRESENTATIVE pair graph:
     a k-doc identical-text cluster contributes ONE rep, not k(k-1)/2
