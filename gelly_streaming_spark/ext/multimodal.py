@@ -7,13 +7,13 @@ driver and batches stay columnar end-to-end.
 
 Decoders: ``media_decoder`` REALLY decodes uncompressed 24-bit BMP,
 non-interlaced 8-bit PNG (full inflate + scanline un-filtering with
-stdlib ``zlib`` only — a genuinely compressed codec), and 16-bit PCM
-WAV with pure-Python header/pixel/sample parsing (no imaging or audio
-library required), so the plumbing is exercised end-to-end on real
-bytes. Remaining compressed formats (JPEG/MP3/MP4…) need codec
-libraries absent from this environment and honestly raise
-``NotImplementedError`` via ``strict_decoder`` — inject a real decoder
-callable in production.
+stdlib ``zlib`` only), baseline-sequential JPEG (pure-numpy Huffman +
+DCT codec, ext/jpeg.py — the format real multimodal tables actually
+use), and 16-bit PCM WAV, all with pure-Python/numpy parsing (no
+imaging or audio library required), so the plumbing is exercised
+end-to-end on real compressed bytes. Remaining formats (progressive
+JPEG, MP3/MP4…) honestly raise ``NotImplementedError`` via
+``strict_decoder`` — inject a real decoder callable in production.
 ``decoder=None`` selects a deterministic fake decoder for synthetic
 payloads (test harness over the documents table).
 """
@@ -318,6 +318,10 @@ def media_decoder(payload: bytes, kind: str):
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from gelly_streaming_spark.ext.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     return strict_decoder(payload, kind)
@@ -379,26 +383,38 @@ def extract_features(
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real nearest-neighbor resize for uncompressed 24-bit BMP and
-    8-bit PNG (stdlib-zlib codec above): decode to pixels, index-map
-    rows/cols, re-encode in the same container. Other codecs honestly
-    raise (inject a resizer callable in production)."""
+    """Real nearest-neighbor resize for uncompressed 24-bit BMP, 8-bit
+    PNG (stdlib-zlib codec above), and baseline JPEG (pure-numpy codec,
+    ext/jpeg.py): decode to pixels, index-map rows/cols, re-encode in
+    the same container. Other codecs honestly raise (inject a resizer
+    callable in production)."""
     import numpy as np
 
     if payload[:2] == b"BM":
         w, rows, px = _bmp_pixels(payload)
     elif payload[:8] == _PNG_SIG:
         w, rows, _, px = _png_pixels(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from gelly_streaming_spark.ext.jpeg import _jpeg_pixels
+
+        px = _jpeg_pixels(payload)
+        rows, w = px.shape[:2]
     else:
         raise NotImplementedError(
-            "resize implemented for uncompressed 24-bit BMP and 8-bit PNG "
-            "only in this environment; inject a resizer callable for other "
-            "codecs"
+            "resize implemented for uncompressed 24-bit BMP, 8-bit PNG, and "
+            "baseline JPEG only in this environment; inject a resizer "
+            "callable for other codecs"
         )
     yi = (np.arange(height) * rows // height).astype(np.int64)
     xi = (np.arange(width) * w // width).astype(np.int64)
     out = px[yi][:, xi]
-    return encode_bmp(out) if payload[:2] == b"BM" else encode_png(out)
+    if payload[:2] == b"BM":
+        return encode_bmp(out)
+    if payload[:8] == _PNG_SIG:
+        return encode_png(out)
+    from gelly_streaming_spark.ext.jpeg import encode_jpeg
+
+    return encode_jpeg(out.reshape(out.shape[0], out.shape[1], -1))
 
 
 def resize_media(

@@ -333,6 +333,112 @@ def test_png_end_to_end_extract_and_resize(spark):
     assert px2[0, 1].tolist() == [0, 0, 255]
 
 
+def test_jpeg_codec_roundtrip():
+    """The pure-numpy baseline JPEG codec: analytic solid-color
+    roundtrip (DC-only blocks must reconstruct exactly), gradient PSNR,
+    grayscale, odd (non-multiple-of-8) dimensions, and the decoder
+    contract shared with BMP/PNG."""
+    import numpy as np
+    import pytest
+
+    from gelly_streaming_spark.ext.jpeg import (
+        _jpeg_pixels,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    px = np.zeros((16, 24, 3), np.uint8)
+    px[:] = (200, 30, 90)
+    out = _jpeg_pixels(encode_jpeg(px, 95))
+    assert out.shape == (16, 24, 3)
+    assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 1
+
+    h, w = 41, 57  # odd dims exercise edge-replicate padding + crop
+    g = np.zeros((h, w, 3), np.uint8)
+    g[..., 0] = np.linspace(0, 255, w)[None, :]
+    g[..., 1] = np.linspace(0, 255, h)[:, None]
+    g[..., 2] = 128
+    out = _jpeg_pixels(encode_jpeg(g, 90))
+    assert out.shape == (h, w, 3)
+    mse = float(np.mean((out.astype(float) - g.astype(float)) ** 2))
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 35, mse
+
+    gr = np.linspace(0, 255, 33 * 20).reshape(33, 20).astype(np.uint8)
+    out = _jpeg_pixels(encode_jpeg(gr, 90))
+    assert out.shape == (33, 20, 1)
+    assert float(np.abs(out[:, :, 0].astype(float) - gr).mean()) < 2.0
+
+    dw, dh, nf, feat = decode_jpeg(encode_jpeg(px, 95))
+    assert (dw, dh, nf, len(feat)) == (24, 16, 1, 8)
+    assert [round(x) for x in feat[:3]] == [200, 30, 90]
+
+    with pytest.raises(ValueError):
+        _jpeg_pixels(b"not a jpeg")
+
+
+def test_jpeg_420_chroma_subsampling():
+    """4:2:0 — the dominant real-world JPEG layout: interleaved MCUs
+    with four Y blocks per chroma block, 2x2 chroma decimation on
+    encode, nearest upsample on decode. Solid color must roundtrip
+    near-exactly; a two-tone image must keep its luma edge while the
+    chroma is block-averaged."""
+    import numpy as np
+
+    from gelly_streaming_spark.ext.jpeg import _jpeg_pixels, encode_jpeg
+
+    solid = np.zeros((24, 40, 3), np.uint8)
+    solid[:] = (80, 160, 240)
+    j420 = encode_jpeg(solid, 95, subsampling="420")
+    j444 = encode_jpeg(solid, 95, subsampling="444")
+    assert len(j420) < len(j444)  # fewer chroma blocks actually encoded
+    out = _jpeg_pixels(j420)
+    assert out.shape == (24, 40, 3)
+    err = np.abs(out.astype(int) - np.array((80, 160, 240))[None, None, :])
+    assert int(err.max()) <= 2, err.max()
+
+    # gradient luma, constant chroma: 420's chroma decimation is
+    # lossless for constant chroma, so quality should match 444's
+    g = np.zeros((19, 26, 3), np.uint8)  # odd dims vs the 16px MCU grid
+    lum = np.linspace(30, 220, 26)[None, :] + np.linspace(0, 20, 19)[:, None]
+    for c in range(3):
+        g[..., c] = lum.astype(np.uint8)
+    out = _jpeg_pixels(encode_jpeg(g, 90, subsampling="420"))
+    assert out.shape == (19, 26, 3)
+    mse = float(np.mean((out.astype(float) - g.astype(float)) ** 2))
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 35, mse
+
+
+def test_jpeg_end_to_end_extract_and_resize(spark):
+    """A REAL compressed JPEG flows through extract_features and
+    resize_media end-to-end (decode -> nearest-neighbor -> re-encode
+    as JPEG), the same Arrow plumbing contract as BMP/PNG."""
+    import numpy as np
+
+    from gelly_streaming_spark.ext.jpeg import _jpeg_pixels, encode_jpeg
+    from gelly_streaming_spark.ext.multimodal import (
+        extract_features,
+        media_decoder,
+        resize_media,
+    )
+
+    px = np.zeros((8, 12, 3), np.uint8)
+    px[:] = (10, 200, 60)
+    jpg = encode_jpeg(px, 95)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(jpg), ("t", "image/jpeg", len(jpg)))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<source:string,mime:string,bytes:bigint>",
+    )
+    feat = extract_features(media, decoder=media_decoder).collect()[0]
+    assert (feat.width, feat.height, feat.n_frames) == (12, 8, 1)
+    assert [round(x) for x in feat.feature[:3]] == [10, 200, 60]
+    out = resize_media(media, 6, 4).collect()[0]
+    px2 = _jpeg_pixels(bytes(out.payload))
+    assert px2.shape == (4, 6, 3)
+    assert out.meta["bytes"] == len(bytes(out.payload))
+    assert int(np.abs(px2.astype(int) - px[0, 0][None, None, :]).max()) <= 2
+
+
 def test_exact_gemm_blocked_no_driver_collect(spark, emb):
     """The exact GEMM path must (a) stay correct when the corpus spans
     many blocks (every block-pair kernel covers each pair exactly once,
