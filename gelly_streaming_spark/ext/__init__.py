@@ -28,9 +28,16 @@ from gelly_streaming_spark.ext.split import (
     deterministic_sample_per_group,
     stratified_split_report,
 )
+from gelly_streaming_spark.ext.multimodal import (
+    extract_features,
+    frame_sample,
+    media_decoder,
+    resize_media,
+)
 from gelly_streaming_spark.ext.text import (
     decontaminate,
     doc_shingles,
+    duplicate_passages,
     ngram_repetition,
     text_profile,
     tfidf_keywords,
@@ -55,8 +62,13 @@ __all__ = [
     "assign_split",
     "deterministic_sample_per_group",
     "stratified_split_report",
+    "extract_features",
+    "frame_sample",
+    "media_decoder",
+    "resize_media",
     "decontaminate",
     "doc_shingles",
+    "duplicate_passages",
     "ngram_repetition",
     "text_profile",
     "tfidf_keywords",
