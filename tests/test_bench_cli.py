@@ -33,9 +33,11 @@ def test_headline_headroom_at_60_queries():
 
     from gelly_streaming_spark.queries import REGISTRY
 
-    # real registry names first (uniqueness of the abbreviation matters)
+    # real registry names first (uniqueness of the abbreviation matters);
+    # hypothetical ids start WELL past the real registry's range so they
+    # can never collide with a newly added real qNN
     names = sorted(REGISTRY) + [
-        f"q{38 + i}_hypothetical_future_query_name_{i}" for i in range(60)
+        f"q{50 + i}_hypothetical_future_query_name_{i}" for i in range(60)
     ]
     names = names[:60]
     queries = {n: 12.345 for n in names}
