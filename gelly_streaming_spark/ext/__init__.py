@@ -26,6 +26,7 @@ from gelly_streaming_spark.ext.similarity import (
 from gelly_streaming_spark.ext.split import (
     assign_split,
     deterministic_sample_per_group,
+    pack_sequences,
     stratified_split_report,
 )
 from gelly_streaming_spark.ext.multimodal import (
@@ -39,6 +40,7 @@ from gelly_streaming_spark.ext.text import (
     doc_shingles,
     duplicate_passages,
     ngram_repetition,
+    scrub_pii,
     text_profile,
     tfidf_keywords,
     token_doc_counts,
@@ -61,6 +63,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "assign_split",
     "deterministic_sample_per_group",
+    "pack_sequences",
     "stratified_split_report",
     "extract_features",
     "frame_sample",
@@ -70,6 +73,7 @@ __all__ = [
     "doc_shingles",
     "duplicate_passages",
     "ngram_repetition",
+    "scrub_pii",
     "text_profile",
     "tfidf_keywords",
     "token_doc_counts",

@@ -127,6 +127,84 @@ def stratified_split_report(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document its
+    global token offset and the index of the fixed-size context window
+    (``budget`` tokens) its first token lands in when the corpus is
+    concatenated in ``order_col`` order — the standard pre-training
+    "pack documents into context windows" step (GPT-style concat +
+    chunk), computed WITHOUT materializing the concatenation.
+
+    Scale shape — a distributed prefix sum, NOT a global window:
+
+    1. ``repartitionByRange(order_col)`` puts each task a contiguous
+       key range (range partition ids are monotonic in the key).
+    2. A window partitioned BY PARTITION and ordered by ``order_col``
+       computes the local exclusive running sum — each task sorts only
+       its own slice; there is no single-partition global sort anywhere.
+    3. Per-partition totals (one tiny row per range) get their own
+       running sum — the only single-partition window in the plan runs
+       over ≤ ``num_ranges`` rows — and are broadcast back.
+
+    ``offset = partition_offset + local_exclusive_sum`` is exact, and
+    ``seq_id = offset div budget``. The naive one-window formulation
+    (``SUM OVER (ORDER BY order_col)`` with no partitioning) funnels
+    the entire corpus through one task — the 100 TB anti-pattern this
+    operator exists to avoid; the oracle uses it because DuckDB is
+    single-node anyway.
+
+    ``order_col`` must be a unique key (ties across a range boundary
+    would make the local sort non-deterministic).
+
+    REF: no reference counterpart (SURVEY.md §2.11 extension layer).
+    """
+    tok = F.col(token_col).cast("long")
+    ranged = df.repartitionByRange(num_ranges, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    with_local = ranged.withColumn(
+        "_local_off", F.coalesce(F.sum(tok).over(local), F.lit(0))
+    )
+    # _pid comes from SAMPLED range boundaries, so the two consumers
+    # below (offset aggregate, probe side) MUST see one materialization:
+    # a recomputed exchange re-samples and can assign different _pids,
+    # silently corrupting the join. Exchange/stage reuse is not
+    # guaranteed across the diamond (the analyzer re-aliases one side),
+    # so pin it with a lazy localCheckpoint — the slim projected rows
+    # (key, tokens, pid, local offset) materialize once at first action
+    # and a lost block is a loud recompute FAILURE, never a silent
+    # re-sample. Callers can release the blocks with
+    # plans.memory.free_checkpoint(result) when done.
+    with_local = with_local.localCheckpoint(eager=False)
+    # Partition totals from the WINDOWED result (last inclusive cumsum =
+    # max of exclusive+token, tokens being non-negative). Tiny: one row
+    # per range; the global window is O(num_ranges).
+    totals = with_local.groupBy("_pid").agg(
+        F.max(F.col("_local_off") + tok).alias("_tot")
+    )
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(off_w), F.lit(0)).alias("_part_off")
+    )
+    return (
+        with_local.join(F.broadcast(offsets), "_pid")
+        .withColumn("start_token", F.col("_part_off") + F.col("_local_off"))
+        # `div` is exact LongType integer division (a float `/` + cast
+        # would wobble past 2^53 total tokens)
+        .withColumn("seq_id", F.expr(f"start_token div {int(budget)}"))
+        .drop("_pid", "_local_off", "_part_off")
+    )
+
+
 def deterministic_sample_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -445,6 +445,48 @@ def duplicate_passages(
     )
 
 
+# PII patterns restricted to the regex dialect intersection of Java
+# (Spark) and RE2 (DuckDB/Go/Rust scrubbers): no backrefs, no lookaround
+# — so one pattern table drives every engine in the pipeline. Ordered:
+# emails are scrubbed before IPs so a dotted-quad inside an address is
+# consumed by the email token, never double-counted.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def scrub_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Detect and redact PII spans (emails, NANP phone numbers, IPv4
+    addresses by default) — the pre-release scrub every training corpus
+    runs. Adds one ``n_<kind>`` count per pattern (counted on the
+    ORIGINAL text) plus ``<text_col>_scrubbed`` with each span replaced
+    by a ``<KIND>`` placeholder, applied in table order so earlier
+    patterns consume overlapping spans.
+
+    Pure JVM column expressions (``regexp_count``/``regexp_replace``):
+    zero UDFs, zero shuffles — fuses into the scan and scales as a flat
+    map at any corpus size.
+
+    REF: no reference counterpart (SURVEY.md §2.11 extension layer).
+    """
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).alias(f"n_{name}") for name, pat in patterns
+    ]
+    scrubbed = t
+    for name, pat in patterns:
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return docs.select(
+        "*", *counts, scrubbed.alias(f"{text_col}_scrubbed")
+    )
+
+
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document profile: token count, quality, language,
     fingerprint — a single projection, zero shuffles."""

@@ -1336,6 +1336,116 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_passages(docs, n=_SHINGLE_N, min_shared=3, max_df=20)
 
 
+def _q39_sql() -> str:
+    from gelly_streaming_spark.ext.text import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    e, p, i = pats["email"], pats["phone"], pats["ipv4"]
+    scrub = "text"
+    for name, pat in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||
+                 CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-' ||
+                 printf('%04d', doc_id % 10000) ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.' ||
+                 CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                 CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{e}')) AS n_email,
+       len(regexp_extract_all(text, '{p}')) AS n_phone,
+       len(regexp_extract_all(text, '{i}')) AS n_ipv4,
+       md5({scrub}) AS scrub_md5
+FROM inj
+"""
+
+
+@_q("q39_pii_scrub", _q39_sql(),
+    "PII detect + redact (emails / NANP phones / IPv4) over the corpus "
+    "with deterministic in-query injection (doc_id % 7/11/13 plant known "
+    "spans — the synthetic fixture has none, so without injection the "
+    "hash gate would certify a no-op). Counts on the original text, "
+    "ordered regexp_replace redaction, md5 of the scrubbed text hashed "
+    "against the oracle. Pattern table is shared verbatim between engine "
+    "and oracle (Java∩RE2 dialect); pure projection, zero shuffles")
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.text import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" contact user"), d.cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0, F.format_string(" call 415-555-%04d", d % 10000)
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 13 == 0,
+                F.concat(F.lit(" host 10.0."), (d % 256).cast("string"),
+                         F.lit("."), (d % 100).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    s = scrub_pii(injected)
+    return s.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
+_PACK_BUDGET = 256  # tokens per context window; shared engine/oracle
+
+_Q40_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS start_token,
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) // {_PACK_BUDGET} AS seq_id
+FROM tok
+"""
+
+
+@_q("q40_pack_sequences", _Q40_SQL,
+    "concat-and-chunk sequence packing: each document's global token "
+    "offset and context-window index (budget 256 tokens) when the corpus "
+    "is concatenated in doc_id order — computed as a DISTRIBUTED prefix "
+    "sum (range partitions -> per-partition window cumsum -> O(ranges) "
+    "offset table broadcast back), never the oracle's single-task global "
+    "window, which is the 100 TB anti-pattern")
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.split import pack_sequences
+    from gelly_streaming_spark.ext.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(d, budget=_PACK_BUDGET).select(
+        "doc_id", "n_tokens", "start_token", "seq_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

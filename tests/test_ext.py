@@ -1046,3 +1046,66 @@ def test_lsh_signature_rejects_dim_mismatch(spark):
     )
     with pytest.raises(Exception, match="lsh_signature"):
         bad.select(lsh_signature(F.col("v"), planes).alias("b")).collect()
+
+
+def test_scrub_pii_counts_and_redaction(spark):
+    from gelly_streaming_spark.ext.text import scrub_pii
+
+    rows = [
+        (1, "mail me at a.b-c%d@sub.example.org today"),
+        (2, "call 415-555-0134 or 212-555-9876 now"),
+        (3, "host 10.0.3.44 and 192.168.1.1 up"),
+        (4, "clean document no pii at all"),
+        # dotted-quad inside an email: consumed by the email pattern in
+        # the scrub (table order), but n_ipv4 counts the ORIGINAL text
+        (5, "edge user@10.0.0.1.example.com case"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (1, 0, 0)
+    assert out[1].text_scrubbed == "mail me at <EMAIL> today"
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 2, 0)
+    assert out[2].text_scrubbed == "call <PHONE> or <PHONE> now"
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 2)
+    assert out[3].text_scrubbed == "host <IPV4> and <IPV4> up"
+    assert (out[4].n_email, out[4].n_phone, out[4].n_ipv4) == (0, 0, 0)
+    assert out[4].text_scrubbed == out[4].text
+    assert out[5].n_email == 1 and out[5].n_ipv4 == 1
+    assert out[5].text_scrubbed == "edge <EMAIL> case"
+
+
+def test_pack_sequences_matches_global_window(spark):
+    from gelly_streaming_spark.ext.split import pack_sequences
+
+    # sparse, shuffled keys across several ranges; token counts vary,
+    # including zero-token docs
+    keys = [(k * 37) % 1009 for k in range(200)]
+    rows = [(k, (k * 7) % 13) for k in keys]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(8)
+    got = {
+        r.doc_id: (r.start_token, r.seq_id)
+        for r in pack_sequences(df, budget=16, num_ranges=6).collect()
+    }
+    run = 0
+    for k, t in sorted(rows):
+        assert got[k] == (run, run // 16), f"doc {k}: {got[k]} vs ({run}, {run // 16})"
+        run += t
+    assert len(got) == len(rows)
+
+
+def test_pack_sequences_single_materialization(spark):
+    """The range exchange must execute exactly once: the plan's two
+    consumers (offset aggregate, probe) both scan the checkpointed RDD —
+    a recomputed range exchange could re-sample boundaries and silently
+    corrupt the _pid join (see pack_sequences docstring)."""
+    from gelly_streaming_spark.ext.split import pack_sequences
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("n_tokens")
+    )
+    out = pack_sequences(df, budget=8, num_ranges=4)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "rangepartitioning" not in plan, "range exchange leaked past the checkpoint pin"
+    assert plan.count("Scan ExistingRDD") >= 2  # both consumers read the pinned RDD
