@@ -26,6 +26,7 @@ from gelly_streaming_spark.ext.similarity import (
 from gelly_streaming_spark.ext.split import (
     assign_split,
     deterministic_sample_per_group,
+    mixture_sample,
     pack_sequences,
     stratified_split_report,
 )
@@ -63,6 +64,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "assign_split",
     "deterministic_sample_per_group",
+    "mixture_sample",
     "pack_sequences",
     "stratified_split_report",
     "extract_features",

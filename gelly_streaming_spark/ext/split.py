@@ -205,6 +205,95 @@ def pack_sequences(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    default_budget: int | None = None,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Token-budget mixture sampling: fill each source's token budget
+    with a deterministic, partitioning-independent prefix of its
+    documents — the "data mixture" step of a pre-training pipeline
+    (sample N_src tokens from each source at the configured ratio).
+
+    Document order within a source is (split_bucket(key), key): a
+    reproducible pseudo-random order with no RNG state, stable when the
+    corpus grows or repartitions (same property as assign_split). A
+    document is kept iff its EXCLUSIVE per-source running token sum is
+    still under the source's budget, so the budget-crossing document is
+    included and every budget gets at least one document. Sources
+    missing from ``budgets`` fall back to ``default_budget``; with no
+    default they are dropped entirely (budget NULL ⇒ predicate false).
+
+    Scale shape — the same distributed prefix sum as pack_sequences,
+    never one task per source (a 100 TB corpus has FEW sources and a
+    per-source global window would funnel ~everything through a handful
+    of tasks):
+
+    1. ``repartitionByRange`` over (source, bucket, key) — each task
+       owns a contiguous slice of one-or-more sources' ordered streams.
+    2. Per (partition, source) exclusive window cumsum — local sort only.
+    3. Per-source offsets across partitions from an O(ranges · sources)
+       totals table (the only sequential window, over tiny rows),
+       broadcast back.
+
+    Returns the kept rows with ``start_token`` (the exclusive
+    per-source offset — the certificate of the prefix sum itself).
+
+    REF: no reference counterpart (SURVEY.md §2.11 extension layer).
+    """
+    tok = F.col(token_col).cast("long")
+    ranged = (
+        df.withColumn("_bkt", split_bucket(F.col(key_col)))
+        .repartitionByRange(
+            num_ranges, F.col(source_col), F.col("_bkt"), F.col(key_col)
+        )
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = (
+        Window.partitionBy("_pid", source_col)
+        .orderBy("_bkt", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_local = ranged.withColumn(
+        "_local_off", F.coalesce(F.sum(tok).over(local), F.lit(0))
+    )
+    # Same diamond-reuse hazard as pack_sequences: _pid derives from
+    # SAMPLED range boundaries, and the totals aggregate + probe side
+    # must see ONE materialization — pin it (see pack_sequences).
+    with_local = with_local.localCheckpoint(eager=False)
+    totals = with_local.groupBy("_pid", source_col).agg(
+        F.max(F.col("_local_off") + tok).alias("_tot")
+    )
+    off_w = (
+        Window.partitionBy(source_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid",
+        source_col,
+        F.coalesce(F.sum("_tot").over(off_w), F.lit(0)).alias("_src_off"),
+    )
+    if budgets:
+        budget = F.create_map(
+            *[F.lit(x) for kv in budgets.items() for x in kv]
+        )[F.col(source_col)]
+    else:
+        budget = F.lit(None).cast("long")
+    if default_budget is not None:
+        budget = F.coalesce(budget, F.lit(int(default_budget)))
+    return (
+        with_local.join(F.broadcast(offsets), ["_pid", source_col])
+        .withColumn("start_token", F.col("_src_off") + F.col("_local_off"))
+        .where(F.col("start_token") < budget.cast("long"))
+        .drop("_pid", "_bkt", "_local_off", "_src_off")
+    )
+
+
 def deterministic_sample_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -264,9 +264,18 @@ def doc_shingles(
     text_col: str = "text",
     doc_id_col: str = "doc_id",
     chunk_tokens: int | None = 65536,
+    hashed: bool = False,
 ) -> DataFrame:
     """(doc_id, shingle) — every ``n``-token shingle of every document
     (duplicates kept; docs shorter than ``n`` tokens contribute none).
+
+    ``hashed=True`` emits ``xxhash64`` of the token window (a LONG)
+    instead of the space-joined string — for consumers that never
+    expose the shingle itself (pair counting, distinct-overlap joins)
+    it shrinks every downstream shuffle/join key from ~tens of bytes
+    to 8, identical results modulo 64-bit collisions (birthday bound
+    ~3e-8 at 10^6 distinct shingles; at 10^12 a handful of collisions
+    shift dedup counts by O(1e-9) — the standard production trade).
 
     Plan: posexplode (row-local, fused into the scan) then a sliding
     collect_list window partitioned by (doc_id, chunk) — ONE shuffle
@@ -314,9 +323,12 @@ def doc_shingles(
         .orderBy("pos")
         .rowsBetween(Window.currentRow, n - 1)
     )
+    win_tokens = F.collect_list("token").over(w)
     sel = [
         "doc_id",
-        F.concat_ws(" ", F.collect_list("token").over(w)).alias("shingle"),
+        (F.xxhash64(win_tokens) if hashed else F.concat_ws(" ", win_tokens)).alias(
+            "shingle"
+        ),
         F.count(F.lit(1)).over(w).alias("_w"),
     ]
     if own_chunk is not None:
@@ -344,12 +356,14 @@ def decontaminate(
     Scale: the blocklist is an eval set — bounded by definition — so its
     distinct-shingle table is broadcast-joinable (left to AQE's runtime
     size check); the corpus side streams through one window shuffle
-    (doc_shingles) and one partial-agg count. Production hashes
-    shingles (xxhash64) to shrink the join key; the string key is kept
-    here so the DuckDB oracle replicates the semantics verbatim."""
-    corpus_sh = doc_shingles(docs, n, text_col, doc_id_col)
+    (doc_shingles) and one partial-agg count. Shingles are hashed
+    (xxhash64 via doc_shingles ``hashed`` — 8-byte join key instead of
+    a ~50-byte string); the output exposes only (doc_id, n_hits), so
+    the string-keyed DuckDB oracle still certifies the result exactly
+    (collision odds ~3e-8 at this scale, see doc_shingles)."""
+    corpus_sh = doc_shingles(docs, n, text_col, doc_id_col, hashed=True)
     block_sh = (
-        doc_shingles(blocklist, n, text_col, doc_id_col)
+        doc_shingles(blocklist, n, text_col, doc_id_col, hashed=True)
         .select("shingle")
         .distinct()
     )
@@ -373,8 +387,11 @@ def ngram_repetition(
     hash is exact (no float division to disagree on).
 
     Plan: doc_shingles' single window shuffle, then one (doc, shingle)
-    partial-agg and one per-doc rollup — both map-side combining."""
-    sh = doc_shingles(docs, n, text_col, doc_id_col)
+    partial-agg and one per-doc rollup — both map-side combining. The
+    shingle key is hashed (doc_shingles ``hashed``): only counts leave
+    this function, so the 8-byte key halves-or-better the partial-agg
+    shuffle with results identical up to 64-bit collisions."""
+    sh = doc_shingles(docs, n, text_col, doc_id_col, hashed=True)
     per = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("c"))
     return per.groupBy("doc_id").agg(
         F.sum("c").alias("n_ngrams"),
@@ -419,9 +436,13 @@ def duplicate_passages(
     # window subtree per consumer (measured 1.9-2.4 s vs ~1 s at sf0.1).
     # Per-shingle fan-out is bounded by max_df (d docs -> d(d-1)/2 ≤
     # 190 pairs at the default cap), so the explode cannot blow up on a
-    # hot shingle — that is the cap's scale role.
+    # hot shingle — that is the cap's scale role. The shingle key is
+    # hashed (doc_shingles ``hashed``): the output is (a, b, shared)
+    # only, so grouping on the 8-byte hash instead of the ~50-byte
+    # string cuts the widest shuffle's key volume ~6x with results
+    # identical up to 64-bit collisions.
     per = (
-        doc_shingles(docs, n, text_col, doc_id_col)
+        doc_shingles(docs, n, text_col, doc_id_col, hashed=True)
         .groupBy("shingle")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .where(F.size("ds") >= 2)

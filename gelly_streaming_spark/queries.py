@@ -1446,6 +1446,59 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_BUDGETS = {"src0": 800, "src1": 400, "src2": 200}
+_MIX_DEFAULT = 600
+
+
+def _q41_sql() -> str:
+    from gelly_streaming_spark.ext.split import SPLIT_BUCKET_SQL
+
+    bkt = SPLIT_BUCKET_SQL.format(key="doc_id")
+    cases = " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in _MIX_BUDGETS.items()
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         {bkt} AS bkt
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                  ORDER BY bkt, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS start_token
+  FROM tok)
+SELECT doc_id, source, n_tokens, start_token
+FROM c
+WHERE start_token < CASE source {cases} ELSE {_MIX_DEFAULT} END
+"""
+
+
+@_q("q41_mixture_sample", _q41_sql(),
+    "token-budget mixture sampling: fill each source's token budget "
+    "(src0/1/2 explicit, 600 default) with a deterministic hash-ordered "
+    "prefix of its documents — the pre-training data-mixture step. "
+    "Engine runs the pack_sequences-style distributed prefix sum "
+    "(range partitions over (source, bucket, key), per-partition local "
+    "cumsum, O(ranges x sources) offset table broadcast back) — never "
+    "the oracle's one-task-per-source global window")
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.split import mixture_sample
+    from gelly_streaming_spark.ext.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return mixture_sample(
+        d, _MIX_BUDGETS, default_budget=_MIX_DEFAULT
+    ).select("doc_id", "source", "n_tokens", "start_token")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
