@@ -23,6 +23,7 @@ from gelly_streaming_spark.ext.similarity import (
     jaccard_pairs,
     minhash_lsh_pairs,
 )
+from gelly_streaming_spark.ext.pipeline import curate_corpus
 from gelly_streaming_spark.ext.split import (
     assign_split,
     deterministic_sample_per_group,
@@ -63,6 +64,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_lsh_pairs",
     "assign_split",
+    "curate_corpus",
     "deterministic_sample_per_group",
     "mixture_sample",
     "pack_sequences",

@@ -1,0 +1,99 @@
+"""One-call corpus curation: the standard pre-training cleanup pipeline
+composed from the engine's first-class operators into a SINGLE
+declarative DAG — the composition story every piece of ext/ exists for.
+
+    quality filter → exact dedup → repetition filter →
+    decontamination → PII scrub
+
+Every filter is a pure function of the document TEXT and the filters are
+conjunctive, so their relative order cannot change the surviving set
+(dedup's tie-break is the stable doc key, and duplicate texts share
+every text-derived verdict). The plan therefore orders them
+cheapest-first: the row-local quality predicate fuses into the scan and
+prunes before anything shuffles; dedup is one hash shuffle; the shingle
+kernels then run over the smaller survivor set; the PII scrub is a
+final zero-shuffle projection.
+
+Scale shape (~3 shuffles over monotonically shrinking data):
+  1. quality_score — column expressions fused into the scan, no shuffle
+  2. exact dedup — one md5-keyed shuffle; WindowGroupLimit trims each
+     map task to one row per text hash BEFORE the exchange
+  3. ngram_repetition — doc_shingles' hashed window shuffle + two
+     map-side-combining rollups, re-joined on the doc key
+  4. decontaminate — bounded eval-set shingle table, AQE-broadcast join
+  5. scrub_pii — zero-shuffle projection
+
+REF: no reference counterpart (gelly-streaming has no corpus surface);
+this is the capstone of the training-data extension layer
+(SURVEY.md §2.11), exercised end to end as q42.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gelly_streaming_spark.ext.text import (
+    decontaminate,
+    ngram_repetition,
+    quality_score,
+    scrub_pii,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    blocklist: DataFrame | None = None,
+    min_quality: float = 0.5,
+    max_rep_permille: int = 200,
+    n: int = 3,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Run the full curation pipeline; returns the surviving rows with
+    ``quality`` (rounded, [0,1]) and ``<text_col>_scrubbed`` appended.
+
+    ``max_rep_permille`` bounds the duplicate-n-gram fraction as an
+    INTEGER cross-multiplication — ``(n_ngrams - n_distinct) * 1000 <=
+    max_rep_permille * n_ngrams`` — so the filter decision is exact on
+    both engine and oracle (no float division to disagree on). Documents
+    too short to have any ``n``-gram pass the repetition filter (their
+    duplicate fraction is vacuously zero). ``blocklist=None`` skips the
+    decontamination stage.
+    """
+    t = F.col(text_col)
+    key = F.col(doc_id_col)
+
+    d = docs.withColumn("quality", quality_score(t)).where(
+        F.col("quality") >= min_quality
+    )
+
+    # exact dedup: the smallest doc key survives per distinct text.
+    # rank-limit plans as WindowGroupLimit — map tasks trim to one row
+    # per hash before the exchange moves anything.
+    w = Window.partitionBy(F.md5(t)).orderBy(key)
+    d = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    rep = ngram_repetition(d, n, text_col, doc_id_col).select(
+        F.col("doc_id").alias(doc_id_col), "n_ngrams", "n_distinct"
+    )
+    d = d.join(rep, doc_id_col, "left").where(
+        F.col("n_ngrams").isNull()
+        | (
+            (F.col("n_ngrams") - F.col("n_distinct")) * 1000
+            <= F.lit(int(max_rep_permille)) * F.col("n_ngrams")
+        )
+    ).drop("n_ngrams", "n_distinct")
+
+    if blocklist is not None:
+        hits = decontaminate(d, blocklist, n, text_col, doc_id_col).select(
+            F.col("doc_id").alias(doc_id_col)
+        )
+        d = d.join(hits, doc_id_col, "left_anti")
+
+    return scrub_pii(d, text_col)

@@ -1499,6 +1499,119 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_tokens", "start_token")
 
 
+def _q42_sql() -> str:
+    from gelly_streaming_spark.ext.text import PII_PATTERNS
+
+    scrub = "text"
+    for name, pat in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{name.upper()}>', 'g')"
+    m = _SHINGLE_N - 1
+    tok = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, lang, text FROM documents WHERE doc_id % 97 <> 0),
+inj AS (
+  SELECT doc_id, source, lang,
+         text
+         || CASE WHEN doc_id % 17 = 0
+                 THEN repeat(' lorem ipsum dolor', 12) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||
+                 CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END AS text
+  FROM base),
+corpus AS (
+  SELECT * FROM inj
+  UNION ALL
+  SELECT doc_id + 10000000, source, lang, text FROM inj WHERE doc_id % 10 = 3),
+qx AS (
+  SELECT *, length(text) AS n_chars, {tok} AS toks,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+  FROM corpus),
+q2 AS (
+  SELECT doc_id, source, lang, text,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         ROUND((
+           (CASE WHEN n_chars >= 20 AND n_chars <= 100000
+                 THEN 1.0 ELSE 0.3 END)
+           + (1.0 - LEAST(punct / GREATEST(n_chars, 1) * 4, 1.0))
+           + (alpha / GREATEST(n_chars, 1))
+           + (len(list_distinct(toks)) / GREATEST(len(toks), 1))
+         ) / 4, 6) AS quality
+  FROM qx),
+pass_q AS (SELECT * FROM q2 WHERE quality >= 0.79),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn
+    FROM pass_q) WHERE rn = 1),
+dtok AS (SELECT doc_id, {tok} AS t FROM dedup),
+dsh AS (SELECT doc_id, array_to_string(t[p:p+{m}], ' ') AS shingle
+        FROM dtok, UNNEST(generate_series(1, greatest(len(t) - {m}, 0))) AS u(p)),
+rep AS (SELECT doc_id, COUNT(*) AS n_ngrams,
+               COUNT(DISTINCT shingle) AS n_distinct
+        FROM dsh GROUP BY 1),
+pass_rep AS (
+  SELECT d.* FROM dedup d LEFT JOIN rep r USING (doc_id)
+  WHERE r.doc_id IS NULL
+     OR (r.n_ngrams - r.n_distinct) * 1000 <= 200 * r.n_ngrams),
+btok AS (SELECT {tok} AS t FROM documents WHERE doc_id % 97 = 0),
+bsh AS (SELECT DISTINCT array_to_string(t[p:p+{m}], ' ') AS shingle
+        FROM btok, UNNEST(generate_series(1, greatest(len(t) - {m}, 0))) AS u(p)),
+ctok AS (SELECT doc_id, {tok} AS t FROM pass_rep),
+csh AS (SELECT doc_id, array_to_string(t[p:p+{m}], ' ') AS shingle
+        FROM ctok, UNNEST(generate_series(1, greatest(len(t) - {m}, 0))) AS u(p)),
+hits AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b USING (shingle))
+SELECT doc_id, source, lang, n_tokens, quality, md5({scrub}) AS scrub_md5
+FROM pass_rep ANTI JOIN hits USING (doc_id)
+"""
+
+
+@_q("q42_curate_corpus", _q42_sql(),
+    "the capstone composition: quality filter -> exact dedup -> "
+    "duplicate-trigram repetition filter (integer cross-multiplied, no "
+    "float division) -> eval-set decontamination -> PII scrub, ONE "
+    "declarative DAG over ~3 shuffles of monotonically shrinking data "
+    "(ext/pipeline.curate_corpus). Deterministic injection makes every "
+    "stage bite on the synthetic corpus: doc_id%10=3 duplicated (dedup), "
+    "%17=0 boilerplate appended (repetition), %7=0 email planted "
+    "(scrub), %97=0 held out as the eval blocklist (decontamination)")
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.pipeline import curate_corpus
+    from gelly_streaming_spark.ext.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = docs.where(d % 97 != 0)
+    blocklist = docs.where(d % 97 == 0)
+    inj = base.select(
+        "doc_id", "source", "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 17 == 0, F.repeat(F.lit(" lorem ipsum dolor"), 12)
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" contact user"), d.cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    corpus = inj.unionByName(
+        inj.where(d % 10 == 3).withColumn("doc_id", d + 10_000_000)
+    )
+    out = curate_corpus(
+        corpus, blocklist, min_quality=0.79, max_rep_permille=200,
+        n=_SHINGLE_N,
+    )
+    return out.select(
+        "doc_id", "source", "lang",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        "quality",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

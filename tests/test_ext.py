@@ -1146,6 +1146,25 @@ def test_pack_sequences_single_materialization(spark):
     assert plan.count("Scan ExistingRDD") >= 2  # both consumers read the pinned RDD
 
 
+def test_mixture_sample_single_materialization(spark):
+    """Same diamond hazard as pack_sequences: _pid derives from sampled
+    range boundaries, so the totals aggregate and the probe side must
+    read ONE pinned materialization."""
+    from gelly_streaming_spark.ext.split import mixture_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        (F.col("id") % 5).alias("n_tokens"),
+    )
+    out = mixture_sample(df, {"s0": 10}, default_budget=8, num_ranges=4)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "rangepartitioning" not in plan, "range exchange leaked past the checkpoint pin"
+    assert plan.count("Scan ExistingRDD") >= 2
+
+
 def test_mixture_sample_hand_computed(spark):
     """Per-source budget fill against a brute-force python replica of
     the (split_bucket, key)-ordered exclusive prefix sum, across enough
@@ -1221,3 +1240,48 @@ def test_mixture_sample_partitioning_invariant(spark):
         for r in mixture_sample(df2, {"s0": 50, "s1": 30}, num_ranges=3).collect()
     )
     assert r1 == r2 and r1
+
+
+def test_curate_corpus_stage_by_stage(spark):
+    """Each pipeline stage drops exactly the docs built to trip it:
+    low quality, duplicate text (higher key), boilerplate repetition,
+    blocklist shingle overlap — and the survivor keeps a scrubbed text."""
+    from gelly_streaming_spark.ext.pipeline import curate_corpus
+
+    good = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [
+        (1, good),                                   # survives
+        (2, good),                                   # exact dup of 1 -> dropped
+        (3, "$$$ %% ## !! ?? ;; :: ^^ && ** (( ))"),  # low quality
+        (4, "spam ham eggs " * 12),                   # repetition filter
+        (5, "contact me at bob@example.com about the quick brown fox plan today ok"),
+        (6, "totally unrelated words describing mountains valleys and oceans calmly"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    block = spark.createDataFrame(
+        [(100, "describing mountains valleys and oceans")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs, block, min_quality=0.55, max_rep_permille=200, n=3
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    # 2 deduped, 3 quality, 4 repetition, 6 decontaminated
+    assert sorted(got) == [1, 5]
+    assert "<EMAIL>" in got[5].text_scrubbed and "bob@" not in got[5].text_scrubbed
+    assert got[1].text_scrubbed == good
+    assert 0.0 <= got[1].quality <= 1.0
+
+
+def test_curate_corpus_no_blocklist_and_short_docs(spark):
+    """blocklist=None skips decontamination; docs too short for any
+    n-gram pass the repetition filter vacuously."""
+    from gelly_streaming_spark.ext.pipeline import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "only two decent words appear here now"), (2, "ok")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(docs, None, min_quality=0.0, max_rep_permille=0, n=3)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 2]
