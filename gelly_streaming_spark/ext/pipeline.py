@@ -14,14 +14,15 @@ prunes before anything shuffles; dedup is one hash shuffle; the shingle
 kernels then run over the smaller survivor set; the PII scrub is a
 final zero-shuffle projection.
 
-Scale shape (~3 shuffles over monotonically shrinking data):
+Scale shape (monotonically shrinking data):
   1. quality_score — column expressions fused into the scan, no shuffle
   2. exact dedup — one md5-keyed shuffle; WindowGroupLimit trims each
      map task to one row per text hash BEFORE the exchange
-  3. ngram_repetition — doc_shingles' hashed window shuffle + two
-     map-side-combining rollups, re-joined on the doc key
-  4. decontaminate — bounded eval-set shingle table, AQE-broadcast join
-  5. scrub_pii — zero-shuffle projection
+  3. ONE shared shingle window over the survivors feeds BOTH the
+     repetition stats (two map-side-combining rollups) and the
+     decontamination hits (bounded eval-set shingle table,
+     AQE-broadcast join)
+  4. scrub_pii — zero-shuffle projection
 
 REF: no reference counterpart (gelly-streaming has no corpus surface);
 this is the capstone of the training-data extension layer
@@ -35,8 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gelly_streaming_spark.ext.text import (
-    decontaminate,
-    ngram_repetition,
+    doc_shingles,
     quality_score,
     scrub_pii,
 )
@@ -61,6 +61,17 @@ def curate_corpus(
     too short to have any ``n``-gram pass the repetition filter (their
     duplicate fraction is vacuously zero). ``blocklist=None`` skips the
     decontamination stage.
+
+    Shared-work plan notes: the dedup-survivor set feeds three
+    consumers (the row stream and both shingle kernels), so it is
+    pinned with one lazy localCheckpoint (release via
+    ``plans.memory.free_checkpoint``); the repetition stats AND the
+    decontamination hits then derive from ONE shingle window over the
+    survivors rather than one each. Computing hits before the
+    repetition filter instead of after is set-equivalent — the filters
+    are conjunctive (final = quality ∧ dedup ∧ ¬repetitive ∧ ¬hit), so
+    a hit row the repetition filter would also have dropped is removed
+    either way — and saves a full corpus window pass.
     """
     t = F.col(text_col)
     key = F.col(doc_id_col)
@@ -78,10 +89,15 @@ def curate_corpus(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    d = d.localCheckpoint(eager=False)
 
-    rep = ngram_repetition(d, n, text_col, doc_id_col).select(
-        F.col("doc_id").alias(doc_id_col), "n_ngrams", "n_distinct"
-    )
+    sh = doc_shingles(d, n, text_col, doc_id_col, hashed=True)
+    sh = sh.localCheckpoint(eager=False)
+
+    per = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("_c"))
+    rep = per.groupBy("doc_id").agg(
+        F.sum("_c").alias("n_ngrams"), F.count(F.lit(1)).alias("n_distinct")
+    ).select(F.col("doc_id").alias(doc_id_col), "n_ngrams", "n_distinct")
     d = d.join(rep, doc_id_col, "left").where(
         F.col("n_ngrams").isNull()
         | (
@@ -91,8 +107,15 @@ def curate_corpus(
     ).drop("n_ngrams", "n_distinct")
 
     if blocklist is not None:
-        hits = decontaminate(d, blocklist, n, text_col, doc_id_col).select(
-            F.col("doc_id").alias(doc_id_col)
+        block_sh = (
+            doc_shingles(blocklist, n, text_col, doc_id_col, hashed=True)
+            .select("shingle")
+            .distinct()
+        )
+        hits = (
+            sh.join(block_sh, "shingle")
+            .select(F.col("doc_id").alias(doc_id_col))
+            .distinct()
         )
         d = d.join(hits, doc_id_col, "left_anti")
 
