@@ -430,36 +430,77 @@ def _expand_rep_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+def _xxhash_family(col: Column, seed: int) -> Column:
+    """Default MinHash hash family: xxhash64 seeded by index — the cheap
+    JVM-side production choice (no string building, no md5)."""
+    return F.xxhash64(col, F.lit(seed))
+
+
+def md5_hash64(col: Column, seed: int) -> Column:
+    """Portable 60-bit hash: the first 15 hex digits of md5(seed ':' col)
+    as a BIGINT. Every engine with md5() computes the identical value —
+    Spark via conv(substr(md5,1,15),16,10), DuckDB via
+    CAST('0x'||substr(md5,1,15) AS BIGINT) — which makes a full
+    MinHash-LSH run oracle-checkable end to end (q43). ~3x the cost of
+    xxhash64 (string concat + md5 + hex parse), so production keeps the
+    default family; the LSH *plan* is identical either way."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
 def minhash_signatures(
-    docs: DataFrame, id_col: str, tokens: Column, num_hashes: int = 64
+    docs: DataFrame,
+    id_col: str,
+    tokens: Column,
+    num_hashes: int = 64,
+    hash_fn=_xxhash_family,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<long>) — num_hashes column-min aggregates over one
-    token explosion; the k hash functions are xxhash64 seeded by index, so
-    signatures are deterministic across runs and engines."""
-    tok = token_sets(docs, id_col, tokens)
+    token explosion; the k hash functions are ``hash_fn(token, i)``
+    (default xxhash64 seeded by index), so signatures are deterministic
+    across runs and — with ``md5_hash64`` — across engines. Callers that
+    already hold the (id, token) set pass it via ``tok`` — sharing the
+    explode+distinct pass instead of re-scanning the corpus."""
+    if tok is None:
+        tok = token_sets(docs, id_col, tokens)
     mins = [
-        F.min(F.xxhash64("token", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(hash_fn(F.col("token"), i)).alias(f"h{i}") for i in range(num_hashes)
     ]
     sig = tok.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    portable_buckets: bool = False,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs that collide in ≥1
-    band: rows (a, b), a < b. Work is per-bucket ⇒ no all-pairs blow-up."""
+    band: rows (a, b), a < b. Work is per-bucket ⇒ no all-pairs blow-up.
+
+    ``portable_buckets=True`` keys buckets by the comma-joined band mins
+    (a plain string any SQL engine reproduces with string_agg) instead of
+    xxhash64 of the mins — same grouping semantics, used by the
+    oracle-certified path (q43)."""
+
+    def _bucket(b: int) -> Column:
+        mins = [
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if portable_buckets:
+            return F.concat_ws(",", *[m.cast("string") for m in mins])
+        return F.xxhash64(*mins).cast("string")
+
     banded = signatures.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -482,15 +523,18 @@ def minhash_lsh_pairs(
     threshold: float,
     num_hashes: int = 64,
     bands: int = 16,
+    hash_fn=_xxhash_family,
+    portable_buckets: bool = False,
 ) -> DataFrame:
     """Near-dup pairs at Jaccard ≥ threshold via LSH candidates + exact
     verification of candidates only (verify joins token sets back, so
-    reported pairs are exact — LSH affects recall, not precision)."""
+    reported pairs are exact — LSH affects recall, not precision).
+    ``hash_fn=md5_hash64, portable_buckets=True`` makes the whole run
+    reproducible in any md5-capable SQL engine (the q43 oracle)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, tokens, num_hashes)
-    cand = lsh_candidate_pairs(sig, bands, rows_per_band)
-
     tok = track_persist(token_sets(docs, id_col, tokens))
+    sig = minhash_signatures(docs, id_col, tokens, num_hashes, hash_fn=hash_fn, tok=tok)
+    cand = lsh_candidate_pairs(sig, bands, rows_per_band, portable_buckets)
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = _verify_intersections(tok, cand)
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))

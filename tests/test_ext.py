@@ -41,6 +41,58 @@ def test_minhash_lsh_recall_and_precision(docs):
     assert recall >= 0.9, f"recall {recall:.2f} ({len(lsh)}/{len(exact)})"
 
 
+def test_md5_hash64_portable(spark):
+    """The portable MinHash family is bit-identical across Python
+    hashlib, DuckDB, and Spark — the contract the q43 oracle rests on."""
+    import hashlib
+
+    import duckdb
+
+    from gelly_streaming_spark.ext.similarity import md5_hash64
+
+    words = ["hello", "Zebra", "a", "ümlaut", "x y"]
+    seeds = [0, 3, 15]
+    expect = {
+        (w, s): int(hashlib.md5(f"{s}:{w}".encode()).hexdigest()[:15], 16)
+        for w in words
+        for s in seeds
+    }
+    df = spark.createDataFrame([(w,) for w in words], ["token"])
+    got = df.select(
+        "token", *[md5_hash64(F.col("token"), s).alias(f"h{s}") for s in seeds]
+    ).collect()
+    for r in got:
+        for s in seeds:
+            assert r[f"h{s}"] == expect[(r.token, s)]
+    duck = duckdb.connect()
+    for w in words:
+        for s in seeds:
+            (v,) = duck.sql(
+                "SELECT CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)",
+                params=[f"{s}:{w}"],
+            ).fetchone()
+            assert v == expect[(w, s)]
+
+
+def test_minhash_portable_path_exact_subset(docs):
+    """hash_fn=md5_hash64 + portable_buckets: still precision-1 (exact
+    verified) with the same recall contract as the default family."""
+    from gelly_streaming_spark.ext.similarity import md5_hash64, minhash_lsh_pairs
+
+    toks = F.split(F.col("text"), " ")
+    exact = {(r.a, r.b): r.jaccard for r in jaccard_pairs(docs, "doc_id", toks, 0.8).collect()}
+    lsh = {
+        (r.a, r.b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", toks, 0.8, num_hashes=16, bands=4,
+            hash_fn=md5_hash64, portable_buckets=True,
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, j in lsh.items():
+        assert j == exact[pair]  # identical rounded Jaccard on shared pairs
+
+
 def test_exact_dedup_keeps_distinct(docs):
     assert exact_dedup(docs, "doc_id", "text").count() == docs.select("text").distinct().count()
 
