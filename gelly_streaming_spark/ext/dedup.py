@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from gelly_streaming_spark.ext.similarity import jaccard_pairs, minhash_lsh_pairs
 from gelly_streaming_spark.ext.text import tokenize
+from gelly_streaming_spark.plans.memory import track_persist
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -66,27 +67,43 @@ def ngram_jaccard_pairs(
     return jaccard_pairs(docs, id_col, shingles, threshold)
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+) -> DataFrame:
     """64-bit SimHash per document: rows (id, simhash).
 
     Per token: 64-bit xxhash; each bit contributes +1/-1 weighted by token
     frequency; the sign vector packs back into one long. Pure column
     expressions: explode → 64 conditional sums → bit re-assembly (no UDF,
-    no driver loop). Near-dup test = popcount(xor) ≤ r via ``simhash_near_pairs``."""
+    no driver loop). Near-dup test = popcount(xor) ≤ r via ``simhash_near_pairs``.
+
+    ``hash_fn`` swaps the token hash (signature: token Column → long
+    Column). ``similarity.md5_hash64`` with seed 0 makes signatures
+    engine-portable — its 60-bit range leaves bits 60–63 permanently
+    negative-sum (bit 0) on both sides, so the packed values still agree
+    exactly (the q44 oracle)."""
+    h = hash_fn(F.col("token")) if hash_fn is not None else F.xxhash64("token")
     tok = docs.select(
         F.col(id_col).alias("id"),
         F.explode(tokenize(F.col(text_col))).alias("token"),
-    ).withColumn("h", F.xxhash64("token"))
+    ).withColumn("h", h)
+    # per-bit ±1 sums via ones-counts: s_i = 2·ones_i − n, so the sign
+    # test s_i > 0 is 2·ones_i > n — sums of bare shift-ands instead of
+    # 64 CASE WHENs (half the expression nodes; this tree is built and
+    # analyzed per call, which dominated the query's constant cost)
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(64)
     ]
-    agg = tok.groupBy("id").agg(*bit_sums)
+    agg = tok.groupBy("id").agg(*bit_sums, F.count(F.lit(1)).alias("_n"))
     packed = None
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(
+            F.col(f"b{i}") * 2 > F.col("_n"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         packed = term if packed is None else packed.bitwiseOR(term)
     return agg.select("id", packed.alias("simhash"))
@@ -122,15 +139,26 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         ).alias(f"c{c}")
         for c, (s, w) in enumerate(bounds)
     ]
-    s = sigs.select("id", "simhash", *chunk_cols)
-    pairs = None
-    for c in range(n_chunks):
-        a = s.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), F.col(f"c{c}").alias("k"))
-        b = s.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), F.col(f"c{c}").alias("k"))
-        p = a.join(b, "k").where(F.col("a") < F.col("b")).select("a", "b", "ha", "hb")
-        pairs = p if pairs is None else pairs.unionByName(p)
+    # One signature row per (doc, chunk) via posexplode, ONE self-join on
+    # (chunk, key). The previous per-chunk join loop evaluated the
+    # signature subtree on BOTH sides of all n_chunks joins — 2·n_chunks
+    # full recomputes of the 64-sum aggregation; persisting the (small:
+    # two longs/doc) signature table and joining once removes all of it.
+    s = track_persist(sigs.select("id", "simhash", *chunk_cols))
+    keyed = s.select(
+        "id",
+        "simhash",
+        F.posexplode(F.array(*[F.col(f"c{c}") for c in range(n_chunks)])).alias(
+            "chunk", "k"
+        ),
+    )
+    a = keyed.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "chunk", "k")
+    b = keyed.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "chunk", "k")
     return (
-        pairs.distinct()
+        a.join(b, ["chunk", "k"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")

@@ -1664,6 +1664,44 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b", "jaccard")
 
 
+# The oracle is BRUTE-FORCE all-pairs hamming over portable simhash
+# signatures, while the engine answers through its pigeonhole chunk
+# blocking — so the hash-match certifies the blocking's recall
+# COMPLETENESS (every true pair collides in >=1 chunk), the exact claim
+# the r7 chunk-derivation fix made. Signatures use md5_hash64 seed 0:
+# its 60-bit range leaves hash bits 60-63 always 0, so those simhash
+# bit-sums are always negative (bit 0) on both engines and the oracle
+# only needs to fold bits 0..59.
+_Q44_SQL = r"""
+WITH tok AS (SELECT doc_id AS id,
+                    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+             FROM documents),
+h AS (SELECT id, CAST(('0x' || substr(md5('0:' || token), 1, 15)) AS BIGINT) AS h FROM tok),
+bits AS (SELECT id, b.i, SUM(CASE WHEN (h >> CAST(b.i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM h CROSS JOIN range(60) b(i) GROUP BY id, b.i),
+sig AS (SELECT id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS simhash
+        FROM bits GROUP BY id)
+SELECT a.id AS a, b.id AS b, bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@_q("q44_simhash_pairs", _Q44_SQL,
+    "SimHash near-dup pairs (hamming <= 3) over the full documents table "
+    "with the portable md5 hash family: the engine runs its pigeonhole "
+    "chunk-blocked join (4 chunks, no all-pairs), the oracle brute-forces "
+    "all pairs — the hash-match certifies blocking recall-completeness, "
+    "not just signature agreement")
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.dedup import simhash, simhash_near_pairs
+    from gelly_streaming_spark.ext.similarity import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash(docs, hash_fn=lambda c: md5_hash64(c, 0))
+    return simhash_near_pairs(sigs, max_hamming=3).select("a", "b", "hamming")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
