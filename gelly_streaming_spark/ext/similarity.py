@@ -64,7 +64,14 @@ def _verify_intersections(
         cand.join(arrs.select(F.col("id").alias("a"), F.col("toks").alias("_ta")), "a")
         .join(arrs.select(F.col("id").alias("b"), F.col("toks").alias("_tb")), "b")
         .select(
-            "a", "b", F.size(F.array_intersect("_ta", "_tb")).alias("i")
+            "a",
+            "b",
+            F.size(F.array_intersect("_ta", "_tb")).alias("i"),
+            # set sizes ride along for free — both arrays are already in
+            # the row, so callers needing |A|/|B| for the Jaccard
+            # denominator skip a separate size aggregation + two joins
+            F.size("_ta").alias("na"),
+            F.size("_tb").alias("nb"),
         )
     )
 
@@ -361,20 +368,23 @@ def jaccard_rep_pairs(
     else:
         ta = tok.select(F.col("id").alias("a"), "token")
         tb = tok.select(F.col("id").alias("b"), "token")
+        sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
+        sb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
         inter = (
             ta.join(tb, "token")
             .where(F.col("a") < F.col("b"))
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("i"))
+            .join(sa, "a")
+            .join(sb, "b")
         )
 
-    sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
+    # the verify branch's na/nb ride out of _verify_intersections (array
+    # sizes of the same distinct token sets `sizes` counts) — no extra
+    # size joins there
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     rep_pairs = (
-        inter.join(sa, "a")
-        .join(sb, "b")
-        .where(jac >= threshold)
+        inter.where(jac >= threshold)
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
     )
     return grp, rep_pairs
@@ -535,12 +545,9 @@ def minhash_lsh_pairs(
     tok = track_persist(token_sets(docs, id_col, tokens))
     sig = minhash_signatures(docs, id_col, tokens, num_hashes, hash_fn=hash_fn, tok=tok)
     cand = lsh_candidate_pairs(sig, bands, rows_per_band, portable_buckets)
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = _verify_intersections(tok, cand)
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
-        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
-        .where(jac >= threshold)
+        inter.where(jac >= threshold)
         .select("a", "b", F.round(jac, 6).alias("jaccard"))
     )
