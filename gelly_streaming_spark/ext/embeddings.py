@@ -219,6 +219,66 @@ def _exact_pairs_gemm(
     return paired.mapInPandas(gemm, "a long, b long, sim double")
 
 
+def label_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, centroid array<double>) — distributed elementwise mean:
+    posexplode to (label, dim, x) rows, ONE map-side-combining (label,
+    dim) average shuffle, re-assemble per label ordered by dim. Work is
+    O(n·d) rows into a partial agg; the centroid table is O(labels·d) —
+    never driver-bound, unlike the numpy Lloyd's trainer above which
+    exists for the sample-train path."""
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+    )
+    per = ex.groupBy("label", "d").agg(F.avg("x").alias("m"))
+    return (
+        per.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("s"))
+        .select("label", F.transform("s", lambda t: t["m"]).alias("centroid"))
+    )
+
+
+def centroid_assign(
+    emb: DataFrame,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid assignment — the IVF coarse-assignment /
+    classifier-inference step as a first-class batch operator: rows
+    (vec_id, label, assigned, sim) with ``assigned`` the argmax-cosine
+    centroid (ties broken by smaller label) and ``sim`` rounded to 6dp.
+
+    100 TB shape: the centroid table (labels × d doubles) broadcasts;
+    scoring is ONE map pass over the corpus — no shuffle touches the
+    vectors themselves. ``centroids`` defaults to ``label_centroids``
+    over the input (one elementwise-mean shuffle)."""
+    cents = centroids if centroids is not None else label_centroids(emb, vec_col, label_col)
+    c = cents.select(
+        F.col("label").alias("clabel"), F.col("centroid").alias("c")
+    ).withColumn("cn", _norm(F.col("c")))
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("vn", _norm(F.col("v")))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        (_dot(F.col("v"), F.col("c")) / (F.col("vn") * F.col("cn"))).alias("sim"),
+    )
+    best = top_k_per_group(scored, ["vec_id"], [F.desc("sim"), F.asc("clabel")], 1)
+    return best.select(
+        "vec_id", "label", F.col("clabel").alias("assigned"), F.round("sim", 6).alias("sim")
+    )
+
+
 def _kmeans_centroids(
     corpus: DataFrame,
     n_clusters: int,

@@ -1702,6 +1702,40 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(sigs, max_hamming=3).select("a", "b", "hamming")
 
 
+# Cross-engine float discipline: both sides cosine over DOUBLE[] with
+# per-vector sequential folds (the q23-verified equivalence); the only
+# new drift source is centroid mean accumulation ORDER (distributed
+# partial aggs vs single-process), bounded ~1e-13 — measured min
+# top1-vs-top2 margin on this data is 1.1e-4, so the argmax is stable
+# and the 6dp-rounded sim can't straddle a boundary.
+_Q45_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v)+1)) AS d FROM e),
+cent AS (SELECT label AS clabel, list(m ORDER BY d) AS c
+         FROM (SELECT label, d, AVG(x) AS m FROM ex GROUP BY label, d) GROUP BY label),
+scored AS (SELECT e.vec_id, e.label, cent.clabel, list_cosine_similarity(e.v, cent.c) AS sim
+           FROM e CROSS JOIN cent),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) AS rn
+           FROM scored)
+SELECT vec_id, label, clabel AS assigned, ROUND(sim, 6) AS sim FROM ranked WHERE rn = 1
+"""
+
+
+@_q("q45_centroid_assign", _Q45_SQL,
+    "nearest-centroid assignment over the embeddings table: distributed "
+    "elementwise label-centroid means (one (label,dim) partial-agg "
+    "shuffle), centroids broadcast, argmax cosine in ONE map pass over "
+    "the corpus - the IVF coarse-assignment / classifier-inference "
+    "kernel as a first-class certified operator (the IVF path itself "
+    "remains property-tested; its assignment math is now under the "
+    "oracle)")
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.embeddings import centroid_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_assign(emb).select("vec_id", "label", "assigned", "sim")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

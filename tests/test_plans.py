@@ -320,6 +320,7 @@ def test_all_batch_query_plans_no_cartesian(spark, sf_dir):
         "q23_knn_cosine",          # bounded query batch broadcast vs corpus
         "q23b_embedding_near_dup", # blocked GEMM: bounded block id cross
         "q35_tfidf_keywords",      # 1-row corpus-count aggregate crossJoin
+        "q45_centroid_assign",     # labels x dim centroid table broadcast
     }
     for name, q in sorted(REGISTRY.items()):
         if re.match(r"q\d+s_", name):
