@@ -542,10 +542,27 @@ def minhash_lsh_pairs(
     ``hash_fn=md5_hash64, portable_buckets=True`` makes the whole run
     reproducible in any md5-capable SQL engine (the q43 oracle)."""
     rows_per_band = num_hashes // bands
-    tok = track_persist(token_sets(docs, id_col, tokens))
-    sig = minhash_signatures(docs, id_col, tokens, num_hashes, hash_fn=hash_fn, tok=tok)
+    # ONE aggregation serves both halves of the query: the per-doc sorted
+    # distinct-token array feeds exact verification AND the signatures —
+    # min-hash over a row-local array (array_min∘transform) equals the
+    # grouped column-min over exploded tokens, with zero extra shuffle.
+    # (Row-local HOFs, no Generate in between — the staged-projection
+    # re-inlining trap doesn't apply: each token is hashed once per i.)
+    tok = token_sets(docs, id_col, tokens)
+    arrs = track_persist(
+        tok.groupBy("id").agg(F.array_sort(F.collect_list("token")).alias("toks"))
+    )
+    sig = arrs.select(
+        "id",
+        F.array(
+            *[
+                F.array_min(F.transform("toks", lambda t: hash_fn(t, i)))
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
     cand = lsh_candidate_pairs(sig, bands, rows_per_band, portable_buckets)
-    inter = _verify_intersections(tok, cand)
+    inter = _verify_intersections(tok, cand, arrs=arrs)
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
         inter.where(jac >= threshold)
