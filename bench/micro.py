@@ -177,6 +177,52 @@ def main() -> None:
             out[f"text_{label}_10x_sec"] = secs["10x"]
             out[f"text_{label}_scaling_ratio"] = round(secs["10x"] / secs["1x"], 2)
 
+        # dedup-kernel scaling (q43/q44 shapes at 1x and 10x): the 10x
+        # corpus here is NOT plain doc_id-shifted clones — identical
+        # texts across copies would form cross-copy near-dup cliques and
+        # multiply PAIR work x100 by construction, drowning the linear
+        # signal. Each copy instead suffixes every token with its copy
+        # index, making the ten shards disjoint in token space: tokens,
+        # signatures, buckets, and true pairs all scale exactly x10,
+        # which is what a 10x-bigger real corpus (not a 10x-duplicated
+        # one) looks like to these kernels.
+        from gelly_streaming_spark.ext.dedup import simhash, simhash_near_pairs
+        from gelly_streaming_spark.ext.similarity import minhash_lsh_pairs
+
+        sample = docs.where(F.col("doc_id") % 10 == 0)
+        ded_path = os.path.join(tmp, "docs10x_disjoint")
+        big2 = None
+        for i in range(10):
+            c = sample.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                F.regexp_replace(F.col("text"), r"(\S+)", rf"$1x{i}").alias("text"),
+            )
+            big2 = c if big2 is None else big2.unionByName(c)
+        big2.write.mode("overwrite").parquet(ded_path)
+        big2 = spark.read.parquet(ded_path)
+        big2.write.mode("overwrite").format("noop").save()  # warm the scan
+
+        ded_kernels = {
+            "minhash": lambda d: minhash_lsh_pairs(
+                d, "doc_id", F.split(F.col("text"), " "), 0.8,
+                num_hashes=16, bands=4,
+            ),
+            "simhash": lambda d: simhash_near_pairs(simhash(d), max_hamming=3),
+        }
+        for label, fn in ded_kernels.items():
+            secs = {}
+            for size, d in (("1x", sample.select("doc_id", "text")), ("10x", big2)):
+                fn(d).write.mode("overwrite").format("noop").save()  # warm
+                runs = []
+                for _ in range(3):
+                    t0 = time.time()
+                    fn(d).write.mode("overwrite").format("noop").save()
+                    runs.append(time.time() - t0)
+                secs[size] = round(min(runs), 3)
+            out[f"dedup_{label}_1x_sec"] = secs["1x"]
+            out[f"dedup_{label}_10x_sec"] = secs["10x"]
+            out[f"dedup_{label}_scaling_ratio"] = round(secs["10x"] / secs["1x"], 2)
+
     # multimodal codec throughput: images/sec through extract_features
     # with the REAL pure-Python decoders (64x48 RGB payloads; quantifies
     # the documented codec bound — production injects a codec library

@@ -503,7 +503,7 @@ def lsh_candidate_pairs(
         ]
         if portable_buckets:
             return F.concat_ws(",", *[m.cast("string") for m in mins])
-        return F.xxhash64(*mins).cast("string")
+        return F.xxhash64(*mins)  # 8-byte key — keep the shuffle narrow
 
     banded = signatures.select(
         "id",
