@@ -1736,6 +1736,53 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_assign(emb).select("vec_id", "label", "assigned", "sim")
 
 
+# The oracle re-derives the SAME hyperplanes (bit 0 of the md5-prefix
+# hash of 'p:j:d' -> ±1, rademacher_planes) and replicates the full
+# bucket -> within-bucket rerank pipeline, so the hash-match certifies
+# the LSH bucketing itself — queries in sparse buckets return < k rows
+# on BOTH sides identically. Sign stability: measured min |dot| over
+# all (vector, plane) pairs at sf0.1 is 1.1e-5, nine orders above
+# cross-engine summation drift.
+_Q46_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pm AS (SELECT j.j, d.d,
+              CASE WHEN (CAST(('0x' || substr(md5('p:' || j.j || ':' || d.d), 1, 15)) AS BIGINT) & 1) = 1
+                   THEN 1.0 ELSE -1.0 END AS w
+       FROM range(8) j(j) CROSS JOIN range(64) d(d)),
+ex AS (SELECT vec_id, unnest(v) AS x, unnest(range(0, len(v))) AS d FROM e),
+dots AS (SELECT ex.vec_id, pm.j, SUM(ex.x * pm.w) AS s
+         FROM ex JOIN pm ON pm.d = ex.d GROUP BY ex.vec_id, pm.j),
+sig AS (SELECT vec_id, SUM(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id),
+scored AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+                  list_cosine_similarity(qe.v, ce.v) AS sim
+           FROM sig q JOIN sig c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+           JOIN e qe ON qe.vec_id = q.vec_id JOIN e ce ON ce.vec_id = c.vec_id
+           WHERE q.vec_id BETWEEN 1 AND 10),
+ranked AS (SELECT qid, vec_id, sim,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           FROM scored)
+SELECT qid, vec_id, ROUND(sim, 6) AS sim FROM ranked WHERE rn <= 5
+"""
+
+
+@_q("q46_knn_lsh", _Q46_SQL,
+    "LSH-bucketed approximate kNN (8 portable Rademacher hyperplanes, "
+    "exact rerank within the query's bucket, top-5 for vec_id 1..10) "
+    "hash-certified against a DuckDB replica of the identical "
+    "bucket->rerank pipeline — promotes the hyperplane-LSH ANN path "
+    "from recall-property-only to an oracle row (IVF stays "
+    "property-tested: its k-means training is genuinely non-portable)")
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.embeddings import knn_lsh, rademacher_planes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_lsh(
+        emb, emb.where(F.col("vec_id").between(1, 10)), k=5,
+        planes=rademacher_planes(8, 64),
+    ).select("qid", "vec_id", "sim")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
