@@ -73,6 +73,56 @@ def knn_bruteforce(
     return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"))
 
 
+def _bucket_array_udf(tables: list[np.ndarray]):
+    """Arrow-batched multi-table LSH bucketing: one BLAS matmul against
+    the stacked (ΣP, dim) plane bank signs every plane of every table at
+    once, then packs per-table bit buckets — semantically identical to
+    ``array(lsh_signature(v, p) for p in tables)`` (bit j set iff
+    dot(v, p_j) >= 0; same null row → null, same dim-mismatch error)
+    but vectorized instead of num_tables×num_planes interpreted
+    per-element folds. Sign agreement with the expression/SQL forms only
+    needs |dot| above float drift — measured min |dot| 1.1e-5 at sf0.1."""
+    import pandas as pd
+
+    bank = np.vstack(tables)  # (sum planes, dim)
+    dim = tables[0].shape[1]
+    counts = [p.shape[0] for p in tables]
+    offsets = np.cumsum([0] + counts)
+
+    # bare signature: string type hints from `__future__ annotations`
+    # plus the function-local pandas import are unresolvable for the
+    # pandas_udf type-hint inference — the returnType string is enough
+    @F.pandas_udf("array<long>")
+    def _buckets(vs):
+        mask = vs.notna().to_numpy()
+        res: list = [None] * len(vs)
+        if mask.any():
+            rows = vs[mask].to_list()
+            for r in rows:
+                if len(r) != dim:
+                    raise ValueError(
+                        f"lsh_signature: vector length {len(r)} != planes dim {dim}"
+                    )
+            x = np.asarray(rows, dtype=np.float64)
+            signs = (x @ bank.T) >= 0.0  # (n, sum planes)
+            packed = np.stack(
+                [
+                    (
+                        signs[:, offsets[t] : offsets[t + 1]].astype(np.int64)
+                        << np.arange(counts[t], dtype=np.int64)
+                    ).sum(axis=1)
+                    for t in range(len(counts))
+                ],
+                axis=1,
+            )
+            # positional fill — Series putmask rejects array-valued rows
+            for i, pos in enumerate(np.flatnonzero(mask)):
+                res[pos] = [int(x_) for x_ in packed[i]]
+        return pd.Series(res, dtype=object)
+
+    return _buckets
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -83,6 +133,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     seed: int = 42,
     exact: bool = False,
+    tables: list[np.ndarray] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: rows (a, b, sim) with a < b
     and cosine >= threshold.
@@ -95,26 +146,41 @@ def embedding_near_dup_pairs(
     happens on bare (a, b) ids BEFORE vectors are re-attached, so wide
     embedding arrays cross the shuffle once per surviving pair.
     ``exact=True`` scores every pair (small-corpus oracle / recall
-    reference for the LSH path)."""
+    reference for the LSH path). ``tables`` overrides the seeded-Gaussian
+    hyperplane tables — portable md5-derived Rademacher tables make the
+    whole multi-table run oracle-checkable (q47)."""
     c = corpus.select(
         F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
-    )
+    ).withColumn("_na", _norm(F.col("va")))
     d = corpus.select(
         F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb")
-    )
+    ).withColumn("_nb", _norm(F.col("vb")))
     if exact:
         return _exact_pairs_gemm(corpus, threshold, id_col, vec_col)
     else:
-        rng = np.random.default_rng(seed)
-        tables = [rng.standard_normal((num_planes, dim)) for _ in range(num_tables)]
-        ids = corpus.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        ).select(
-            "id",
-            F.posexplode(
-                F.array(*[lsh_signature(F.col("v"), p) for p in tables])
-            ).alias("t", "bucket"),
+        if tables is None:
+            rng = np.random.default_rng(seed)
+            tables = [rng.standard_normal((num_planes, dim)) for _ in range(num_tables)]
+        from gelly_streaming_spark.plans.memory import track_persist
+
+        # persist the (id, t, bucket) table: it sits on BOTH sides of
+        # the bucket self-join — unpersisted, the signature subtree runs
+        # twice (same fix as simhash_near_pairs). Signatures themselves
+        # go through the Arrow/BLAS kernel: num_tables × num_planes
+        # column folds are interpreted expression evaluation per
+        # element, and at 32 planes one batched matmul replaces ~10⁷
+        # lambda evaluations per million rows (the sanctioned
+        # pandas-UDF-for-wide-numeric-kernels path).
+        ids = track_persist(
+            corpus.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            ).select(
+                "id",
+                F.posexplode(_bucket_array_udf(tables)(F.col("v"))).alias(
+                    "t", "bucket"
+                ),
+            )
         )
         cand = (
             ids.alias("x")
@@ -124,8 +190,17 @@ def embedding_near_dup_pairs(
             .distinct()
         )
         pairs = cand.join(c, "a").join(d, "b")
+    # norms hoisted per SIDE (computed on c/d above, |C| folds each),
+    # not per pair — the rerank of tens of thousands of candidates
+    # otherwise re-folds both norms per candidate (interpreted HOF work,
+    # 2x the rerank's cost); same dot/(na*nb) formulation q23's oracle
+    # parity already certifies
     return pairs.select(
-        "a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim")
+        "a",
+        "b",
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6
+        ).alias("sim"),
     ).where(F.col("sim") >= threshold)
 
 
@@ -443,14 +518,15 @@ def lsh_signature(vec, planes: np.ndarray) -> Column:
     )
 
 
-def rademacher_planes(num_planes: int, dim: int) -> np.ndarray:
+def rademacher_planes(num_planes: int, dim: int, salt: str = "p") -> np.ndarray:
     """±1 hyperplanes derived from md5 — a valid random-hyperplane LSH
     family (sign LSH needs any symmetric zero-mean component law;
     Rademacher works like Gaussian) whose every entry an external SQL
     engine re-derives exactly: entry (j, d) is +1 iff bit 0 of the
-    60-bit md5 prefix of ``p:j:d`` is set (DuckDB:
-    ``CAST('0x'||substr(md5('p:'||j||':'||d),1,15) AS BIGINT) & 1``).
-    Makes the whole LSH-kNN run oracle-checkable (q46); the default
+    60-bit md5 prefix of ``{salt}:j:d`` is set (DuckDB:
+    ``CAST('0x'||substr(md5(salt||':'||j||':'||d),1,15) AS BIGINT) & 1``).
+    Makes the whole LSH-kNN run oracle-checkable (q46/q47); distinct
+    salts yield independent tables for multi-table LSH. The default
     Gaussian family stays for production (same plan, denser rotations)."""
     import hashlib
 
@@ -458,7 +534,7 @@ def rademacher_planes(num_planes: int, dim: int) -> np.ndarray:
         [
             [
                 1.0
-                if int(hashlib.md5(f"p:{j}:{d}".encode()).hexdigest()[:15], 16) & 1
+                if int(hashlib.md5(f"{salt}:{j}:{d}".encode()).hexdigest()[:15], 16) & 1
                 else -1.0
                 for d in range(dim)
             ]

@@ -1783,6 +1783,52 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", "sim")
 
 
+# Multi-table LSH near-dup: 4 independent Rademacher tables (salts
+# t0..t3), candidate = shared bucket in ANY table, exact rerank, filter
+# on the ROUNDED sim (mirroring the engine's select-then-where order).
+# With q47 every bucketed dedup/ANN path in the repo is hash-certified
+# end to end (q43 minhash bands, q44 simhash chunks, q46 single-table
+# kNN buckets, q47 multi-table pair buckets); only IVF's k-means
+# training remains property-tested (genuinely non-portable).
+_Q47_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pm AS (SELECT t.t, j.j, d.d,
+              CASE WHEN (CAST(('0x' || substr(md5('t' || t.t || ':' || j.j || ':' || d.d), 1, 15)) AS BIGINT) & 1) = 1
+                   THEN 1.0 ELSE -1.0 END AS w
+       FROM range(4) t(t) CROSS JOIN range(8) j(j) CROSS JOIN range(64) d(d)),
+ex AS (SELECT vec_id, unnest(v) AS x, unnest(range(0, len(v))) AS d FROM e),
+dots AS (SELECT ex.vec_id, pm.t, pm.j, SUM(ex.x * pm.w) AS s
+         FROM ex JOIN pm ON pm.d = ex.d GROUP BY ex.vec_id, pm.t, pm.j),
+sig AS (SELECT vec_id, t, SUM(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id, t),
+cand AS (SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+         FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+scored AS (SELECT c.a, c.b, ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+           FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b)
+SELECT a, b, sim FROM scored WHERE sim >= 0.38
+"""
+
+
+@_q("q47_embedding_near_dup_lsh", _Q47_SQL,
+    "multi-table LSH embedding near-dup pairs (4 portable Rademacher "
+    "tables x 8 planes, candidate = shared bucket in ANY table, exact "
+    "rerank at cosine >= 0.38 - q23b's threshold: this synthetic table "
+    "has no pair above 0.51) hash-certified against a DuckDB replica - "
+    "the scale path whose exact sibling is q23b; with this row every "
+    "bucketed dedup/ANN path is under the oracle")
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.embeddings import (
+        embedding_near_dup_pairs,
+        rademacher_planes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tables = [rademacher_planes(8, 64, salt=f"t{t}") for t in range(4)]
+    return embedding_near_dup_pairs(emb, threshold=0.38, tables=tables).select(
+        "a", "b", "sim"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
