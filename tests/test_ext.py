@@ -74,6 +74,39 @@ def test_md5_hash64_portable(spark):
             assert v == expect[(w, s)]
 
 
+def test_bucket_udf_matches_lsh_signature(spark, emb):
+    """The Arrow/BLAS multi-table bucket kernel is bit-identical to the
+    per-table lsh_signature expression form (same >= 0 sign rule, same
+    packing), for Gaussian and Rademacher tables alike."""
+    import numpy as np
+
+    from gelly_streaming_spark.ext.embeddings import (
+        _bucket_array_udf,
+        lsh_signature,
+        rademacher_planes,
+    )
+
+    rng = np.random.default_rng(7)
+    for tables in (
+        [rng.standard_normal((8, 64)) for _ in range(3)],
+        [rademacher_planes(8, 64, salt=f"t{t}") for t in range(3)],
+    ):
+        base = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        a = base.select(
+            "vec_id",
+            F.posexplode(_bucket_array_udf(tables)(F.col("v"))).alias("t", "b"),
+        )
+        b = base.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[lsh_signature(F.col("v"), p) for p in tables])
+            ).alias("t", "b"),
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_minhash_portable_path_exact_subset(docs):
     """hash_fn=md5_hash64 + portable_buckets: still precision-1 (exact
     verified) with the same recall contract as the default family."""
