@@ -565,17 +565,19 @@ def knn_lsh(
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((num_planes, dim))
 
+    # signatures via the Arrow/BLAS kernel (bit-identical to
+    # lsh_signature — tests/test_ext.py pins the equivalence). A flat
+    # unrolled-SQL signature (64-term add chains per plane, no HOF
+    # lambdas) was also tried and is WORSE: ANSI per-element bounds
+    # checks push the generated method past the JVM's 64 KB limit, so
+    # every run pays a failed codegen compile plus interpreted fallback.
+    sig = _bucket_array_udf([planes])
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("bucket", lsh_signature(F.col("v"), planes))
+    ).withColumn("bucket", F.element_at(sig(F.col("v")), 1))
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).withColumn("bucket", lsh_signature(F.col("qv"), planes))
-    # NOTE: a flat unrolled-SQL signature (64-term add chains per plane,
-    # no HOF lambdas) was tried here and is WORSE: ANSI per-element
-    # bounds checks push the generated method past the JVM's 64 KB limit,
-    # so every run pays a failed codegen compile plus interpreted
-    # fallback (4.5 s vs 1.5 s for the aggregate/zip_with form).
+    ).withColumn("bucket", F.element_at(sig(F.col("qv")), 1))
 
     scored = (
         q.join(c, "bucket")
