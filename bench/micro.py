@@ -223,6 +223,38 @@ def main() -> None:
             out[f"dedup_{label}_10x_sec"] = secs["10x"]
             out[f"dedup_{label}_scaling_ratio"] = round(secs["10x"] / secs["1x"], 2)
 
+    # ANN bucketing throughput: vectors/sec through the Arrow/BLAS
+    # multi-table LSH kernel (4 tables x 8 planes over 64-dim vectors on
+    # a 100k synthetic corpus — the q46/q47 signature stage at volume;
+    # the interpreted HOF form this replaced ran ~30x slower/row) ------
+    from gelly_streaming_spark.ext.embeddings import (
+        _bucket_array_udf,
+        rademacher_planes,
+    )
+
+    n_vec, vdim = 100_000, 64
+    vecs = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(vdim)),
+            lambda i: F.pmod(F.xxhash64(F.col("id") * vdim + i), F.lit(1000)) / 500.0 - 1.0,
+        ).cast("array<double>").alias("v"),
+    )
+    vecs = vecs.localCheckpoint(eager=True)  # pin: time the kernel, not the generator
+    bank = [rademacher_planes(8, vdim, salt=f"t{t}") for t in range(4)]
+    kernel = lambda: vecs.select(
+        "vec_id", _bucket_array_udf(bank)(F.col("v")).alias("b")
+    ).write.mode("overwrite").format("noop").save()
+    kernel()  # warm
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        kernel()
+        runs.append(time.time() - t0)
+    out["ann_bucket_vectors_per_sec"] = int(n_vec / min(runs))
+    out["ann_bucket_sec"] = round(min(runs), 3)
+    vecs.unpersist()
+
     # multimodal codec throughput: images/sec through extract_features
     # with the REAL pure-Python decoders (64x48 RGB payloads; quantifies
     # the documented codec bound — production injects a codec library
