@@ -437,6 +437,7 @@ def knn_ivf(
     sample_rows: int = 20_000,
     train_iters: int = 5,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the other
     classical ANN scale path next to :func:`knn_lsh`.
@@ -450,11 +451,21 @@ def knn_ivf(
 
     Scale: the cluster join replaces the |Q|x|C| score matrix with
     per-list blocks — probed work is ~nprobe/n_clusters of brute force;
-    skewed lists are AQE-split like any skewed join key. Recall is
-    property-tested against knn_bruteforce (P-test), never hash-compared.
+    skewed lists are AQE-split like any skewed join key. With the default
+    trained quantizer, recall is property-tested against knn_bruteforce
+    (P-test) — k-means training is genuinely non-portable. ``centroids``
+    injects a fixed quantizer instead (e.g. ``label_centroids``), under
+    which the ENTIRE search path — assignment, inverted lists, nprobe
+    probing, exact rerank — is hash-certified against a DuckDB replica
+    (q48); cluster ids are array indices, compared only within-engine,
+    so any consistent ordering works.
     """
-    cents = _kmeans_centroids(
-        corpus, n_clusters, vec_col, id_col, sample_rows, train_iters, seed
+    cents = (
+        centroids
+        if centroids is not None
+        else _kmeans_centroids(
+            corpus, n_clusters, vec_col, id_col, sample_rows, train_iters, seed
+        )
     )
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")

@@ -1829,6 +1829,62 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF SEARCH certification: the quantizer is FIXED (the q45 label
+# centroids — 10 x 64 doubles, a bounded driver collect), under which
+# assignment -> inverted lists -> nprobe probing -> exact rerank is
+# fully deterministic and DuckDB-replicable. Cluster ids are join keys
+# compared only within-engine, so the engine's array indices and the
+# oracle's label values induce the same partition as long as both
+# tie-break toward the smaller label (numpy stable argsort == ORDER BY
+# sim DESC, clabel). Margins measured over the whole corpus at sf0.1:
+# top1-vs-top2 centroid sim 2.8e-5, top2-vs-top3 (the nprobe=2 probe
+# boundary) 2.9e-5 — eight orders above cross-engine float drift. Only
+# k-means TRAINING remains property-tested (q23-family P-tests).
+_Q48_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v)+1)) AS d FROM e),
+cent AS (SELECT label AS clabel, list(m ORDER BY d) AS c
+         FROM (SELECT label, d, AVG(x) AS m FROM ex GROUP BY label, d) GROUP BY label),
+ca AS (SELECT vec_id, clabel AS cluster FROM (
+         SELECT e.vec_id, cent.clabel,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                   ORDER BY list_cosine_similarity(e.v, cent.c) DESC, cent.clabel) AS rn
+         FROM e CROSS JOIN cent) WHERE rn = 1),
+qa AS (SELECT vec_id AS qid, clabel AS cluster FROM (
+         SELECT e.vec_id, cent.clabel,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                   ORDER BY list_cosine_similarity(e.v, cent.c) DESC, cent.clabel) AS rn
+         FROM e CROSS JOIN cent WHERE e.vec_id BETWEEN 1 AND 10) WHERE rn <= 2),
+scored AS (SELECT qa.qid, ca.vec_id, list_cosine_similarity(eq.v, ec.v) AS sim
+           FROM qa JOIN ca ON ca.cluster = qa.cluster AND ca.vec_id != qa.qid
+           JOIN e eq ON eq.vec_id = qa.qid JOIN e ec ON ec.vec_id = ca.vec_id),
+ranked AS (SELECT qid, vec_id, sim,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           FROM scored)
+SELECT qid, vec_id, ROUND(sim, 6) AS sim FROM ranked WHERE rn <= 5
+"""
+
+
+@_q("q48_knn_ivf_search", _Q48_SQL,
+    "IVF approximate kNN with a FIXED quantizer (the q45 label "
+    "centroids): GEMM assignment to inverted lists, nprobe=2 probing, "
+    "exact rerank, top-5 for vec_id 1..10 - the entire IVF SEARCH path "
+    "hash-certified against a DuckDB replica; only k-means training "
+    "remains property-tested")
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from gelly_streaming_spark.ext.embeddings import knn_ivf, label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = label_centroids(emb).orderBy("label").collect()  # bounded: one row/label
+    cents = np.array([r["centroid"] for r in rows])
+    return knn_ivf(
+        emb, emb.where(F.col("vec_id").between(1, 10)), k=5,
+        nprobe=2, centroids=cents,
+    ).select("qid", "vec_id", "sim")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
