@@ -1865,6 +1865,118 @@ SELECT qid, vec_id, ROUND(sim, 6) AS sim FROM ranked WHERE rn <= 5
 """
 
 
+def _q49_sql() -> str:
+    """Oracle for q49: the URL construction AND every canonicalization
+    step replayed in DuckDB (all patterns lookaround-free; DuckDB's
+    regexp_replace needs the explicit 'g' Spark applies implicitly).
+    The multi-suffix alternation is generated from the SAME
+    MULTI_SUFFIXES tuple the engine uses — one source of truth."""
+    from gelly_streaming_spark.ext.web import MULTI_SUFFIXES
+
+    alt = "|".join(s.replace(".", r"\.") for s in MULTI_SUFFIXES)
+    return rf"""
+WITH raw AS (
+  SELECT doc_id,
+         (CASE doc_id % 4 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+                          WHEN 2 THEN 'http' ELSE 'HTTPS' END)
+         || '://'
+         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'cdn.' END)
+         || source
+         || (CASE WHEN doc_id % 5 = 0 THEN '-News.CO.UK' ELSE '-news.COM' END)
+         || (CASE WHEN doc_id % 6 = 0 THEN
+               (CASE WHEN doc_id % 4 IN (0, 2) THEN ':80' ELSE ':443' END)
+             ELSE '' END)
+         || (CASE WHEN doc_id % 9 = 0 THEN '/'
+             ELSE '/Doc/' || CAST(doc_id AS VARCHAR)
+                  || (CASE WHEN doc_id % 2 = 0
+                      THEN '?utm_source=Feed&id=' || CAST(doc_id AS VARCHAR)
+                      ELSE '?id=' || CAST(doc_id AS VARCHAR) END)
+                  || (CASE WHEN doc_id % 10 = 0
+                      THEN '&fbclid=AbC' || CAST(doc_id AS VARCHAR) ELSE '' END)
+                  || (CASE WHEN doc_id % 7 = 0 THEN '#Section2' ELSE '' END)
+             END) AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+             || substr(url, length(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1),
+           '#.*$', '', 'g'),
+           '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+           '\?&', '?', 'g'),
+           '&&+', '&', 'g'),
+           '[?&]$', '', 'g'),
+           '^(http://[^/:?#]+):80($|[/?#])', '\1\2', 'g'),
+           '^(https://[^/:?#]+):443($|[/?#])', '\1\2', 'g'),
+           '^([A-Za-z0-9+.-]+://[^/?#]+)/$', '\1', 'g') AS url_canon,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+  FROM raw
+),
+dom AS (
+  SELECT doc_id, url_canon,
+         CASE WHEN regexp_extract(host, '([^.]+\.({alt}))$', 1) <> ''
+              THEN regexp_extract(host, '([^.]+\.({alt}))$', 1)
+              ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+  FROM canon
+),
+bl AS (SELECT * FROM (VALUES ('src1-news.com'), ('src1-news.co.uk'),
+                             ('src7-news.com'), ('src7-news.co.uk')) t(domain))
+SELECT d.doc_id, d.url_canon, d.domain,
+       (bl.domain IS NOT NULL) AS blocked
+FROM dom d LEFT JOIN bl ON bl.domain = d.domain
+""".replace("{alt}", alt)
+
+
+@_q("q49_url_curation", _q49_sql(),
+    "URL/domain curation (the web-provenance pipeline stage): "
+    "deterministic in-query URL injection exercising EVERY "
+    "canonicalization rule (scheme/host case, fragments, utm/fbclid "
+    "tracking params, default ports, bare-host trailing slash, "
+    "multi-part public suffixes), then registered-domain extraction and "
+    "a broadcast domain-blocklist probe - per-doc canonical URLs "
+    "hash-certified against a DuckDB replay of the identical regex "
+    "pipeline (pure column expressions, zero shuffles over the corpus)")
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.web import domain_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    did = d.cast("string")
+    scheme = (
+        F.when(d % 4 == 0, "HTTP").when(d % 4 == 1, "https")
+        .when(d % 4 == 2, "http").otherwise("HTTPS")
+    )
+    port = F.when(
+        d % 6 == 0,
+        F.when((d % 4).isin(0, 2), ":80").otherwise(":443"),
+    ).otherwise("")
+    tail = F.when(d % 9 == 0, F.lit("/")).otherwise(
+        F.concat(
+            F.lit("/Doc/"), did,
+            F.when(d % 2 == 0, F.concat(F.lit("?utm_source=Feed&id="), did))
+            .otherwise(F.concat(F.lit("?id="), did)),
+            F.when(d % 10 == 0, F.concat(F.lit("&fbclid=AbC"), did)).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit("#Section2")).otherwise(F.lit("")),
+        )
+    )
+    url = F.concat(
+        scheme, F.lit("://"),
+        F.when(d % 3 == 0, "WWW.").otherwise("cdn."),
+        F.col("source"),
+        F.when(d % 5 == 0, "-News.CO.UK").otherwise("-news.COM"),
+        port, tail,
+    )
+    blocklist = spark.createDataFrame(
+        [("src1-news.com",), ("src1-news.co.uk",),
+         ("src7-news.com",), ("src7-news.co.uk",)],
+        ["domain"],
+    )
+    out = domain_filter(docs.withColumn("url", url), blocklist)
+    return out.select("doc_id", "url_canon", "domain", "blocked")
+
+
 @_q("q48_knn_ivf_search", _Q48_SQL,
     "IVF approximate kNN with a FIXED quantizer (the q45 label "
     "centroids): GEMM assignment to inverted lists, nprobe=2 probing, "

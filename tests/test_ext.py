@@ -126,6 +126,46 @@ def test_minhash_portable_path_exact_subset(docs):
         assert j == exact[pair]  # identical rounded Jaccard on shared pairs
 
 
+def test_url_canonicalize_and_domain(spark):
+    """Hand-computed canonicalization cases — one per documented rule —
+    plus registered-domain extraction over multi-part suffixes."""
+    from gelly_streaming_spark.ext.web import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    cases = [
+        ("HTTP://WWW.Ex.COM/Path?id=1", "http://www.ex.com/Path?id=1"),
+        ("https://a.ex.com/x#frag", "https://a.ex.com/x"),
+        ("https://ex.com/x?utm_source=f&id=2", "https://ex.com/x?id=2"),
+        ("https://ex.com/x?id=2&utm_a=1&fbclid=z", "https://ex.com/x?id=2"),
+        ("https://ex.com/x?utm_a=1", "https://ex.com/x"),
+        ("http://ex.com:80/x", "http://ex.com/x"),
+        ("https://ex.com:443/x", "https://ex.com/x"),
+        ("http://ex.com:8080/x", "http://ex.com:8080/x"),  # non-default kept
+        ("https://ex.com:80/x", "https://ex.com:80/x"),    # mismatched kept
+        ("https://ex.com/", "https://ex.com"),
+        ("no-scheme-here", "no-scheme-here"),
+    ]
+    df = spark.createDataFrame(cases, ["url", "want"])
+    got = df.select("url", "want", canonicalize_url(F.col("url")).alias("got")).collect()
+    for r in got:
+        assert r.got == r.want, (r.url, r.got, r.want)
+
+    doms = [
+        ("https://www.news.co.uk/x", "news.co.uk"),
+        ("https://a.b.site.com/x", "site.com"),
+        ("http://single", ""),  # no dot: no registered domain
+    ]
+    df2 = spark.createDataFrame(doms, ["url", "want"])
+    got2 = df2.select(
+        "want", registered_domain(url_host(F.col("url"))).alias("got")
+    ).collect()
+    for r in got2:
+        assert r.got == r.want, (r.want, r.got)
+
+
 def test_exact_dedup_keeps_distinct(docs):
     assert exact_dedup(docs, "doc_id", "text").count() == docs.select("text").distinct().count()
 
