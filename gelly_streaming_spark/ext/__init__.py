@@ -24,6 +24,12 @@ from gelly_streaming_spark.ext.similarity import (
     minhash_lsh_pairs,
 )
 from gelly_streaming_spark.ext.pipeline import curate_corpus
+from gelly_streaming_spark.ext.web import (
+    canonicalize_url,
+    domain_filter,
+    registered_domain,
+    url_host,
+)
 from gelly_streaming_spark.ext.split import (
     assign_split,
     deterministic_sample_per_group,
@@ -82,4 +88,8 @@ __all__ = [
     "tfidf_keywords",
     "token_doc_counts",
     "vocabulary",
+    "canonicalize_url",
+    "domain_filter",
+    "registered_domain",
+    "url_host",
 ]
