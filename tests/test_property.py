@@ -310,3 +310,61 @@ def test_shingle_ops_match_python_reference(spark, texts):
         if hits:
             expect_hits[i] = hits
     assert got_hits == expect_hits
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (ext/web): randomized structural properties
+# ---------------------------------------------------------------------------
+_url_labels = st.text(
+    alphabet="abXY19-", min_size=1, max_size=6
+).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]))
+    host = ".".join(draw(st.lists(_url_labels, min_size=1, max_size=4)))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = draw(st.sampled_from(["", "/", "/A/b", "/Doc/9"]))
+    query = draw(
+        st.sampled_from(
+            ["", "?id=1", "?utm_source=x", "?utm_a=1&id=2", "?id=2&fbclid=z&x=1"]
+        )
+    )
+    frag = draw(st.sampled_from(["", "#F", "#a/b?c"]))
+    return f"{scheme}://{host}{port}{path}{query}{frag}"
+
+
+@pytest.mark.parametrize("n_urls", [24])
+@given(data=st.data())
+@settings(**_SETTINGS)
+def test_url_canonicalize_properties(spark, data, n_urls):
+    """Structural properties over random URLs: canonicalization is
+    IDEMPOTENT (a canonical URL re-canonicalizes to itself), never emits
+    fragments or tracking params, and the registered domain is a
+    lowercase suffix of the host."""
+    from pyspark.sql import functions as F
+
+    from gelly_streaming_spark.ext.web import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    urls = [data.draw(_urls()) for _ in range(n_urls)]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(
+        "url",
+        canonicalize_url(F.col("url")).alias("c1"),
+        url_host(F.col("url")).alias("host"),
+        registered_domain(url_host(F.col("url"))).alias("dom"),
+    )
+    rows = once.select(
+        "url", "c1", "host", "dom", canonicalize_url(F.col("c1")).alias("c2")
+    ).collect()
+    for r in rows:
+        assert r.c2 == r.c1, (r.url, r.c1, r.c2)  # idempotent
+        assert "#" not in r.c1, r.c1
+        assert "utm_" not in r.c1 and "fbclid" not in r.c1, r.c1
+        assert r.dom == r.dom.lower()
+        assert r.dom == "" or r.host.endswith(r.dom), (r.host, r.dom)
