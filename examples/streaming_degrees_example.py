@@ -49,7 +49,12 @@ def main() -> None:
         .outputMode("update")
         .start()
     )
-    time.sleep(6)
+    # poll until the stream has produced at least one non-empty trigger:
+    # a fixed sleep raced the first micro-batch's cold start (state
+    # store + codegen) on a loaded host and asserted on zero triggers
+    deadline = time.time() + 90
+    while time.time() < deadline and not any(c for _, c in counts):
+        time.sleep(1)
     q.stop()
     q.awaitTermination(30)
     changed = [c for _, c in counts if c]
