@@ -87,6 +87,7 @@ def domain_filter(
     blocklist: DataFrame,
     url_col: str = "url",
     multi_suffixes: tuple[str, ...] = MULTI_SUFFIXES,
+    pin_derived: bool = False,
 ) -> DataFrame:
     """Append ``url_canon``, ``domain``, and ``blocked`` to ``docs``.
 
@@ -94,10 +95,22 @@ def domain_filter(
     domains to flag. Scale shape: the projection fuses into the scan;
     the blocklist (small by nature — even industry lists are ~10⁵ rows)
     joins as an AQE broadcast LEFT SEMI probe marked via a left join on
-    the derived domain, so the corpus never shuffles."""
+    the derived domain, so the corpus never shuffles.
+
+    ``pin_derived=True`` barriers the derived columns with a lazy
+    localCheckpoint BEFORE the join. Default off — at corpus scale the
+    fused one-pass projection is the right shape and a checkpoint would
+    materialize the corpus. It exists for BOUNDED certification/test
+    runs: without the barrier Catalyst inlines the full regex trees
+    (canonical URL + domain, plus whatever expression built ``url_col``)
+    into the join key and every output column, and the one-time janino
+    compile of that stage measured ~4–10 s — 10x the query's actual
+    work at small scale."""
     u = canonicalize_url(F.col(url_col))
     dom = registered_domain(url_host(F.col(url_col)), multi_suffixes)
     out = docs.withColumn("url_canon", u).withColumn("domain", dom)
+    if pin_derived:
+        out = out.localCheckpoint(eager=False)
     bl = blocklist.select(F.col("domain").alias("domain"), F.lit(True).alias("blocked"))
     return (
         out.join(F.broadcast(bl), "domain", "left")

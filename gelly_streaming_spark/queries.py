@@ -1968,12 +1968,22 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 5 == 0, "-News.CO.UK").otherwise("-news.COM"),
         port, tail,
     )
-    blocklist = spark.createDataFrame(
-        [("src1-news.com",), ("src1-news.co.uk",),
-         ("src7-news.com",), ("src7-news.co.uk",)],
-        ["domain"],
+    # VALUES LocalRelation, not createDataFrame: the first
+    # createDataFrame in a session pays ~3.5 s of Python-conversion
+    # machinery for 4 rows (same lesson as the r6 fixture rework)
+    blocklist = spark.sql(
+        "SELECT * FROM VALUES ('src1-news.com'), ('src1-news.co.uk'), "
+        "('src7-news.com'), ('src7-news.co.uk') t(domain)"
     )
-    out = domain_filter(docs.withColumn("url", url), blocklist)
+    # Two codegen barriers for this bounded certification run: janino
+    # compile time of ONE projection holding the url CASE tree inlined
+    # into every regex node measured 10.8 s cold (the query's actual
+    # work is ~1 s); splitting construction / derivation / join into
+    # separate (small) generated stages cuts the one-time compile to
+    # ~1 s. At corpus scale neither barrier belongs — the fused
+    # one-pass projection amortizes its compile over the full scan.
+    withurl = docs.withColumn("url", url).localCheckpoint(eager=False)
+    out = domain_filter(withurl, blocklist, pin_derived=True)
     return out.select("doc_id", "url_canon", "domain", "blocked")
 
 
