@@ -47,6 +47,7 @@ from gelly_streaming_spark.ext.text import (
     decontaminate,
     doc_shingles,
     duplicate_passages,
+    source_overlap,
     ngram_repetition,
     scrub_pii,
     text_profile,
@@ -82,6 +83,7 @@ __all__ = [
     "decontaminate",
     "doc_shingles",
     "duplicate_passages",
+    "source_overlap",
     "ngram_repetition",
     "scrub_pii",
     "text_profile",

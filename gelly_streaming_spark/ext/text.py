@@ -399,6 +399,43 @@ def ngram_repetition(
     )
 
 
+def source_overlap(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-source content-overlap matrix: rows ``(src_a, src_b,
+    shared)`` = distinct ``n``-token shingles present in BOTH sources,
+    for every unordered source pair — the diagnostic a data-mixture
+    design reads before weighting sources (two "independent" crawls
+    sharing half their shingles are one source for dedup purposes).
+
+    Scale shape: one shingle window (hashed keys — the output never
+    exposes shingles, so 8-byte longs replace the strings in every
+    shuffle), a doc-keyed join to attach the group, ONE distinct
+    (group, shingle) aggregation, then a shingle-keyed self-join whose
+    per-key fan-out is bounded by ``n_sources²`` BY CONSTRUCTION (each
+    shingle appears at most once per group after the distinct) — a hot
+    boilerplate shingle cannot blow up the join the way it can in
+    doc-pair expansion (contrast ``duplicate_passages``' max_df cap,
+    which bounds DOC fan-out)."""
+    sh = doc_shingles(docs, n, text_col, doc_id_col, hashed=True)
+    grp = docs.select(
+        F.col(doc_id_col).alias("doc_id"), F.col(group_col).alias("grp")
+    )
+    per = sh.join(grp, "doc_id").select("grp", "shingle").distinct()
+    a = per.select(F.col("grp").alias("src_a"), "shingle")
+    b = per.select(F.col("grp").alias("src_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+
 def duplicate_passages(
     docs: DataFrame,
     n: int = 8,

@@ -1309,6 +1309,35 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_repetition(docs, n=_SHINGLE_N)
 
 
+# Engine groups on HASHED shingles, the oracle on strings — identical
+# counts modulo 64-bit collisions (the q36/q37 count-only-consumer
+# precedent). The self-join's per-key fan-out is bounded by n_sources²
+# by construction, so no df cap is needed.
+_Q50_SQL = (
+    "WITH " + _SHINGLE_CTE + """,
+per AS (SELECT DISTINCT d.source AS grp, s.shingle
+        FROM sh s JOIN documents d USING (doc_id))
+SELECT a.grp AS src_a, b.grp AS src_b, COUNT(*) AS shared
+FROM per a JOIN per b ON a.shingle = b.shingle AND a.grp < b.grp
+GROUP BY 1, 2
+"""
+)
+
+
+@_q("q50_source_overlap", _Q50_SQL,
+    "cross-source content-overlap matrix: distinct shared n-token "
+    "shingles per unordered source pair - the data-mixture diagnostic "
+    "(two crawls sharing half their shingles are one source for dedup "
+    "purposes). One hashed shingle window, one (group, shingle) "
+    "distinct, one self-join with fan-out bounded by n_sources^2 by "
+    "construction")
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.text import source_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap(docs, n=_SHINGLE_N).select("src_a", "src_b", "shared")
+
+
 _Q38_SQL = (
     "WITH " + _SHINGLE_CTE + """,
 d AS (SELECT DISTINCT doc_id, shingle FROM sh),
