@@ -97,6 +97,30 @@ def main() -> None:
     print(f"train sample (<=10/lang, reproducible): {n4} docs")
     assert n0 >= n1 >= n2 >= n3 > 0
 
+    # web provenance: canonicalize synthetic crawl URLs, extract the
+    # registered domain, drop blocklisted domains (zero-shuffle stage)
+    from gelly_streaming_spark.ext.text import source_overlap
+    from gelly_streaming_spark.ext.web import domain_filter
+
+    d = F.col("doc_id")
+    with_url = clean.withColumn(
+        "url",
+        F.concat(F.lit("https://www."), F.col("source"),
+                 F.lit("-crawl.com/doc/"), d.cast("string"),
+                 F.lit("?utm_source=feed&id="), d.cast("string")),
+    )
+    bl = spark.sql("SELECT * FROM VALUES ('src1-crawl.com') t(domain)")
+    webbed = domain_filter(with_url, bl)
+    n5 = webbed.where(~F.col("blocked")).count()
+    print(f"domain blocklist: {n3} -> {n5} docs "
+          f"(dropped {n3 - n5} from blocklisted domains)")
+
+    # cross-source overlap: which sources share content (data-mixture
+    # diagnostic — heavily overlapping sources are one source for dedup)
+    top = source_overlap(clean, n=3).orderBy(F.desc("shared")).limit(3).collect()
+    print("most-overlapping source pairs:",
+          [(r.src_a, r.src_b, r.shared) for r in top])
+
 
 if __name__ == "__main__":
     main()
