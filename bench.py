@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import SparkSession
 
+from gelly_streaming_spark.blas import blas_env
 from gelly_streaming_spark.queries import REGISTRY
 from gelly_streaming_spark.session import BUILD_CONFS, RUNTIME_CONFS
 
@@ -187,12 +188,17 @@ def compact_line(result: dict) -> str:
             "runs_per_query", "session_setup_sec", "copart_build_sec",
             "errors_present", "comparable_queries", "registered_queries",
             "partial", "errored_queries", "duckdb_total_sec",
-            "ratio_vs_duckdb", "heavy_engine_sec", "heavy_duckdb_sec",
-            "ratio_heavy",
+            "ratio_vs_duckdb", "ratio_raw", "matched_queries",
+            "engine_matched_sec", "duckdb_matched_sec", "duck_skipped",
+            "heavy_engine_sec", "heavy_duckdb_sec", "ratio_heavy",
         )
         if k in result
     }
     compact["queries"] = _short_queries(compact.get("queries", {}))
+    if "duck_skipped" in compact:
+        compact["duck_skipped"] = sorted(
+            n.split("_", 1)[0] for n in compact["duck_skipped"]
+        )
     compact["detail"] = "bench_detail.json"
     line = json.dumps(compact)
     # Degrade gracefully if the query set ever grows the line past
@@ -205,12 +211,65 @@ def compact_line(result: dict) -> str:
     # `queries` is part of the driver contract — shed optional
     # fields instead if the line is still too long.
     for opt in ("value_max_runs", "errored_queries", "session_setup_sec",
+                "duck_skipped", "engine_matched_sec", "duckdb_matched_sec",
                 "heavy_engine_sec", "heavy_duckdb_sec"):
         if len(line) <= 1900:
             break
         compact.pop(opt, None)
         line = json.dumps(compact)
     return line
+
+
+# Queries whose DuckDB oracle recomputes the copart join that the engine
+# builds ONCE as the timed copart_canonical line item — the matched-set
+# engine total charges the build only when one of these is matched.
+_COPART_CONSUMER_IDS = ("q07", "q11b", "q17", "q18")
+
+
+def compute_ratios(
+    timings: dict[str, float],
+    duck: dict[str, float],
+    copart_build_sec: float = 0.0,
+) -> dict:
+    """Ratio fields over the MATCHED query set only.
+
+    BENCH_r08 failure: deferred slow oracles ran out of budget, so 4
+    queries had engine times but no DuckDB time — yet the headline ratio
+    divided the 62-query engine total by the 58-query duck total (6.03
+    recorded vs 2.39 with the missing oracles imputed). The gate metric
+    ``ratio_vs_duckdb`` is now engine/duck over queries timed on BOTH
+    sides; the mismatched raw division survives only as ``ratio_raw``,
+    and ``duck_skipped`` names every engine-timed query the oracle side
+    missed so the tail line is self-diagnosing."""
+    out: dict = {}
+    matched = sorted(n for n in timings if n in duck)
+    skipped = sorted(n for n in timings if n not in duck)
+    eng_m = sum(timings[n] for n in matched)
+    duck_m = sum(duck[n] for n in matched)
+    if any(n.split("_", 1)[0] in _COPART_CONSUMER_IDS for n in matched):
+        eng_m += copart_build_sec
+    out["matched_queries"] = len(matched)
+    if skipped:
+        out["duck_skipped"] = skipped
+    out["engine_matched_sec"] = round(eng_m, 3)
+    out["duckdb_matched_sec"] = round(duck_m, 3)
+    if duck_m > 0:
+        out["ratio_vs_duckdb"] = round(eng_m / duck_m, 3)
+    raw_total = sum(timings.values()) + copart_build_sec
+    raw_duck = sum(duck.values())
+    if raw_duck > 0:
+        out["ratio_raw"] = round(raw_total / raw_duck, 3)
+    # Floor-vs-plan split (BASELINE.md): queries where the DuckDB median
+    # is >= 0.1 s are "heavy" — above the trivial-query engine floor, so
+    # the ratio over them compares plan quality, not job-launch constants.
+    heavy = [n for n in matched if duck[n] >= 0.1]
+    heavy_duck = sum(duck[n] for n in heavy)
+    if heavy_duck > 0:
+        out["heavy_queries"] = heavy
+        out["heavy_engine_sec"] = round(sum(timings[n] for n in heavy), 3)
+        out["heavy_duckdb_sec"] = round(heavy_duck, 3)
+        out["ratio_heavy"] = round(out["heavy_engine_sec"] / heavy_duck, 3)
+    return out
 
 
 class _Budget:
@@ -230,15 +289,37 @@ class _Budget:
     def remaining(self) -> float:
         return self.total - (time.time() - self.start)
 
-    def runs_allowed(self, configured: int) -> int:
-        rem = self.remaining()
+    def runs_allowed(
+        self,
+        configured: int,
+        est_query_sec: float | None = None,
+        n_remaining: int = 0,
+        reserve: float = 0.0,
+    ) -> int:
+        """Runs for the NEXT query under budget pressure.
+
+        ``reserve`` is wall-clock earmarked for the deferred slow oracles
+        (they used to run on leftovers; BENCH_r08 ran out and the ratio
+        lost its 2 slowest DuckDB queries). ``est_query_sec`` is the
+        observed average wall per query at the CURRENT run rate — when
+        the projection for the queries still ahead exceeds 60% of the
+        effective remainder, runs degrade ahead of the old fixed
+        20%/40%-of-total ladder (which only reacted once the budget was
+        nearly gone — BENCH_r08's first tail line said partial:true)."""
+        rem = self.remaining() - reserve
         if rem <= 5:
             return 0  # stop — leave time to flush the final line
+        allowed = configured
         if rem < 0.2 * self.total:
-            return 1
-        if rem < 0.4 * self.total:
-            return min(configured, 2)
-        return configured
+            allowed = 1
+        elif rem < 0.4 * self.total:
+            allowed = min(configured, 2)
+        if est_query_sec and n_remaining > 0:
+            projected = est_query_sec * n_remaining
+            while allowed > 1 and projected > 0.6 * rem:
+                projected *= (allowed - 1) / allowed
+                allowed -= 1
+        return allowed
 
 
 def main() -> None:
@@ -247,6 +328,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     budget = _Budget()
 
+    # Pin BLAS pools in this process BEFORE the JVM starts: local-mode
+    # Python workers inherit the JVM's env (itself inherited from here),
+    # so every numpy kernel runs single-threaded under Spark's own
+    # 32-task parallelism (the BENCH_r08 q23b/q17 steal amplifier).
+    for k, v in blas_env(1).items():
+        os.environ.setdefault(k, v)
     builder = (
         SparkSession.builder.appName("gelly-streaming-bench")
         .master(f"local[{cpus}]")
@@ -350,30 +437,17 @@ def main() -> None:
 
         # Same-run DuckDB baseline ON BY DEFAULT (BENCH_DUCKDB=0
         # disables), so every BENCH_r*.json carries its own same-host
-        # ratio. Timed interleaved run-for-run with the engine.
+        # ratio. Timed interleaved run-for-run with the engine. The
+        # headline ratio_vs_duckdb is the MATCHED-SET ratio — queries
+        # timed on both sides — never a raw total over mismatched sets
+        # (compute_ratios docstring has the BENCH_r08 postmortem).
         if duck_con is not None:
             result["duckdb_queries"] = duck
             result["duckdb_queries_min"] = duck_min
             result["duckdb_total_sec"] = round(sum(duck.values()), 3)
-            if result["duckdb_total_sec"] > 0:
-                result["ratio_vs_duckdb"] = round(
-                    total / result["duckdb_total_sec"], 3
-                )
-            # Floor-vs-plan split (BASELINE.md): queries where the
-            # DuckDB median is >= 0.1 s are "heavy" — above the
-            # trivial-query engine floor, so the ratio over them
-            # compares plan quality rather than job-launch constants.
-            heavy = [n for n in duck if duck[n] >= 0.1 and n in timings]
-            heavy_duck = sum(duck[n] for n in heavy)
-            if heavy_duck > 0:
-                result["heavy_queries"] = sorted(heavy)
-                result["heavy_engine_sec"] = round(
-                    sum(timings[n] for n in heavy), 3
-                )
-                result["heavy_duckdb_sec"] = round(heavy_duck, 3)
-                result["ratio_heavy"] = round(
-                    result["heavy_engine_sec"] / heavy_duck, 3
-                )
+            result.update(
+                compute_ratios(timings, duck, meta["copart_build_sec"])
+            )
         return result
 
     def emit(newline_first: bool = False) -> None:
@@ -457,9 +531,26 @@ def main() -> None:
     duck_lock = threading.Lock()
     duck_slow_cap = float(os.environ.get("BENCH_DUCK_SLOW_SEC", "5"))
     duck_deferred: dict[str, str] = {}  # slow oracles, re-run after the loop
+    # Wall-clock earmarked per deferred oracle (they were interrupted at
+    # duck_slow_cap; the two quadratic ones actually run 8-18 s at sf0.1)
+    # — a GUARANTEED reserve instead of leftovers, so the matched-set
+    # ratio keeps its slowest DuckDB queries (BENCH_r08 lost q22/q31).
+    defer_est = max(15.0, 2.5 * duck_slow_cap)
+    loop_t0 = time.time()
+    queries_done = 0
+    ordered = sorted(REGISTRY.items())
 
-    for name, q in sorted(REGISTRY.items()):
-        runs_now = budget.runs_allowed(runs_per_query)
+    for name, q in ordered:
+        reserve = min(50.0, defer_est * len(duck_deferred))
+        est = (
+            (time.time() - loop_t0) / queries_done if queries_done else None
+        )
+        runs_now = budget.runs_allowed(
+            runs_per_query,
+            est_query_sec=est,
+            n_remaining=len(ordered) - queries_done,
+            reserve=reserve,
+        )
         if runs_now == 0 or out_of_budget:
             break  # budget exhausted — stop cleanly, partial stays true
         runs: list[float] = []
@@ -559,8 +650,9 @@ def main() -> None:
                     with duck_lock:
                         d_armed["on"] = False
                     d_timer.cancel()
-            if budget.remaining() <= 5:
+            if budget.remaining() - reserve <= 5:
                 break  # keep whatever runs we have; flush and move on
+        queries_done += 1
         # a query that errored on ANY run is excluded from timings
         # entirely (not a median of its lucky runs): `queries`,
         # `comparable_queries`, and the DuckDB side then all cover the
@@ -580,11 +672,13 @@ def main() -> None:
 
     # Deferred slow oracles: timed once each, AFTER every engine timing
     # is in the book — their multi-ten-second all-core burns can no
-    # longer heat an engine run. Runs are best-effort under whatever
-    # budget remains (a missing entry just shrinks the duck total; the
-    # engine side is already complete and flagged by partial/policy).
+    # longer heat an engine run. The main loop holds a wall-clock
+    # reserve per deferred entry, so this phase runs on GUARANTEED time;
+    # if an oracle still overruns, the matched-set ratio simply excludes
+    # it (duck_skipped names it in the tail line) instead of silently
+    # shrinking the denominator under the full engine total.
     for name, sql in duck_deferred.items():
-        if budget.remaining() <= 15:
+        if budget.remaining() <= 5:
             break
         t0 = time.time()
         try:

@@ -208,6 +208,9 @@ def triangle_count(
         def count_slices(batches):
             import pandas as pd
 
+            from gelly_streaming_spark.blas import pin_blas_threads
+
+            pin_blas_threads()
             p = bc.value
             for pdf in batches:
                 t = 0 if p is None else sum(
@@ -242,6 +245,9 @@ def _tri_prep_spark(e: DataFrame, tbl):
     to need the np.unique remap (edge codes would overflow int64)."""
     import numpy as np
 
+    from gelly_streaming_spark.blas import pin_blas_threads
+
+    pin_blas_threads()
     src = tbl["src"].to_numpy().astype(np.int64)
     dst = tbl["dst"].to_numpy().astype(np.int64)
     max_id = int(max(src.max(), dst.max()))
@@ -307,6 +313,9 @@ def _tri_prep(src, dst):
     distributed slices pull."""
     import numpy as np
 
+    from gelly_streaming_spark.blas import pin_blas_threads
+
+    pin_blas_threads()
     m = len(src)
     max_id = int(max(src.max(), dst.max()))
     # relative density test for small windows, absolute 50M cap for large
@@ -342,6 +351,9 @@ def _tri_count_slice(u, v, edge_code, n, part: int = 0, nparts: int = 1) -> int:
     once, at its unique pivot."""
     import numpy as np
 
+    from gelly_streaming_spark.blas import pin_blas_threads
+
+    pin_blas_threads()
     if nparts > 1:
         # slice on the REMAPPED pivot id — u-groups stay contiguous
         keep = (u % nparts) == part

@@ -94,16 +94,32 @@ def _bucket_array_udf(tables: list[np.ndarray]):
     # pandas_udf type-hint inference — the returnType string is enough
     @F.pandas_udf("array<long>")
     def _buckets(vs):
+        from gelly_streaming_spark.blas import pin_blas_threads
+
+        pin_blas_threads()
         mask = vs.notna().to_numpy()
         res: list = [None] * len(vs)
         if mask.any():
             rows = vs[mask].to_list()
-            for r in rows:
+            keep_pos: list[int] = []
+            keep_rows: list = []
+            for pos, r in zip(np.flatnonzero(mask), rows):
                 if len(r) != dim:
                     raise ValueError(
                         f"lsh_signature: vector length {len(r)} != planes dim {dim}"
                     )
-            x = np.asarray(rows, dtype=np.float64)
+                # A null ELEMENT null-propagates through lsh_signature's
+                # aggregate() to a null signature; match that row-level
+                # semantic here instead of letting np.asarray build an
+                # object array and the matmul raise (ADVICE r8).
+                if any(e is None for e in r):
+                    continue
+                keep_pos.append(int(pos))
+                keep_rows.append(r)
+            mask = np.zeros(len(vs), dtype=bool)
+            mask[keep_pos] = True
+        if mask.any():
+            x = np.asarray(keep_rows, dtype=np.float64)
             signs = (x @ bank.T) >= 0.0  # (n, sum planes)
             packed = np.stack(
                 [
@@ -267,6 +283,9 @@ def _exact_pairs_gemm(
         return ids, mat
 
     def gemm(batches):
+        from gelly_streaming_spark.blas import pin_blas_threads
+
+        pin_blas_threads()
         for pdf in batches:
             for t in pdf.itertuples(index=False):
                 ids_l, mat_l = _unzip(t.rows_l)
@@ -370,6 +389,9 @@ def _kmeans_centroids(
     reseed to random sample points, so exactly ``n_clusters`` centroids
     come back. Training quality needs only a representative sample — the
     standard IVF recipe (train on a subset, assign everything)."""
+    from gelly_streaming_spark.blas import pin_blas_threads
+
+    pin_blas_threads()  # driver-side Lloyd's shares the host with 32 tasks
     pdf = (
         corpus.select(
             F.col(vec_col).cast("array<double>").alias("v"),
@@ -411,6 +433,9 @@ def _assign_clusters(
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
     def run(batches):
+        from gelly_streaming_spark.blas import pin_blas_threads
+
+        pin_blas_threads()
         for pdf in batches:
             if not len(pdf):
                 continue

@@ -133,6 +133,9 @@ def _bitset_rep_pairs(spark, reps: DataFrame, threshold: float, vocab) -> DataFr
                         s_count * s_count // 4_000_000 + 1))
 
     def score(batches):
+        from gelly_streaming_spark.blas import pin_blas_threads
+
+        pin_blas_threads()
         b_ids, b_masks, b_na = bc.value
         n = len(b_ids)
         for pdf in batches:

@@ -20,7 +20,11 @@ Scale notes (100 TB target):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
+
+from gelly_streaming_spark.blas import blas_env
 
 # Confs that are safe (and required) to set on a live session at runtime.
 RUNTIME_CONFS: dict[str, str] = {
@@ -49,6 +53,11 @@ BUILD_CONFS: dict[str, str] = {
     # bench driver they flood the captured output tail and can push the
     # headline JSON line out of the parse window (BENCH_r06 failure mode).
     "spark.ui.showConsoleProgress": "false",
+    # Single-threaded BLAS inside every Python worker: Spark's task-level
+    # parallelism supplies the cores; a threaded OpenBLAS under 32
+    # concurrent numpy-kernel tasks is multiplicative oversubscription
+    # (the BENCH_r08 q23b/q17 blowout mechanism — see blas.py).
+    **{f"spark.executorEnv.{k}": v for k, v in blas_env(1).items()},
 }
 
 
@@ -88,6 +97,11 @@ def get_spark(
     on a real cluster the deploy environment supplies the master and this
     argument is left None.
     """
+    # Set the BLAS pins in THIS process's env before the JVM launches:
+    # local-mode Python workers inherit the JVM env, and the JVM inherits
+    # ours — so even workers forked before executorEnv applies are pinned.
+    for k, v in blas_env(1).items():
+        os.environ.setdefault(k, v)
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
