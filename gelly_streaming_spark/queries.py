@@ -1898,11 +1898,11 @@ def _q49_sql() -> str:
     """Oracle for q49: the URL construction AND every canonicalization
     step replayed in DuckDB (all patterns lookaround-free; DuckDB's
     regexp_replace needs the explicit 'g' Spark applies implicitly).
-    The multi-suffix alternation is generated from the SAME
-    MULTI_SUFFIXES tuple the engine uses — one source of truth."""
-    from gelly_streaming_spark.ext.web import MULTI_SUFFIXES
+    The multi-suffix alternation is generated by the SAME helper the
+    engine uses (deepest-first ordering included) — one source of truth."""
+    from gelly_streaming_spark.ext.web import suffix_alternation
 
-    alt = "|".join(s.replace(".", r"\.") for s in MULTI_SUFFIXES)
+    alt = suffix_alternation()
     return rf"""
 WITH raw AS (
   SELECT doc_id,
@@ -2036,9 +2036,62 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", "sim")
 
 
+# Driver-certification export order. The correctness harness records the
+# FIRST 50 entries of queries() in iteration order (CORRECTNESS_r08: 62
+# registered, exactly the first 50 got rows — every round-8 flagship
+# landed outside the window because q38-q49 were registered last). The
+# window is therefore an explicit, curated list, not an accident of
+# source-file position:
+#   1. never-driver-certified queries FIRST (q38-q49 as of r9) — until a
+#      CORRECTNESS_r*.json holds a green row, they are builder-claimed;
+#   2. every SURVEY §2-mapped reference-operator row (36 names) — the
+#      §2 coverage table must re-certify every round;
+#   3. two headline LLM-pipeline rows (exact dedup, kNN) fill the window;
+#   4. long-stable extension rows (all green in CORRECTNESS_r08) last —
+#      they fall outside the 50-row window this round by design.
+# Names NOT in this list (future queries) sort before everything: a new
+# query is by definition never-driver-certified.
+_CERT_ORDER: list[str] = [
+    # -- 1: certified never (r8 additions) --
+    "q38_duplicate_passages", "q39_pii_scrub", "q40_pack_sequences",
+    "q41_mixture_sample", "q42_curate_corpus", "q43_minhash_lsh",
+    "q44_simhash_pairs", "q45_centroid_assign", "q46_knn_lsh",
+    "q47_embedding_near_dup_lsh", "q48_knn_ivf_search", "q49_url_curation",
+    # -- 2: SURVEY §2 reference-operator rows --
+    "q01_scan", "q02_reverse", "q03_undirected", "q04_filter_edges",
+    "q05_filter_vertices", "q05b_filter_vertices_semi", "q06_map_edges",
+    "q07_distinct", "q08_degrees", "q09_in_out_degrees", "q10_counts",
+    "q11_union_degrees", "q11b_intersect_except", "q12_slice_reduce",
+    "q12c_sliding", "q12d_session", "q13_fold_neighbors",
+    "q14_apply_neighbors", "q15_connected_components", "q15b_cc_summary",
+    "q15c_cc_alternating", "q15d_cc_distributed", "q15e_cc_summary_windowed",
+    "q15f_cc_summary_bulk", "q16_bipartiteness", "q17_triangles",
+    "q18_windowed_triangles", "q19b_asof_join", "q20_topk_degrees",
+    "q20b_rollup", "q25s_streaming_degrees", "q26s_streaming_cc",
+    "q27s_streaming_window_append", "q28s_streaming_dedup",
+    "q29s_streaming_degrees_update", "q30_bucketed_ingest",
+    # -- 3: headline LLM-pipeline rows (window slots 49-50) --
+    "q21_exact_dedup", "q23_knn_cosine",
+    # -- 4: long-stable extension rows (outside the window this round) --
+    "q21b_dedup_groups", "q22_jaccard_pairs", "q23b_embedding_near_dup",
+    "q24_text_analysis", "q31_near_dup_collapse", "q32_stratified_split",
+    "q33_vocab", "q34_deterministic_sample", "q35_tfidf_keywords",
+    "q36_decontaminate", "q37_ngram_repetition", "q50_source_overlap",
+]
+
+
+def _export_order() -> list[str]:
+    pos = {n: i for i, n in enumerate(_CERT_ORDER)}
+    return sorted(REGISTRY, key=lambda n: (n in pos, pos.get(n, 0), n))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _export_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
+    return {
+        name: REGISTRY[name].sql
+        for name in _export_order()
+        if REGISTRY[name].sql is not None
+    }

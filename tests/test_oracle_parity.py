@@ -22,3 +22,51 @@ def test_every_query_has_oracle():
     """Differential coverage is total: every registry query carries oracle
     SQL (the former rows-only weak check has an empty domain by design)."""
     assert [n for n, q in CASES if q.sql is None] == []
+
+
+def test_certification_window_order():
+    """The driver's correctness harness records the FIRST 50 entries of
+    queries() in iteration order (r8 lesson: q38-q49 registered last got
+    no CORRECTNESS row at all). Lock the export-order contract:
+    never-certified queries first, every SURVEY §2 row inside the window,
+    unknown future names before everything."""
+    from gelly_streaming_spark.queries import _CERT_ORDER, oracle_sql, queries
+
+    names = list(queries())
+    assert set(names) == set(REGISTRY)
+    assert set(_CERT_ORDER) == set(REGISTRY), (
+        "every registered query must appear in _CERT_ORDER exactly once — "
+        "update the list when adding queries"
+    )
+    window = names[:50]
+    # the r8 never-certified block leads the window
+    r8_new = [
+        "q38_duplicate_passages", "q39_pii_scrub", "q40_pack_sequences",
+        "q41_mixture_sample", "q42_curate_corpus", "q43_minhash_lsh",
+        "q44_simhash_pairs", "q45_centroid_assign", "q46_knn_lsh",
+        "q47_embedding_near_dup_lsh", "q48_knn_ivf_search",
+        "q49_url_curation",
+    ]
+    assert window[: len(r8_new)] == r8_new
+    # every §2 reference-operator row stays inside the window
+    s2_ids = {
+        "q01", "q02", "q03", "q04", "q05", "q05b", "q06", "q07", "q08",
+        "q09", "q10", "q11", "q11b", "q12", "q12c", "q12d", "q13", "q14",
+        "q15", "q15b", "q15c", "q15d", "q15e", "q15f", "q16", "q17",
+        "q18", "q19b", "q20", "q20b", "q25s", "q26s", "q27s", "q28s",
+        "q29s", "q30",
+    }
+    in_window_ids = {n.split("_", 1)[0] for n in window}
+    assert s2_ids <= in_window_ids, s2_ids - in_window_ids
+    # oracle_sql iterates in the same order (driver zips the two)
+    assert list(oracle_sql()) == [
+        n for n in names if REGISTRY[n].sql is not None
+    ]
+    # a future (unknown) name must sort before everything
+    from gelly_streaming_spark.queries import _export_order
+
+    REGISTRY["q99_future"] = REGISTRY[names[0]]
+    try:
+        assert _export_order()[0] == "q99_future"
+    finally:
+        del REGISTRY["q99_future"]
