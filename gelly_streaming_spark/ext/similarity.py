@@ -248,9 +248,12 @@ def jaccard_rep_pairs(
     # empty array emits no rows): they can never share a token, so they
     # belong to no pair — collapse-level consumers must handle them
     # separately (near_dup_collapse's md5 complement).
+    # array_compact first: collect_list on the old explode path SKIPPED
+    # null elements, so a custom token expression emitting null elements
+    # must not inflate set sizes (and shift Jaccard) here (ADVICE r8).
     arrs = docs.select(
         F.col(id_col).alias("id"),
-        F.array_sort(F.array_distinct(tokens)).alias("toks"),
+        F.array_sort(F.array_distinct(F.array_compact(tokens))).alias("toks"),
     ).where(F.size("toks") > 0)
     grp = (
         arrs.groupBy("toks")

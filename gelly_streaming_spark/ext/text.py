@@ -505,9 +505,12 @@ def duplicate_passages(
 
 # PII patterns restricted to the regex dialect intersection of Java
 # (Spark) and RE2 (DuckDB/Go/Rust scrubbers): no backrefs, no lookaround
-# — so one pattern table drives every engine in the pipeline. Ordered:
-# emails are scrubbed before IPs so a dotted-quad inside an address is
-# consumed by the email token, never double-counted.
+# — so one pattern table drives every engine in the pipeline. Table
+# order affects only the SCRUBBED text (earlier patterns consume their
+# span first, so a dotted-quad inside an email is replaced as part of
+# the <EMAIL> token); the n_<kind> counts are computed independently per
+# pattern over the ORIGINAL text, so user@1.2.3.4 increments both
+# n_email and n_ipv4 by design (the oracle counts the same way).
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),

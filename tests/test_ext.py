@@ -157,6 +157,25 @@ def test_url_canonicalize_and_domain(spark):
         ("https://www.news.co.uk/x", "news.co.uk"),
         ("https://a.b.site.com/x", "site.com"),
         ("http://single", ""),  # no dot: no registered domain
+        # vendored PSL breadth (none of these were in the pre-r9 16-entry
+        # excerpt — registered_domain() was WRONG for all of them)
+        ("https://www.haber.com.tr/x", "haber.com.tr"),
+        ("https://shop.example.co.nz/x", "example.co.nz"),
+        ("http://diario.clarin.com.ar/n", "clarin.com.ar"),
+        ("https://portal.algo.gob.mx/x", "algo.gob.mx"),
+        ("https://www.iit.ac.in/x", "iit.ac.in"),
+        ("http://www.meti.go.jp/x", "meti.go.jp"),
+        ("https://news.straits.com.sg/x", "straits.com.sg"),
+        ("https://toko.media.co.id/x", "media.co.id"),
+        ("http://www.camara.gov.br/x", "camara.gov.br"),
+        ("https://shop.foo.co.il/x", "foo.co.il"),
+        ("https://m.site.com.hk/x", "site.com.hk"),
+        ("https://uni.example.edu.au/x", "example.edu.au"),
+        ("https://www.anadolu.k12.tr/x", "anadolu.k12.tr"),
+        ("http://www.mycity.gov.ua/x", "mycity.gov.ua"),
+        # 3-label PSL entry must beat its 2-label parent (deepest-first
+        # alternation): school.nsw.edu.au, not nsw.edu.au
+        ("https://www.school.nsw.edu.au/x", "school.nsw.edu.au"),
     ]
     df2 = spark.createDataFrame(doms, ["url", "want"])
     got2 = df2.select(
@@ -164,6 +183,24 @@ def test_url_canonicalize_and_domain(spark):
     ).collect()
     for r in got2:
         assert r.got == r.want, (r.want, r.got)
+
+
+def test_domain_filter_dedups_blocklist(spark, docs):
+    """A blocklist with duplicate domain rows must not multiply matching
+    corpus rows through the left join (ADVICE r8)."""
+    from gelly_streaming_spark.ext.web import domain_filter
+
+    d = docs.withColumn(
+        "url", F.concat(F.lit("https://www."), F.col("source"), F.lit(".com/x"))
+    )
+    srcs = [r.source for r in d.select("source").distinct().limit(1).collect()]
+    dom = f"{srcs[0]}.com"
+    bl = spark.createDataFrame([(dom,), (dom,), (dom,)], ["domain"])
+    out = domain_filter(d, bl)
+    assert out.count() == d.count()  # no row multiplication
+    assert out.where(F.col("domain") == dom).count() == out.where(
+        (F.col("domain") == dom) & F.col("blocked")
+    ).count()
 
 
 def test_exact_dedup_keeps_distinct(docs):
@@ -240,6 +277,63 @@ def test_multimodal_plumbing(docs):
     assert all(len(f) == 8 for _, _, f in r0.values())
     with pytest.raises(NotImplementedError):
         strict_decoder(b"xx", "image")
+
+
+def test_codec_injection_contract(docs):
+    """The documented production path — swapping an external codec
+    (libjpeg-turbo et al.) in through the ``decoder=`` / ``resizer=``
+    hooks — proven with test doubles (VERDICT r8 #6): the hook receives
+    exactly (payload, kind) / (payload, width, height), and its return
+    value re-enters the pipeline verbatim. The doubles encode their
+    received arguments into their outputs, so the assertion needs no
+    worker->driver side channel; the pure-Python defaults are untouched."""
+    from gelly_streaming_spark.ext.multimodal import (
+        extract_features,
+        resize_media,
+        synthetic_media,
+    )
+
+    media = synthetic_media(docs).limit(20)
+    raw = {r.media_id: (bytes(r.payload), r.kind) for r in media.collect()}
+    assert raw and any(k == "image" for _, k in raw.values())
+
+    def probe_decoder(payload, kind):
+        # width <- payload length, height <- kind length, feature carries
+        # the first payload byte: output columns prove the exact inputs
+        return (
+            len(payload),
+            len(kind),
+            1,
+            [float(payload[0]), float(len(payload))],
+        )
+
+    feats = {
+        r.media_id: r
+        for r in extract_features(media, decoder=probe_decoder).collect()
+    }
+    assert set(feats) == set(raw)
+    for mid, (payload, kind) in raw.items():
+        r = feats[mid]
+        assert r.width == len(payload), "decoder did not receive the payload"
+        assert r.height == len(kind), "decoder did not receive the kind"
+        assert r.n_frames == 1
+        assert r.feature == [float(payload[0]), float(len(payload))]
+
+    def probe_resizer(payload, width, height):
+        return b"RSZ:%dx%d:" % (width, height) + payload[:4]
+
+    out = {
+        r.media_id: r
+        for r in resize_media(media, 7, 3, resizer=probe_resizer).collect()
+    }
+    for mid, (payload, kind) in raw.items():
+        r = out[mid]
+        if kind == "image":
+            want = b"RSZ:7x3:" + payload[:4]
+            assert bytes(r.payload) == want  # resizer output re-entered
+            assert r.meta["bytes"] == len(want)  # meta updated from it
+        else:
+            assert bytes(r.payload) == payload  # non-image passthrough
 
 
 def test_text_profile(docs):
