@@ -300,23 +300,26 @@ class _Budget:
 
         ``reserve`` is wall-clock earmarked for the deferred slow oracles
         (they used to run on leftovers; BENCH_r08 ran out and the ratio
-        lost its 2 slowest DuckDB queries). ``est_query_sec`` is the
+        lost its 2 slowest DuckDB queries). The reserve ONLY accelerates
+        run-degradation — it must never stop the loop early: a stop
+        leaves queries untimed (partial:true), strictly worse than
+        1-run timings plus fully-timed oracles. ``est_query_sec`` is the
         observed average wall per query at the CURRENT run rate — when
         the projection for the queries still ahead exceeds 60% of the
         effective remainder, runs degrade ahead of the old fixed
         20%/40%-of-total ladder (which only reacted once the budget was
         nearly gone — BENCH_r08's first tail line said partial:true)."""
+        if self.remaining() <= 5:
+            return 0  # hard stop — leave time to flush the final line
         rem = self.remaining() - reserve
-        if rem <= 5:
-            return 0  # stop — leave time to flush the final line
         allowed = configured
-        if rem < 0.2 * self.total:
+        if rem <= 5 or rem < 0.2 * self.total:
             allowed = 1
         elif rem < 0.4 * self.total:
             allowed = min(configured, 2)
         if est_query_sec and n_remaining > 0:
             projected = est_query_sec * n_remaining
-            while allowed > 1 and projected > 0.6 * rem:
+            while allowed > 1 and projected > 0.6 * max(rem, 1.0):
                 projected *= (allowed - 1) / allowed
                 allowed -= 1
         return allowed
@@ -542,8 +545,12 @@ def main() -> None:
 
     for name, q in ordered:
         reserve = min(50.0, defer_est * len(duck_deferred))
+        # projection needs a stable sample: the first queries carry
+        # one-time session builds that overestimate the steady rate
         est = (
-            (time.time() - loop_t0) / queries_done if queries_done else None
+            (time.time() - loop_t0) / queries_done
+            if queries_done >= 5
+            else None
         )
         runs_now = budget.runs_allowed(
             runs_per_query,

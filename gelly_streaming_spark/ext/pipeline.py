@@ -94,17 +94,23 @@ def curate_corpus(
     sh = doc_shingles(d, n, text_col, doc_id_col, hashed=True)
     sh = sh.localCheckpoint(eager=False)
 
+    # The repetition verdict is only ever consumed as a FILTER, so the
+    # corpus never joins the per-doc stat table (which is corpus-sized —
+    # a guaranteed shuffle of every surviving row): instead the stats
+    # reduce to the VIOLATOR id set, which unions with the contamination
+    # hits into ONE left-anti probe. Violators + hits are the filtered-
+    # out minority by construction, so AQE broadcasts the anti side at
+    # runtime and the corpus stream never shuffles after dedup (r9 — was
+    # a corpus-wide left join + a separate anti join).
     per = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("_c"))
     rep = per.groupBy("doc_id").agg(
         F.sum("_c").alias("n_ngrams"), F.count(F.lit(1)).alias("n_distinct")
-    ).select(F.col("doc_id").alias(doc_id_col), "n_ngrams", "n_distinct")
-    d = d.join(rep, doc_id_col, "left").where(
-        F.col("n_ngrams").isNull()
-        | (
-            (F.col("n_ngrams") - F.col("n_distinct")) * 1000
-            <= F.lit(int(max_rep_permille)) * F.col("n_ngrams")
-        )
-    ).drop("n_ngrams", "n_distinct")
+    )
+    # docs with no n-gram never appear in `rep` — vacuously compliant
+    bad = rep.where(
+        (F.col("n_ngrams") - F.col("n_distinct")) * 1000
+        > F.lit(int(max_rep_permille)) * F.col("n_ngrams")
+    ).select(F.col("doc_id").alias(doc_id_col))
 
     if blocklist is not None:
         block_sh = (
@@ -117,6 +123,8 @@ def curate_corpus(
             .select(F.col("doc_id").alias(doc_id_col))
             .distinct()
         )
-        d = d.join(hits, doc_id_col, "left_anti")
+        # anti join tolerates duplicate probe rows — no union-level distinct
+        bad = bad.unionByName(hits)
 
+    d = d.join(bad, doc_id_col, "left_anti")
     return scrub_pii(d, text_col)

@@ -265,6 +265,7 @@ def doc_shingles(
     doc_id_col: str = "doc_id",
     chunk_tokens: int | None = 65536,
     hashed: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, shingle) — every ``n``-token shingle of every document
     (duplicates kept; docs shorter than ``n`` tokens contribute none).
@@ -296,8 +297,13 @@ def doc_shingles(
     Built as one tiny per-token 1-or-2-element array explode — no
     second scan, no O(T) in-row recompute. ``chunk_tokens=None``
     disables the guard (single-partition-per-doc, the pre-r8 plan)."""
+    # carry_cols ride the token stream as per-doc constants (a few bytes
+    # per token) so consumers that need them per shingle (source_overlap's
+    # group) never pay a doc-keyed join against the shingle stream.
+    carry = [F.col(c) for c in carry_cols]
     tok = docs.select(
         F.col(doc_id_col).alias("doc_id"),
+        *carry,
         F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
     )
     part_keys = ["doc_id"]
@@ -314,7 +320,8 @@ def doc_shingles(
             F.array(home, home - 1),
         ).otherwise(F.array(home))
         tok = tok.select(
-            "doc_id", "pos", "token", F.explode(targets).alias("_chunk")
+            "doc_id", *carry_cols, "pos", "token",
+            F.explode(targets).alias("_chunk"),
         )
         part_keys = ["doc_id", "_chunk"]
         own_chunk = F.floor(F.col("pos") / c).cast("int") == F.col("_chunk")
@@ -326,6 +333,7 @@ def doc_shingles(
     win_tokens = F.collect_list("token").over(w)
     sel = [
         "doc_id",
+        *carry_cols,
         (F.xxhash64(win_tokens) if hashed else F.concat_ws(" ", win_tokens)).alias(
             "shingle"
         ),
@@ -337,7 +345,7 @@ def doc_shingles(
     cond = F.col("_w") == n
     if own_chunk is not None:
         cond = cond & F.col("_own")
-    return sh.where(cond).select("doc_id", "shingle")
+    return sh.where(cond).select("doc_id", *carry_cols, "shingle")
 
 
 def decontaminate(
@@ -412,25 +420,38 @@ def source_overlap(
     design reads before weighting sources (two "independent" crawls
     sharing half their shingles are one source for dedup purposes).
 
-    Scale shape: one shingle window (hashed keys — the output never
-    exposes shingles, so 8-byte longs replace the strings in every
-    shuffle), a doc-keyed join to attach the group, ONE distinct
-    (group, shingle) aggregation, then a shingle-keyed self-join whose
-    per-key fan-out is bounded by ``n_sources²`` BY CONSTRUCTION (each
-    shingle appears at most once per group after the distinct) — a hot
-    boilerplate shingle cannot blow up the join the way it can in
-    doc-pair expansion (contrast ``duplicate_passages``' max_df cap,
-    which bounds DOC fan-out)."""
-    sh = doc_shingles(docs, n, text_col, doc_id_col, hashed=True)
-    grp = docs.select(
-        F.col(doc_id_col).alias("doc_id"), F.col(group_col).alias("grp")
+    Scale shape (3 shuffles total, r9 — was 5): one shingle window
+    (hashed keys — the output never exposes shingles, so 8-byte longs
+    replace the strings in every shuffle) with the group column CARRIED
+    through the window as a per-token passenger, so no doc-keyed join
+    ever touches the shingle stream; then ONE partial-agg shuffle keyed
+    on shingle building ``collect_set(group)`` (the set is bounded by
+    n_sources, so map-side partial aggregation dedups before the
+    exchange — a hot boilerplate shingle moves one row per partition,
+    never its occurrence count); unordered group pairs expand IN-ROW
+    from the sorted set (≤ n_sources² elements — tiny, and behind the
+    aggregation barrier so Catalyst cannot re-inline the subtree
+    per-element), and one final trivially-small (src_a, src_b) rollup.
+    Contrast ``duplicate_passages``' max_df cap, which bounds DOC
+    fan-out — here per-key fan-out is bounded by construction."""
+    sh = doc_shingles(
+        docs.withColumn("_grp", F.col(group_col)),
+        n, text_col, doc_id_col, hashed=True, carry_cols=("_grp",),
     )
-    per = sh.join(grp, "doc_id").select("grp", "shingle").distinct()
-    a = per.select(F.col("grp").alias("src_a"), "shingle")
-    b = per.select(F.col("grp").alias("src_b"), "shingle")
+    per_shingle = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("_grp")).alias("grps")
+    )
+    pairs = per_shingle.where(F.size("grps") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(grps, x -> "
+                "transform(filter(grps, y -> y > x), "
+                "y -> struct(x as src_a, y as src_b))))"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, "shingle")
-        .where(F.col("src_a") < F.col("src_b"))
+        pairs.select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
