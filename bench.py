@@ -38,7 +38,7 @@ from gelly_streaming_spark.queries import REGISTRY
 from gelly_streaming_spark.session import BUILD_CONFS, RUNTIME_CONFS
 
 
-def _warm_up(spark, sf_dir: str) -> None:
+def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> None:
     """Warm the execution paths the queries use, so per-query timings
     measure steady-state distributed compute — not first-use costs that a
     long-lived session (or any real deployment) pays exactly once:
@@ -46,16 +46,31 @@ def _warm_up(spark, sf_dir: str) -> None:
     Python/Arrow worker pool spin-up, and streaming state-store init.
     Measured: the FIRST shuffle+join query in a fresh session pays ~2-3 s
     of JIT alone (copart build: 5.5 s cold vs 1.6 s warm at sf0.1).
-    The DuckDB baseline is timed warm the same way."""
+    The DuckDB baseline is timed warm the same way.
+
+    Budget guard: warm-up is ~29 s on a quiet host but measured 100 s of
+    a 300 s budget inside a host-steal window — a full warm-up that eats
+    a third of the budget starves the queries it exists to serve. Stages
+    are independent, so once elapsed warm-up exceeds 20% of the total
+    budget the remaining stages are skipped (their one-time costs land
+    in the affected queries' FIRST runs; the median damps them)."""
     from pyspark.sql import functions as F
 
     from gelly_streaming_spark.sources.tables import TABLES, load_table
+
+    cap = 0.2 * budget.total if budget is not None else float("inf")
+    t_start = time.time()
+
+    def over_cap() -> bool:
+        return time.time() - t_start > cap
 
     # parquet footers + scan paths (load_table also restages
     # single-row-group files into parallel-scannable copies here, so the
     # one-time ingest cost lands in session setup, not a query timing)
     for t in TABLES:
         load_table(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
+    if over_cap():
+        return
 
     # NOTE: the copart_canonical materialized view shared by
     # q07/q11b/q17/q18 is NOT built here — its build is a TIMED line
@@ -76,12 +91,16 @@ def _warm_up(spark, sf_dir: str) -> None:
         .select("k", "c", F.explode("s").alias("e"))
         .write.mode("overwrite").format("noop").save()
     )
+    if over_cap():
+        return
     # event-time window + distinct + top-k
     (
         d.select(F.window(F.timestamp_seconds("k"), "1 minute")["start"].alias("b"), "v")
         .distinct().orderBy("b").limit(10)
         .write.mode("overwrite").format("noop").save()
     )
+    if over_cap():
+        return
     # higher-order-function lambda codegen (collect_set(struct) +
     # transform/filter/flatten) — the copart build's expression shapes,
     # on synthetic rows: warms the generated-class cache so the TIMED
@@ -118,6 +137,8 @@ def _warm_up(spark, sf_dir: str) -> None:
     # q36/q37), distinct, AQE-probed join, count-distinct expand —
     # measured 6.2 s cold vs 0.8 s warm for q36 at sf0.1, mostly
     # first-use codegen/AQE machinery this pass absorbs
+    if over_cap():
+        return
     from gelly_streaming_spark.ext.text import decontaminate
 
     fake_docs = spark.range(0, 512, 1, 8).select(
@@ -132,6 +153,8 @@ def _warm_up(spark, sf_dir: str) -> None:
         n=3,
     ).write.mode("overwrite").format("noop").save()
 
+    if over_cap():
+        return
     # Arrow/pandas worker pool (one task per core)
     d.groupBy("k").applyInPandas(
         lambda p: p.head(1), "k long, v long"
@@ -149,6 +172,8 @@ def _warm_up(spark, sf_dir: str) -> None:
     ).format("noop").save()
     # driver round-trips used by adaptive fast paths
     spark.createDataFrame([(1, 2)], "a long, b long").collect()
+    if over_cap():
+        return
     # streaming machinery: file source + stateful agg + state store
     try:
         from gelly_streaming_spark.plans.memory import session_tmpdir
@@ -187,7 +212,7 @@ def compact_line(result: dict) -> str:
             "metric", "value", "value_max_runs", "unit", "queries", "sf",
             "runs_per_query", "session_setup_sec", "copart_build_sec",
             "errors_present", "comparable_queries", "registered_queries",
-            "partial", "errored_queries", "duckdb_total_sec",
+            "partial", "load_degraded", "errored_queries", "duckdb_total_sec",
             "ratio_vs_duckdb", "ratio_raw", "matched_queries",
             "engine_matched_sec", "duckdb_matched_sec", "duck_skipped",
             "heavy_engine_sec", "heavy_duckdb_sec", "ratio_heavy",
@@ -350,7 +375,7 @@ def main() -> None:
     # setup, but the signal handler must be able to build a valid line
     # even if the kill arrives BEFORE setup finishes (warm-up runs tens
     # of seconds; a kill inside it previously printed nothing at all).
-    meta = {"setup_sec": 0.0, "copart_build_sec": 0.0}
+    meta = {"setup_sec": 0.0, "copart_build_sec": 0.0, "load_degraded": False}
 
     # BENCH_RUNS timed executions per query (default 3); the headline
     # per-query number is the MEDIAN (min also reported). Median-of-3
@@ -433,6 +458,7 @@ def main() -> None:
             "comparable_queries": len(timings),
             "registered_queries": n_total,
             "partial": partial["v"],
+            "load_degraded": meta["load_degraded"],
         }
         if errors:
             result["errors"] = errors
@@ -503,8 +529,20 @@ def main() -> None:
     signal.signal(signal.SIGINT, _on_signal)
 
     t_setup = time.time()
-    _warm_up(spark, sf_dir)
+    _warm_up(spark, sf_dir, budget)
     meta["setup_sec"] = round(time.time() - t_setup, 3)
+
+    # Host-weather signal: setup is ~29-35 s on a quiet host and has
+    # measured 100 s inside a steal window (same code, same data). When
+    # the host is that degraded, 3 runs/query cannot fit the budget —
+    # the projection ladder would discover it 5 queries in, but starting
+    # at 1 run/query immediately buys those queries' extra runs back as
+    # COVERAGE (more queries timed before the budget dies). The median
+    # vs weather trade is explicitly recorded in the output.
+    expected_setup = float(os.environ.get("BENCH_EXPECTED_SETUP_SEC", "35"))
+    if meta["setup_sec"] > 2 * expected_setup:
+        meta["load_degraded"] = True
+        runs_per_query = 1
 
     # Cost-attribution policy (stated in the output JSON): the
     # session-lifetime copart_canonical view shared by q07/q11b/q17/q18
