@@ -102,6 +102,34 @@ def test_matched_set_ratio_excludes_skipped_oracles():
     assert "duck_skipped" not in r3
 
 
+def test_budget_ladder_reserve_and_projection():
+    """The deferred-oracle reserve accelerates run-degradation but can
+    never stop the loop (a stop leaves queries untimed — strictly worse
+    than 1-run timings), and the projection ladder degrades runs as soon
+    as the observed per-query rate cannot fit the remaining budget."""
+    import time
+
+    sys.path.insert(0, REPO)
+    os.environ["BENCH_BUDGET_SEC"] = "300"
+    from bench import _Budget
+
+    b = _Budget()
+    assert b.runs_allowed(3) == 3  # fresh budget, no estimate
+    b.start = time.time() - 240  # 60 s left
+    assert b.runs_allowed(3, reserve=50.0) == 1  # reserve squeezes to 1
+    b.start = time.time() - 150  # 150 s left
+    assert b.runs_allowed(3) == 3
+    assert b.runs_allowed(3, reserve=40.0) == 2  # 110 < 0.4*300
+    # projection: 40 queries x 3 s at the current rate > 60% of 150
+    assert b.runs_allowed(3, est_query_sec=3.0, n_remaining=40) == 2
+    assert b.runs_allowed(3, est_query_sec=9.0, n_remaining=40) == 1
+    # hard stop only at the wall itself, reserve notwithstanding
+    b.start = time.time() - 297
+    assert b.runs_allowed(3, reserve=50.0) == 0
+    b.start = time.time() - 200  # 100 left, huge reserve: degrade, not stop
+    assert b.runs_allowed(3, reserve=95.0) == 1
+
+
 def test_bench_budget_stop_emits_parseable_tail(sf_dir):
     """A budget-limited run must end rc=0 with a parseable compact line
     in the 2000-char tail, partial flagged, no spurious errors from
