@@ -329,3 +329,43 @@ def test_all_batch_query_plans_no_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         if name not in allowed_bnlj:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_source_overlap_three_shuffles_no_join(spark, sf_dir):
+    """q50's r9 plan contract: the group column rides the shingle window
+    (no doc-keyed join against the shingle stream), pairs expand in-row
+    behind the collect_set aggregation barrier — exactly 3 exchanges
+    (window, per-shingle agg, pair rollup) and ZERO joins."""
+    from gelly_streaming_spark.ext.text import source_overlap
+    from gelly_streaming_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = source_overlap(docs, n=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 3, f"{n_exchange} exchanges\n{plan}"
+
+
+def test_curate_corpus_anti_join_is_broadcast(spark, sf_dir):
+    """q42's r9 plan contract: the repetition-violator ∪ contamination-hit
+    id set probes the corpus through ONE left-anti join that AQE converts
+    to broadcast (the anti side is the filtered-out minority), so the
+    corpus stream never shuffles after dedup. Verified POST-EXECUTION —
+    AQE decides join strategies at runtime, not in the initial plan."""
+    from gelly_streaming_spark.ext.pipeline import curate_corpus
+    from gelly_streaming_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate_corpus(
+        docs.where(F.col("doc_id") % 7 != 0),
+        blocklist=docs.where(F.col("doc_id") % 7 == 0),
+    )
+    out.write.mode("overwrite").format("noop").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    # the anti probe(s) over the corpus must be broadcast, not sort-merge
+    for line in plan.splitlines():
+        if "LeftAnti" in line:
+            assert "Broadcast" in line, line
