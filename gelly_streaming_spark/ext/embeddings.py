@@ -81,7 +81,15 @@ def _bucket_array_udf(tables: list[np.ndarray]):
     dot(v, p_j) >= 0; same null row → null, same dim-mismatch error)
     but vectorized instead of num_tables×num_planes interpreted
     per-element folds. Sign agreement with the expression/SQL forms only
-    needs |dot| above float drift — measured min |dot| 1.1e-5 at sf0.1."""
+    needs |dot| above float drift — measured min |dot| 1.1e-5 at sf0.1.
+
+    Documented divergence for POISONED vectors (ADVICE r8): a null
+    ELEMENT or NaN value yields a NULL signature here (the row joins no
+    bucket), where the expression form resolves null dots to bit 0 and
+    NaN dots to bit 1 — funneling every poisoned vector into one shared
+    bucket and manufacturing a false near-dup clique. Tested in
+    tests/test_ext.py::test_bucket_array_udf_null_element_...; clean
+    vectors are bit-identical across forms."""
     import pandas as pd
 
     bank = np.vstack(tables)  # (sum planes, dim)
@@ -101,25 +109,47 @@ def _bucket_array_udf(tables: list[np.ndarray]):
         res: list = [None] * len(vs)
         if mask.any():
             rows = vs[mask].to_list()
-            keep_pos: list[int] = []
-            keep_rows: list = []
-            for pos, r in zip(np.flatnonzero(mask), rows):
+            for r in rows:
                 if len(r) != dim:
                     raise ValueError(
                         f"lsh_signature: vector length {len(r)} != planes dim {dim}"
                     )
-                # A null ELEMENT null-propagates through lsh_signature's
-                # aggregate() to a null signature; match that row-level
-                # semantic here instead of letting np.asarray build an
-                # object array and the matmul raise (ADVICE r8).
-                if any(e is None for e in r):
-                    continue
-                keep_pos.append(int(pos))
-                keep_rows.append(r)
-            mask = np.zeros(len(vs), dtype=bool)
-            mask[keep_pos] = True
+            try:
+                # fast path: one bulk conversion (a per-row python null
+                # scan here measured 2x on the whole kernel: 277k ->
+                # 137k vec/s in bench/micro.py). Arrow folds null
+                # ELEMENTS to NaN in the pandas view, so the null check
+                # is a vectorized isnan over the converted matrix.
+                x = np.asarray(rows, dtype=np.float64)
+            except (TypeError, ValueError):
+                # object-array delivery (list rows with None): drop the
+                # null-element rows, convert the rest
+                keep = [
+                    i for i, r in enumerate(rows)
+                    if not any(e is None for e in r)
+                ]
+                x = np.asarray(
+                    [rows[i] for i in keep], dtype=np.float64
+                ).reshape(-1, dim)
+                sub = np.zeros(len(rows), dtype=bool)
+                sub[keep] = True
+                m2 = np.zeros(len(vs), dtype=bool)
+                m2[np.flatnonzero(mask)[sub]] = True
+                mask = m2
+            # A null ELEMENT null-propagates through lsh_signature's
+            # aggregate() to a null signature; match that row-level
+            # semantic (ADVICE r8). NaN-poisoned vectors get the same
+            # null signature — an INTENTIONAL divergence from the
+            # expression form, where Spark's NaN >= 0 (true) would set
+            # every bit and funnel all poisoned vectors into one shared
+            # bucket, manufacturing a false near-dup clique.
+            bad = np.isnan(x).any(axis=1)
+            if bad.any():
+                keep_idx = np.flatnonzero(mask)[~bad]
+                x = x[~bad]
+                mask = np.zeros(len(vs), dtype=bool)
+                mask[keep_idx] = True
         if mask.any():
-            x = np.asarray(keep_rows, dtype=np.float64)
             signs = (x @ bank.T) >= 0.0  # (n, sum planes)
             packed = np.stack(
                 [

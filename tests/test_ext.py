@@ -107,6 +107,51 @@ def test_bucket_udf_matches_lsh_signature(spark, emb):
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_bucket_array_udf_null_element_matches_expression_form(spark):
+    """A vector containing a null ELEMENT must produce a null signature
+    (lsh_signature's aggregate() null-propagates), not fail the stage
+    with an object-array matmul (ADVICE r8) — and rows around it keep
+    their signatures (the fast bulk-conversion path only yields to the
+    per-row scan when a null element actually exists)."""
+    from gelly_streaming_spark.ext.embeddings import (
+        _bucket_array_udf,
+        lsh_signature,
+        rademacher_planes,
+    )
+
+    tables = [rademacher_planes(4, 3, salt=f"t{t}") for t in range(2)]
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.25, 1.0]),
+            (2, None),
+            (3, [0.5, None, 1.0]),
+            (4, [-1.0, 2.0, -3.0]),
+        ],
+        "vec_id long, v array<double>",
+    )
+    got = {
+        r.vec_id: r.b
+        for r in df.select(
+            "vec_id", _bucket_array_udf(tables)(F.col("v")).alias("b")
+        ).collect()
+    }
+    assert got[2] is None  # null row
+    assert got[3] is None  # null ELEMENT -> null signature
+    expr = {
+        r.vec_id: r.b
+        for r in df.select(
+            "vec_id",
+            F.array(*[lsh_signature(F.col("v"), p) for p in tables]).alias("b"),
+        ).collect()
+    }
+    assert got[1] == expr[1] and got[4] == expr[4]
+    # documented divergence (ADVICE r8 recommendation): the expression
+    # form funnels null-element vectors into shared bucket 0 (null dot
+    # -> when() otherwise -> all bits 0) — a false near-dup clique; the
+    # batch kernel gives them a null signature (no bucket) instead.
+    assert expr[3] == [0, 0]
+
+
 def test_minhash_portable_path_exact_subset(docs):
     """hash_fn=md5_hash64 + portable_buckets: still precision-1 (exact
     verified) with the same recall contract as the default family."""
