@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
 from gelly_streaming_spark.session import BUILD_CONFS, RUNTIME_CONFS  # noqa: E402
+from gelly_streaming_spark.plans.memory import _staging_base  # noqa: E402
 
 
 def main() -> None:
@@ -68,7 +69,7 @@ def main() -> None:
 
     # L1/L7 incremental CC merge-window latency ----------------------------
     g5 = g5_powerlaw(spark, n_vertices=20_000, n_edges=100_000)
-    with tempfile.TemporaryDirectory() as tmp:
+    with tempfile.TemporaryDirectory(dir=_staging_base()) as tmp:
         stream = replay(g5, os.path.join(tmp, "g5"), num_batches=5)
         inc = IncrementalConnectedComponents()
         t0 = time.time()
@@ -88,7 +89,7 @@ def main() -> None:
     # streaming dedup throughput -------------------------------------------
     ev = E.edges_events(spark, args.sf_dir).select("src", "dst", "ts")
     n_ev = ev.count()
-    with tempfile.TemporaryDirectory() as tmp:
+    with tempfile.TemporaryDirectory(dir=_staging_base()) as tmp:
         stream = replay(ev, os.path.join(tmp, "ev"), num_batches=4)
         dd = streaming_distinct(stream, "10 minutes")
         t0 = time.time()
@@ -136,7 +137,7 @@ def main() -> None:
         tfidf_keywords,
     )
 
-    with tempfile.TemporaryDirectory() as tmp:
+    with tempfile.TemporaryDirectory(dir=_staging_base()) as tmp:
         big_path = os.path.join(tmp, "docs10x")
         others = [c for c in docs.columns if c != "doc_id"]
         big = None

@@ -17,6 +17,7 @@ every ``LogicalRDD`` scan it finds (verified: the entry leaves
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -26,12 +27,35 @@ from pyspark.sql import DataFrame
 _SESSION_TMPDIRS: list[str] = []
 
 
+def _staging_base() -> str | None:
+    """Directory for session staging (replay chunks, restaged tables,
+    streaming checkpoints). Prefers a RAM-backed tmpfs: streaming state
+    checkpoints are many small fsync'd files, and moving them off the
+    block device measured +25-30% on the watermarked-dedup micro
+    (23k -> 30k edges/s warm). Guarded: tmpfs must be present, writable,
+    and have >16 GiB free (staged sf0.1 artifacts are ~10^2 MB; anything
+    bigger belongs on disk anyway). ``GSS_TMPDIR`` overrides; returning
+    None falls back to tempfile's default (/tmp)."""
+    override = os.environ.get("GSS_TMPDIR")
+    if override:
+        return override
+    shm = "/dev/shm"
+    try:
+        if os.path.isdir(shm) and os.access(shm, os.W_OK):
+            if shutil.disk_usage(shm).free > 16 * (1 << 30):
+                return shm
+    except OSError:
+        pass
+    return None
+
+
 def session_tmpdir(prefix: str) -> str:
     """``mkdtemp`` + ``atexit`` rmtree: every session-lifetime staging
     dir (replay chunks, restaged tables, bench warm-up) is removed at
     interpreter exit even when ``release_persisted`` is never called
-    (pytest sessions, ad-hoc shells) — no orphan ``gss_*`` dirs in /tmp."""
-    d = tempfile.mkdtemp(prefix=prefix)
+    (pytest sessions, ad-hoc shells) — no orphan ``gss_*`` dirs left
+    behind. Lives on RAM-backed tmpfs when available (_staging_base)."""
+    d = tempfile.mkdtemp(prefix=prefix, dir=_staging_base())
     _SESSION_TMPDIRS.append(d)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
