@@ -369,3 +369,46 @@ def test_curate_corpus_anti_join_is_broadcast(spark, sf_dir):
     for line in plan.splitlines():
         if "LeftAnti" in line:
             assert "Broadcast" in line, line
+
+
+def test_blas_pinning_applies_and_is_idempotent():
+    """The numpy-kernel thread pin must (a) export the full env map the
+    session ships to executors, (b) set every already-loaded OpenBLAS
+    image to 1 thread via the ctypes path, and (c) be idempotent/cheap
+    on repeat calls (it runs at every kernel entry)."""
+    import ctypes
+    import os
+    import time
+
+    import numpy as np
+
+    from gelly_streaming_spark import blas
+
+    assert blas.blas_env(1) == {v: "1" for v in blas.PIN_VARS}
+    np.ones((16, 16)) @ np.ones((16, 16))  # ensure OpenBLAS is loaded
+    blas._pinned = False  # isolate from earlier callers in this process
+    blas.pin_blas_threads()
+    for v in blas.PIN_VARS:
+        assert os.environ[v] == "1"
+    # the loaded numpy OpenBLAS must now report 1 thread
+    with open("/proc/self/maps") as fh:
+        paths = {
+            line.rsplit(" ", 1)[-1].strip()
+            for line in fh
+            if "openblas" in line.lower() and "/" in line
+        }
+    checked = 0
+    for p in paths:
+        lib = ctypes.CDLL(p)
+        for sym in ("openblas_get_num_threads", "openblas_get_num_threads64_"):
+            fn = getattr(lib, sym, None)
+            if fn is not None:
+                assert fn() == 1, (p, sym, fn())
+                checked += 1
+                break
+    assert checked >= 1, f"no OpenBLAS image found to check: {paths}"
+    # idempotent and ~free on repeat (kernel-entry hot path)
+    t0 = time.time()
+    for _ in range(10_000):
+        blas.pin_blas_threads()
+    assert time.time() - t0 < 0.5
