@@ -949,9 +949,6 @@ class _parity_stream_confs:
         self.ckpt_dir: str | None = None
 
     def __enter__(self):
-        import os
-        import tempfile
-
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
         self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
         # anything fallible after the conf mutation must restore it:
@@ -960,8 +957,17 @@ class _parity_stream_confs:
         # batch query in the session
         try:
             self.prev_ckpt = self.spark.conf.get(self._CKPT_CONF, None)
-            if self.prev_ckpt is None and os.access("/dev/shm", os.W_OK):
-                self.ckpt_dir = tempfile.mkdtemp(prefix="gss_ckpt_", dir="/dev/shm")
+            if self.prev_ckpt is None:
+                # session_tmpdir, not a raw mkdtemp: it picks the
+                # RAM-backed base when safe (plans.memory._staging_base)
+                # and registers the dir, so bench.py's SIGTERM purge and
+                # atexit remove it — a driver kill mid-query must not
+                # leak checkpoint state on the shared tmpfs (observed:
+                # gss_ckpt_* surviving a SIGTERM'd bench run). __exit__
+                # still removes it eagerly on the normal path.
+                from gelly_streaming_spark.plans.memory import session_tmpdir
+
+                self.ckpt_dir = session_tmpdir("gss_ckpt_")
                 self.spark.conf.set(self._CKPT_CONF, self.ckpt_dir)
         except BaseException:
             self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
