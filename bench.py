@@ -762,7 +762,11 @@ def main() -> None:
             timings_min[name] = round(min(runs), 3)
             timings_max[name] = round(max(runs), 3)
             if druns:
-                duck[name] = round(statistics.median(druns), 3)
+                # SAME steady-state rule for the DuckDB side (its first
+                # run carries plan compile + buffer-pool warm) — the
+                # ratio must compare like with like.
+                dsteady = druns[1:] if len(druns) >= 2 else druns
+                duck[name] = round(statistics.median(dsteady), 3)
                 duck_min[name] = round(min(druns), 3)
         emit()  # last-line-wins checkpoint after every query
     else:
