@@ -132,6 +132,41 @@ def test_budget_ladder_reserve_and_projection():
     assert b.runs_allowed(3, reserve=95.0) == 1
 
 
+def test_bench_load_probe_degrades_runs(sf_dir):
+    """When measured session setup exceeds 2x the expected quiet-host
+    cost (the host-weather probe), the run must start at 1 run/query and
+    flag load_degraded in the tail line. Forced here by setting the
+    expected cost to 1 s — any real setup trips the probe."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_CPUS="8",
+        BENCH_BUDGET_SEC="90",
+        BENCH_RUNS="3",
+        BENCH_DUCKDB="0",
+        BENCH_EXPECTED_SETUP_SEC="1",
+    )
+    detail_path = os.path.join(REPO, "bench_detail.json")
+    saved = None
+    if os.path.exists(detail_path):
+        with open(detail_path) as fh:
+            saved = fh.read()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, env=env, timeout=300, cwd=REPO,
+        )
+        assert proc.returncode == 0, proc.stderr[-500:]
+        d = _tail_line(proc.stdout)
+        assert d["load_degraded"] is True
+        assert d["runs_per_query"] == 1
+        assert d["comparable_queries"] >= 1
+    finally:
+        if saved is not None:
+            with open(detail_path, "w") as fh:
+                fh.write(saved)
+
+
 def test_bench_budget_stop_emits_parseable_tail(sf_dir):
     """A budget-limited run must end rc=0 with a parseable compact line
     in the 2000-char tail, partial flagged, no spurious errors from
