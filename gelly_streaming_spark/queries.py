@@ -2044,26 +2044,22 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Driver-certification export order. The correctness harness records the
 # FIRST 50 entries of queries() in iteration order (CORRECTNESS_r08: 62
-# registered, exactly the first 50 got rows — every round-8 flagship
-# landed outside the window because q38-q49 were registered last). The
-# window is therefore an explicit, curated list, not an accident of
-# source-file position:
-#   1. never-driver-certified queries FIRST (q38-q49 as of r9) — until a
-#      CORRECTNESS_r*.json holds a green row, they are builder-claimed;
-#   2. every SURVEY §2-mapped reference-operator row (36 names) — the
-#      §2 coverage table must re-certify every round;
-#   3. two headline LLM-pipeline rows (exact dedup, kNN) fill the window;
-#   4. long-stable extension rows (all green in CORRECTNESS_r08) last —
-#      they fall outside the 50-row window this round by design.
-# Names NOT in this list (future queries) sort before everything: a new
-# query is by definition never-driver-certified.
+# registered, exactly the first 50 got rows). Since r10 the ordering is
+# CHANGE-AWARE (VERDICT r9 item 1): gelly_streaming_spark.certify
+# fingerprints every query (fn source + oracle SQL + transitive owner
+# modules) against the committed cert_manifest.json, and any query whose
+# fingerprint mismatches — or which has no manifest entry (new query,
+# or one whose last driver row predates a code change, like
+# q22/q31/q36/q37/q50 after r9) — sorts FIRST, ahead of this static
+# tier list. The static list only breaks ties among NON-stale rows:
+#   1. every SURVEY §2-mapped reference-operator row (36 names) — the
+#      §2 coverage table re-certifies every round while slots allow;
+#   2. extension rows by certification AGE, oldest evidence first
+#      (r8-certified rows outrank r9-certified rows);
+#   3. the r9-certified extension rows — freshest evidence, first to
+#      rotate out when stale queries claim window slots.
 _CERT_ORDER: list[str] = [
-    # -- 1: certified never (r8 additions) --
-    "q38_duplicate_passages", "q39_pii_scrub", "q40_pack_sequences",
-    "q41_mixture_sample", "q42_curate_corpus", "q43_minhash_lsh",
-    "q44_simhash_pairs", "q45_centroid_assign", "q46_knn_lsh",
-    "q47_embedding_near_dup_lsh", "q48_knn_ivf_search", "q49_url_curation",
-    # -- 2: SURVEY §2 reference-operator rows --
+    # -- 1: SURVEY §2 reference-operator rows --
     "q01_scan", "q02_reverse", "q03_undirected", "q04_filter_edges",
     "q05_filter_vertices", "q05b_filter_vertices_semi", "q06_map_edges",
     "q07_distinct", "q08_degrees", "q09_in_out_degrees", "q10_counts",
@@ -2076,19 +2072,33 @@ _CERT_ORDER: list[str] = [
     "q20b_rollup", "q25s_streaming_degrees", "q26s_streaming_cc",
     "q27s_streaming_window_append", "q28s_streaming_dedup",
     "q29s_streaming_degrees_update", "q30_bucketed_ingest",
-    # -- 3: headline LLM-pipeline rows (window slots 49-50) --
-    "q21_exact_dedup", "q23_knn_cosine",
-    # -- 4: long-stable extension rows (outside the window this round) --
-    "q21b_dedup_groups", "q22_jaccard_pairs", "q23b_embedding_near_dup",
-    "q24_text_analysis", "q31_near_dup_collapse", "q32_stratified_split",
-    "q33_vocab", "q34_deterministic_sample", "q35_tfidf_keywords",
-    "q36_decontaminate", "q37_ngram_repetition", "q50_source_overlap",
+    # -- 2: extension rows last certified in r8 (oldest evidence) --
+    "q21b_dedup_groups", "q23b_embedding_near_dup", "q24_text_analysis",
+    "q32_stratified_split", "q33_vocab", "q34_deterministic_sample",
+    "q35_tfidf_keywords",
+    # -- 3: extension rows certified in r9 (freshest evidence) --
+    "q21_exact_dedup", "q22_jaccard_pairs", "q23_knn_cosine",
+    "q31_near_dup_collapse", "q36_decontaminate", "q37_ngram_repetition",
+    "q38_duplicate_passages", "q39_pii_scrub", "q40_pack_sequences",
+    "q41_mixture_sample", "q42_curate_corpus", "q43_minhash_lsh",
+    "q44_simhash_pairs", "q45_centroid_assign", "q46_knn_lsh",
+    "q47_embedding_near_dup_lsh", "q48_knn_ivf_search", "q49_url_curation",
+    "q50_source_overlap",
 ]
 
 
 def _export_order() -> list[str]:
+    from gelly_streaming_spark.certify import stale_queries
+
+    stale = stale_queries()
     pos = {n: i for i, n in enumerate(_CERT_ORDER)}
-    return sorted(REGISTRY, key=lambda n: (n in pos, pos.get(n, 0), n))
+    # stale first (static order breaks ties inside the stale block too,
+    # so stale §2 rows outrank stale extension rows); then non-stale in
+    # static-tier order; unknown names are new ⇒ necessarily stale.
+    return sorted(
+        REGISTRY,
+        key=lambda n: (n not in stale, pos.get(n, -1), n),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

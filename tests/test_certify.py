@@ -1,0 +1,118 @@
+"""Change-aware certification window (VERDICT r9 item 1).
+
+The mechanical guard: any query whose implementation changed since its
+last driver-certified row MUST land inside the 50-row window head.
+These tests pin (a) owner derivation incl. transitive imports, (b) the
+promotion rule, (c) the ship-time invariant stale ⊆ window, and
+(d) refresh_manifest stamping only window entries.
+"""
+
+from __future__ import annotations
+
+import inspect
+import json
+
+import pytest
+
+from gelly_streaming_spark import certify
+from gelly_streaming_spark import queries as Q
+
+
+def rel(paths):
+    return {str(p.relative_to(certify.PKG_ROOT)) for p in paths}
+
+
+def owners(name: str):
+    return rel(certify._owner_modules(inspect.getsource(Q.REGISTRY[name].fn)))
+
+
+def test_every_query_has_a_fingerprint():
+    fps = certify.fingerprints()
+    assert set(fps) == set(Q.REGISTRY)
+    assert all(len(v) == 64 for v in fps.values())
+
+
+def test_owner_derivation_direct_and_transitive():
+    # direct: q49 imports ext.web in its body
+    assert "ext/web.py" in owners("q49_url_curation")
+    # transitive: q31 imports ext.dedup which imports ext.similarity —
+    # the r9 miss (jaccard_rep_pairs changed under q31) must be caught
+    o31 = owners("q31_near_dup_collapse")
+    assert {"ext/dedup.py", "ext/similarity.py"} <= o31
+    # top-level-name mapping: q01 uses E./GraphStream from queries.py
+    # module scope, not a body import
+    assert "sources/edges.py" in owners("q01_scan")
+
+
+def test_infra_modules_excluded_from_owners():
+    for name in ("q01_scan", "q31_near_dup_collapse", "q49_url_curation"):
+        assert not owners(name) & certify._INFRA_EXCLUDE
+
+
+def test_fingerprint_covers_oracle_sql(monkeypatch):
+    fps_before = dict(certify.fingerprints())
+    q = Q.REGISTRY["q01_scan"]
+    monkeypatch.setattr(q, "sql", (q.sql or "") + " -- changed")
+    certify._reset_cache()
+    try:
+        assert certify.fingerprints()["q01_scan"] != fps_before["q01_scan"]
+    finally:
+        certify._reset_cache()
+
+
+def test_stale_query_is_promoted_to_window_head(monkeypatch, tmp_path):
+    # synthetic manifest: everything current EXCEPT one long-stable
+    # extension row that the static list keeps outside the window
+    fps = certify.fingerprints()
+    victim = "q43_minhash_lsh"
+    assert Q._CERT_ORDER.index(victim) >= certify.WINDOW - 5
+    manifest = dict(fps)
+    manifest[victim] = "0" * 64  # pretend its code changed post-cert
+    mp = tmp_path / "m.json"
+    mp.write_text(json.dumps(manifest))
+    monkeypatch.setattr(certify, "MANIFEST_PATH", mp)
+    order = Q._export_order()
+    assert order[0] == victim, "changed query must head the window"
+
+
+def test_new_query_sorts_stale(monkeypatch, tmp_path):
+    mp = tmp_path / "m.json"
+    mp.write_text(json.dumps(dict(certify.fingerprints())))
+    monkeypatch.setattr(certify, "MANIFEST_PATH", mp)
+    fake = Q.Query(fn=Q.REGISTRY["q01_scan"].fn, sql=None, doc="")
+    monkeypatch.setitem(Q.REGISTRY, "q99_brand_new", fake)
+    certify._reset_cache()
+    try:
+        order = Q._export_order()
+        assert "q99_brand_new" in order[: certify.WINDOW]
+    finally:
+        certify._reset_cache()
+
+
+def test_ship_invariant_stale_within_window():
+    """The invariant the driver relies on: every stale query sits inside
+    the first-50 export window. If this fails mid-development you have
+    more changed-uncertified queries than window slots — split the
+    certification across rounds deliberately instead of silently."""
+    stale = certify.stale_queries()
+    window = set(Q._export_order()[: certify.WINDOW])
+    assert stale <= window, f"stale outside window: {sorted(stale - window)}"
+
+
+def test_refresh_stamps_only_window_entries(monkeypatch, tmp_path):
+    mp = tmp_path / "m.json"
+    mp.write_text("{}")
+    monkeypatch.setattr(certify, "MANIFEST_PATH", mp)
+    stamped = certify.refresh_manifest()
+    manifest = json.loads(mp.read_text())
+    assert len(stamped) == certify.WINDOW
+    assert set(manifest) == set(stamped)
+    # entries outside the window stay absent (still stale) on purpose
+    assert len(manifest) < len(Q.REGISTRY)
+
+
+def test_oracle_and_query_key_sets_unchanged():
+    # queries()/oracle_sql() expose the same registry regardless of order
+    qs = Q.queries()
+    assert set(qs) == set(Q.REGISTRY)
+    assert set(Q.oracle_sql()) <= set(qs)
