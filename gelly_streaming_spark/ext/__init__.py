@@ -27,7 +27,10 @@ from gelly_streaming_spark.ext.pipeline import curate_corpus
 from gelly_streaming_spark.ext.web import (
     canonicalize_url,
     domain_filter,
+    load_psl_file,
+    parse_psl,
     registered_domain,
+    registered_domain_lookup,
     url_host,
 )
 from gelly_streaming_spark.ext.split import (
@@ -92,6 +95,9 @@ __all__ = [
     "vocabulary",
     "canonicalize_url",
     "domain_filter",
+    "load_psl_file",
+    "parse_psl",
     "registered_domain",
+    "registered_domain_lookup",
     "url_host",
 ]

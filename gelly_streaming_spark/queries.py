@@ -1904,11 +1904,19 @@ def _q49_sql() -> str:
     """Oracle for q49: the URL construction AND every canonicalization
     step replayed in DuckDB (all patterns lookaround-free; DuckDB's
     regexp_replace needs the explicit 'g' Spark applies implicitly).
-    The multi-suffix alternation is generated by the SAME helper the
-    engine uses (deepest-first ordering included) — one source of truth."""
-    from gelly_streaming_spark.ext.web import suffix_alternation
+    The suffix alternation AND the exception pre-check are generated by
+    the SAME helpers the engine's Column path uses — one source of
+    truth. The ENGINE side runs the broadcast-lookup path instead
+    (registered_domain_lookup), so this oracle hash-certifies
+    lookup ≡ regex equivalence on driver data on top of the unit
+    differential tests."""
+    from gelly_streaming_spark.ext.web import (
+        exception_alternation,
+        suffix_alternation,
+    )
 
     alt = suffix_alternation()
+    exc = exception_alternation()
     return rf"""
 WITH raw AS (
   SELECT doc_id,
@@ -1917,7 +1925,10 @@ WITH raw AS (
          || '://'
          || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'cdn.' END)
          || source
-         || (CASE WHEN doc_id % 5 = 0 THEN '-News.CO.UK' ELSE '-news.COM' END)
+         || (CASE WHEN doc_id % 13 = 0 THEN '-news.WWW.CK'
+                  WHEN doc_id % 11 = 0 THEN '-news.Kawasaki.JP'
+                  WHEN doc_id % 5 = 0 THEN '-News.CO.UK'
+                  ELSE '-news.COM' END)
          || (CASE WHEN doc_id % 6 = 0 THEN
                (CASE WHEN doc_id % 4 IN (0, 2) THEN ':80' ELSE ':443' END)
              ELSE '' END)
@@ -1951,7 +1962,9 @@ canon AS (
 ),
 dom AS (
   SELECT doc_id, url_canon,
-         CASE WHEN regexp_extract(host, '([^.]+\.({alt}))$', 1) <> ''
+         CASE WHEN regexp_extract(host, '(^|\.)({exc})$', 2) <> ''
+              THEN regexp_extract(host, '(^|\.)({exc})$', 2)
+              WHEN regexp_extract(host, '([^.]+\.({alt}))$', 1) <> ''
               THEN regexp_extract(host, '([^.]+\.({alt}))$', 1)
               ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
   FROM canon
@@ -1961,7 +1974,7 @@ bl AS (SELECT * FROM (VALUES ('src1-news.com'), ('src1-news.co.uk'),
 SELECT d.doc_id, d.url_canon, d.domain,
        (bl.domain IS NOT NULL) AS blocked
 FROM dom d LEFT JOIN bl ON bl.domain = d.domain
-""".replace("{alt}", alt)
+""".replace("{alt}", alt).replace("{exc}", exc)
 
 
 @_q("q49_url_curation", _q49_sql(),
@@ -2000,7 +2013,12 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         scheme, F.lit("://"),
         F.when(d % 3 == 0, "WWW.").otherwise("cdn."),
         F.col("source"),
-        F.when(d % 5 == 0, "-News.CO.UK").otherwise("-news.COM"),
+        # %13 exercises the !www.ck exception rule, %11 the *.kawasaki.jp
+        # wildcard rule — the driver row certifies the full PSL semantics
+        F.when(d % 13 == 0, "-news.WWW.CK")
+        .when(d % 11 == 0, "-news.Kawasaki.JP")
+        .when(d % 5 == 0, "-News.CO.UK")
+        .otherwise("-news.COM"),
         port, tail,
     )
     # VALUES LocalRelation, not createDataFrame: the first
@@ -2010,15 +2028,17 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM VALUES ('src1-news.com'), ('src1-news.co.uk'), "
         "('src7-news.com'), ('src7-news.co.uk') t(domain)"
     )
-    # Two codegen barriers for this bounded certification run: janino
-    # compile time of ONE projection holding the url CASE tree inlined
-    # into every regex node measured 10.8 s cold (the query's actual
-    # work is ~1 s); splitting construction / derivation / join into
-    # separate (small) generated stages cuts the one-time compile to
-    # ~1 s. At corpus scale neither barrier belongs — the fused
-    # one-pass projection amortizes its compile over the full scan.
+    # One codegen barrier for this bounded certification run: without
+    # it the url CASE tree inlines into every canonicalization regex
+    # node AND the PSL-lookup join keys, and the one-time janino
+    # compile measured ~10 s cold. The r9 second barrier (pin_derived)
+    # became a net LOSS once the domain moved from the 539-branch regex
+    # to broadcast lookups: it added a materialization for a tree that
+    # no longer explodes (measured 1.00 s with vs 0.68 s without at
+    # sf0.1 steady state). At corpus scale neither barrier belongs —
+    # the fused one-pass projection amortizes its compile over the scan.
     withurl = docs.withColumn("url", url).localCheckpoint(eager=False)
-    out = domain_filter(withurl, blocklist, pin_derived=True)
+    out = domain_filter(withurl, blocklist)
     return out.select("doc_id", "url_canon", "domain", "blocked")
 
 
