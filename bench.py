@@ -38,7 +38,7 @@ from gelly_streaming_spark.queries import REGISTRY
 from gelly_streaming_spark.session import BUILD_CONFS, RUNTIME_CONFS
 
 
-def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> None:
+def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> tuple[int, int]:
     """Warm the execution paths the queries use, so per-query timings
     measure steady-state distributed compute — not first-use costs that a
     long-lived session (or any real deployment) pays exactly once:
@@ -53,13 +53,22 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> None:
     a third of the budget starves the queries it exists to serve. Stages
     are independent, so once elapsed warm-up exceeds 20% of the total
     budget the remaining stages are skipped (their one-time costs land
-    in the affected queries' FIRST runs; the median damps them)."""
+    in the affected queries' FIRST runs; the median damps them).
+
+    Returns (stages_completed, stages_total) so the caller's
+    host-weather check can scale its threshold by how much warm-up
+    actually ran: a budget-capped warm-up could otherwise evade the
+    2x-setup degradation probe entirely (ADVICE r9) — the cap trims
+    elapsed time below the threshold while leaving the host just as
+    slow."""
     from pyspark.sql import functions as F
 
     from gelly_streaming_spark.sources.tables import TABLES, load_table
 
     cap = 0.2 * budget.total if budget is not None else float("inf")
     t_start = time.time()
+    STAGES_TOTAL = 8  # 7 counted blocks + the final streaming stage
+    done = 0
 
     def over_cap() -> bool:
         return time.time() - t_start > cap
@@ -69,8 +78,9 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> None:
     # one-time ingest cost lands in session setup, not a query timing)
     for t in TABLES:
         load_table(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
+    done += 1
     if over_cap():
-        return
+        return done, STAGES_TOTAL
 
     # NOTE: the copart_canonical materialized view shared by
     # q07/q11b/q17/q18 is NOT built here — its build is a TIMED line
@@ -91,16 +101,18 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> None:
         .select("k", "c", F.explode("s").alias("e"))
         .write.mode("overwrite").format("noop").save()
     )
+    done += 1
     if over_cap():
-        return
+        return done, STAGES_TOTAL
     # event-time window + distinct + top-k
     (
         d.select(F.window(F.timestamp_seconds("k"), "1 minute")["start"].alias("b"), "v")
         .distinct().orderBy("b").limit(10)
         .write.mode("overwrite").format("noop").save()
     )
+    done += 1
     if over_cap():
-        return
+        return done, STAGES_TOTAL
     # higher-order-function lambda codegen (collect_set(struct) +
     # transform/filter/flatten) — the copart build's expression shapes,
     # on synthetic rows: warms the generated-class cache so the TIMED
@@ -137,8 +149,9 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> None:
     # q36/q37), distinct, AQE-probed join, count-distinct expand —
     # measured 6.2 s cold vs 0.8 s warm for q36 at sf0.1, mostly
     # first-use codegen/AQE machinery this pass absorbs
+    done += 1
     if over_cap():
-        return
+        return done, STAGES_TOTAL
     from gelly_streaming_spark.ext.text import decontaminate
 
     fake_docs = spark.range(0, 512, 1, 8).select(
@@ -152,9 +165,9 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> None:
         fake_docs.where(F.col("doc_id") % 7 == 0),
         n=3,
     ).write.mode("overwrite").format("noop").save()
-
+    done += 1
     if over_cap():
-        return
+        return done, STAGES_TOTAL
     # Arrow/pandas worker pool (one task per core)
     d.groupBy("k").applyInPandas(
         lambda p: p.head(1), "k long, v long"
@@ -170,8 +183,9 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> None:
     d.mapInPandas(_echo, "k long, v long").write.mode(
         "overwrite"
     ).format("noop").save()
+    done += 1
     if over_cap():
-        return
+        return done, STAGES_TOTAL
     # Broadcast-variable numpy-kernel machinery (the q17/q18 shape: a
     # multi-MB python broadcast read by every task of a 2-waves-per-core
     # mapInPandas). Measured: this path keeps improving over ~4
@@ -208,10 +222,11 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> None:
         if over_cap():
             break
     bc_np.destroy()
+    done += 1
     # driver round-trips used by adaptive fast paths
     spark.createDataFrame([(1, 2)], "a long, b long").collect()
     if over_cap():
-        return
+        return done, STAGES_TOTAL
     # streaming machinery: file source + stateful agg + state store
     try:
         from gelly_streaming_spark.plans.memory import session_tmpdir
@@ -225,6 +240,21 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> None:
         run_to_memory(s.groupBy("src").count(), "complete")
     except Exception:
         pass  # streaming warm-up is best-effort; queries still run cold
+    return STAGES_TOTAL, STAGES_TOTAL
+
+
+def _weather_degraded(
+    setup_sec: float, expected: float, stages_done: int, stages_total: int
+) -> bool:
+    """Host-weather verdict: setup time beyond 2x the quiet-host profile
+    means the host is stealing cycles. The profile is scaled by the
+    fraction of warm-up stages that actually RAN, so a budget-capped
+    warm-up cannot evade the probe (ADVICE r9: the 20%-of-budget cap
+    used to trim elapsed time below the threshold while the host was
+    just as slow). The 0.25 floor keeps a pathological one-stage run
+    from setting a near-zero threshold on a healthy host."""
+    frac = stages_done / stages_total if stages_total else 1.0
+    return setup_sec > 2 * expected * max(frac, 0.25)
 
 
 def _short_queries(queries: dict[str, float]) -> dict[str, float]:
@@ -454,6 +484,7 @@ def main() -> None:
     timings_max: dict[str, float] = {}
     duck: dict[str, float] = {}
     duck_min: dict[str, float] = {}
+    duck_cold: list[str] = []  # deferred oracles recorded from a single cold run
     errors: dict[str, str] = {}
     n_total = len(REGISTRY)
     partial = {"v": True}  # flipped off only when the loop completes
@@ -499,7 +530,11 @@ def main() -> None:
                 "errors. partial=true means the wall-clock budget "
                 f"(BENCH_BUDGET_SEC={budget.total:.0f}) or a signal stopped "
                 "the run before every query completed; under budget pressure "
-                "runs-per-query degrades 3->2->1 before stopping"
+                "runs-per-query degrades 3->2->1 before stopping. Slow "
+                "DuckDB oracles are deferred past the engine loop on "
+                "reserved wall-clock and get one warm-up run before their "
+                "recorded run (steady-state parity with both sides); any "
+                "still recorded cold are named in duckdb_cold_single_run"
             ),
             "errors_present": bool(errors),
             "comparable_queries": len(timings),
@@ -521,6 +556,12 @@ def main() -> None:
             result["duckdb_queries"] = duck
             result["duckdb_queries_min"] = duck_min
             result["duckdb_total_sec"] = round(sum(duck.values()), 3)
+            if duck_cold:
+                # names whose DuckDB timing is a single COLD run (the
+                # reserve could not absorb a warm-up) — every other
+                # timing on both sides is a steady-state estimate, so
+                # flag the asymmetry instead of hiding it in the total
+                result["duckdb_cold_single_run"] = sorted(duck_cold)
             result.update(
                 compute_ratios(timings, duck, meta["copart_build_sec"])
             )
@@ -576,7 +617,7 @@ def main() -> None:
     signal.signal(signal.SIGINT, _on_signal)
 
     t_setup = time.time()
-    _warm_up(spark, sf_dir, budget)
+    ws_done, ws_total = _warm_up(spark, sf_dir, budget)
     meta["setup_sec"] = round(time.time() - t_setup, 3)
 
     # Host-weather signal: setup is ~29-35 s on a quiet host and has
@@ -586,8 +627,13 @@ def main() -> None:
     # at 1 run/query immediately buys those queries' extra runs back as
     # COVERAGE (more queries timed before the budget dies). The median
     # vs weather trade is explicitly recorded in the output.
+    # The threshold scales by the fraction of warm-up stages that RAN:
+    # a budget-capped warm-up used to evade the probe (ADVICE r9 —
+    # the 20%-of-budget cap trims elapsed time below 2x expected while
+    # the host is just as slow), so a partial warm-up is judged against
+    # a proportionally smaller quiet-host profile.
     expected_setup = float(os.environ.get("BENCH_EXPECTED_SETUP_SEC", "35"))
-    if meta["setup_sec"] > 2 * expected_setup:
+    if _weather_degraded(meta["setup_sec"], expected_setup, ws_done, ws_total):
         meta["load_degraded"] = True
         runs_per_query = 1
 
@@ -623,13 +669,15 @@ def main() -> None:
     # duck_slow_cap; the two quadratic ones actually run 8-18 s at sf0.1)
     # — a GUARANTEED reserve instead of leftovers, so the matched-set
     # ratio keeps its slowest DuckDB queries (BENCH_r08 lost q22/q31).
-    defer_est = max(15.0, 2.5 * duck_slow_cap)
+    # Sized for TWO runs each since r10: deferred oracles get a warm-up
+    # run for steady-state parity with every other timing.
+    defer_est = max(30.0, 5.0 * duck_slow_cap)
     loop_t0 = time.time()
     queries_done = 0
     ordered = sorted(REGISTRY.items())
 
     for name, q in ordered:
-        reserve = min(50.0, defer_est * len(duck_deferred))
+        reserve = min(100.0, defer_est * len(duck_deferred))
         # projection needs a stable sample: the first queries carry
         # one-time session builds that overestimate the steady rate
         est = (
@@ -786,10 +834,31 @@ def main() -> None:
         t0 = time.time()
         try:
             duck_con.sql(sql).fetchall()
-            duck[name] = round(time.time() - t0, 3)
-            duck_min[name] = duck[name]
+            cold = time.time() - t0
         except Exception:
-            pass
+            emit()
+            continue
+        # Steady-state PARITY with every other timing (VERDICT r9 item
+        # 4): the engine side and the inline DuckDB side both exclude
+        # run 1 as warm-up, so a deferred oracle recorded from its cold
+        # run alone inflates the denominator on exactly the heaviest
+        # matched queries. Give it one warm run when the remaining
+        # budget can absorb a repeat of the cold time; otherwise record
+        # the cold run and flag it in duckdb_cold_single_run.
+        if budget.remaining() - cold > 5:
+            t1 = time.time()
+            try:
+                duck_con.sql(sql).fetchall()
+                duck[name] = round(time.time() - t1, 3)
+                duck_min[name] = min(duck[name], round(cold, 3))
+            except Exception:
+                duck[name] = round(cold, 3)
+                duck_min[name] = duck[name]
+                duck_cold.append(name)
+        else:
+            duck[name] = round(cold, 3)
+            duck_min[name] = duck[name]
+            duck_cold.append(name)
         emit()
 
     emit()

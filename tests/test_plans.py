@@ -390,13 +390,21 @@ def test_blas_pinning_applies_and_is_idempotent():
     blas.pin_blas_threads()
     for v in blas.PIN_VARS:
         assert os.environ[v] == "1"
-    # the loaded numpy OpenBLAS must now report 1 thread
-    with open("/proc/self/maps") as fh:
-        paths = {
-            line.rsplit(" ", 1)[-1].strip()
-            for line in fh
-            if "openblas" in line.lower() and "/" in line
-        }
+    # the loaded numpy OpenBLAS must now report 1 thread. Environment
+    # guard (ADVICE r9): on hosts whose numpy links MKL/BLIS/Accelerate
+    # — or on non-Linux with no /proc — there is no OpenBLAS image to
+    # interrogate; that exercises _set_loaded_openblas_threads'
+    # documented no-op path, and only the env-var/idempotence halves of
+    # this test apply. Skip the ctypes half rather than hard-failing.
+    try:
+        with open("/proc/self/maps") as fh:
+            paths = {
+                line.rsplit(" ", 1)[-1].strip()
+                for line in fh
+                if "openblas" in line.lower() and "/" in line
+            }
+    except OSError:
+        paths = set()
     checked = 0
     for p in paths:
         lib = ctypes.CDLL(p)
@@ -406,9 +414,12 @@ def test_blas_pinning_applies_and_is_idempotent():
                 assert fn() == 1, (p, sym, fn())
                 checked += 1
                 break
-    assert checked >= 1, f"no OpenBLAS image found to check: {paths}"
     # idempotent and ~free on repeat (kernel-entry hot path)
     t0 = time.time()
     for _ in range(10_000):
         blas.pin_blas_threads()
     assert time.time() - t0 < 0.5
+    if not paths:
+        import pytest
+
+        pytest.skip("no OpenBLAS image mapped (MKL/BLIS numpy or no /proc)")
