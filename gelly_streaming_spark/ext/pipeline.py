@@ -18,10 +18,11 @@ Scale shape (monotonically shrinking data):
   1. quality_score — column expressions fused into the scan, no shuffle
   2. exact dedup — one md5-keyed shuffle; WindowGroupLimit trims each
      map task to one row per text hash BEFORE the exchange
-  3. ONE shared shingle window over the survivors feeds BOTH the
-     repetition stats (two map-side-combining rollups) and the
-     decontamination hits (bounded eval-set shingle table,
-     AQE-broadcast join)
+  3. ONE shingle window over the survivors, consumed ONCE: the bounded
+     eval-set shingle table broadcast-joins a per-row hit flag onto the
+     stream, and the two map-side-combining rollups carry max(flag)
+     alongside the repetition counts — repetition violators and
+     decontamination hits come out of the same aggregation
   4. scrub_pii — zero-shuffle projection
 
 REF: no reference counterpart (gelly-streaming has no corpus surface);
@@ -92,7 +93,6 @@ def curate_corpus(
     d = d.localCheckpoint(eager=False)
 
     sh = doc_shingles(d, n, text_col, doc_id_col, hashed=True)
-    sh = sh.localCheckpoint(eager=False)
 
     # The repetition verdict is only ever consumed as a FILTER, so the
     # corpus never joins the per-doc stat table (which is corpus-sized —
@@ -102,29 +102,43 @@ def curate_corpus(
     # out minority by construction, so AQE broadcasts the anti side at
     # runtime and the corpus stream never shuffles after dedup (r9 — was
     # a corpus-wide left join + a separate anti join).
-    per = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("_c"))
-    rep = per.groupBy("doc_id").agg(
-        F.sum("_c").alias("n_ngrams"), F.count(F.lit(1)).alias("n_distinct")
-    )
-    # docs with no n-gram never appear in `rep` — vacuously compliant
-    bad = rep.where(
-        (F.col("n_ngrams") - F.col("n_distinct")) * 1000
-        > F.lit(int(max_rep_permille)) * F.col("n_ngrams")
-    ).select(F.col("doc_id").alias(doc_id_col))
-
+    #
+    # The decontamination HIT flag rides the repetition rollup (r10):
+    # the bounded eval-shingle table broadcast-joins onto the shingle
+    # stream as a per-row flag BEFORE the per-(doc,shingle) aggregation,
+    # and max(flag) folds through both rollups — the hits' former
+    # separate pass over the shingle stream plus its distinct SHUFFLE
+    # are gone, and with one consumer left the shingle window needs no
+    # checkpoint barrier (one fewer materialization + job).
     if blocklist is not None:
         block_sh = (
             doc_shingles(blocklist, n, text_col, doc_id_col, hashed=True)
             .select("shingle")
             .distinct()
+            .withColumn("_hit", F.lit(True))
         )
-        hits = (
-            sh.join(block_sh, "shingle")
-            .select(F.col("doc_id").alias(doc_id_col))
-            .distinct()
+        sh = sh.join(F.broadcast(block_sh), "shingle", "left")
+        hit_col = F.coalesce(F.col("_hit"), F.lit(False))
+    else:
+        hit_col = F.lit(False)
+
+    per = sh.groupBy("doc_id", "shingle").agg(
+        F.count(F.lit(1)).alias("_c"), F.max(hit_col).alias("_h")
+    )
+    rep = per.groupBy("doc_id").agg(
+        F.sum("_c").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("_h").alias("_hit_doc"),
+    )
+    # docs with no n-gram never appear in `rep` — vacuously compliant
+    # and unhittable (no shingle can match the eval set)
+    bad = rep.where(
+        (
+            (F.col("n_ngrams") - F.col("n_distinct")) * 1000
+            > F.lit(int(max_rep_permille)) * F.col("n_ngrams")
         )
-        # anti join tolerates duplicate probe rows — no union-level distinct
-        bad = bad.unionByName(hits)
+        | F.col("_hit_doc")
+    ).select(F.col("doc_id").alias(doc_id_col))
 
     d = d.join(bad, doc_id_col, "left_anti")
     return scrub_pii(d, text_col)

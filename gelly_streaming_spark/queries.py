@@ -1632,8 +1632,21 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    corpus = inj.unionByName(
-        inj.where(d % 10 == 3).withColumn("doc_id", d + 10_000_000)
+    # duplicate the %10==3 rows via a 1-2 element explode instead of a
+    # self-union: the union scanned the documents parquet twice and
+    # evaluated the injection CASE tree per branch; one Generate over a
+    # literal array duplicates rows in-stream from a single scan
+    # (set-identical to the oracle's UNION ALL)
+    corpus = (
+        inj.withColumn(
+            "_copy",
+            F.explode(
+                F.when(d % 10 == 3, F.array(F.lit(0), F.lit(1)))
+                .otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .withColumn("doc_id", d + F.col("_copy").cast("long") * 10_000_000)
+        .drop("_copy")
     )
     out = curate_corpus(
         corpus, blocklist, min_quality=0.79, max_rep_permille=200,
