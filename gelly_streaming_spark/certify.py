@@ -150,35 +150,74 @@ def _owner_modules(fn_source: str) -> set[Path]:
 
 
 @lru_cache(maxsize=1)
-def fingerprints() -> dict[str, str]:
-    """Current fingerprint for every registered query (cached per process)."""
+def fingerprints() -> dict[str, dict[str, str]]:
+    """Current fingerprints for every registered query (cached per
+    process). Two hashes per query:
+
+    - ``self`` — the query's OWN code: fn source + oracle SQL. A self
+      mismatch means the query itself was edited since certification.
+    - ``full`` — self plus every owner-module file's contents. A full
+      mismatch with a matching self means only shared operator code
+      changed underneath the query.
+
+    The split exists for WINDOW TRIAGE: a change to a widely-shared
+    module (e.g. sources/tables.py, an owner of every query) stales all
+    62 rows at once — more than the 50-slot window holds — and without
+    the split the flat sort could push a query whose own body changed
+    out of the window in favor of collaterally-stale rows. Self-stale
+    ranks strictly ahead of owner-stale; owner-stale rows that miss the
+    window keep their old manifest entries and rotate in next round.
+    """
     from gelly_streaming_spark import queries as Q
 
-    out: dict[str, str] = {}
+    out: dict[str, dict[str, str]] = {}
     for name, q in Q.REGISTRY.items():
-        h = hashlib.sha256()
         src = inspect.getsource(q.fn)
-        h.update(src.encode())
-        h.update((q.sql or "").encode())
+        hs = hashlib.sha256()
+        hs.update(src.encode())
+        hs.update((q.sql or "").encode())
+        self_fp = hs.hexdigest()
+        hf = hashlib.sha256(self_fp.encode())
         for f in sorted(_owner_modules(src)):
-            h.update(str(f.relative_to(PKG_ROOT)).encode())
-            h.update(f.read_bytes())
-        out[name] = h.hexdigest()
+            hf.update(str(f.relative_to(PKG_ROOT)).encode())
+            hf.update(f.read_bytes())
+        out[name] = {"self": self_fp, "full": hf.hexdigest()}
     return out
 
 
-def load_manifest() -> dict[str, str]:
+def load_manifest() -> dict[str, dict[str, str]]:
     if MANIFEST_PATH.is_file():
-        return json.loads(MANIFEST_PATH.read_text())
+        raw = json.loads(MANIFEST_PATH.read_text())
+        # v1 compatibility: a bare string is a full hash with unknown self
+        return {
+            n: ({"full": v, "self": ""} if isinstance(v, str) else v)
+            for n, v in raw.items()
+        }
     return {}
 
 
 def stale_queries() -> set[str]:
     """Queries whose shipped code differs from what their last driver
-    row certified (fingerprint mismatch) or which were never certified
-    (no manifest entry)."""
+    row certified (full-fingerprint mismatch) or which were never
+    certified (no manifest entry)."""
     manifest = load_manifest()
-    return {n for n, fp in fingerprints().items() if manifest.get(n) != fp}
+    return {
+        n
+        for n, fp in fingerprints().items()
+        if manifest.get(n, {}).get("full") != fp["full"]
+    }
+
+
+def self_stale_queries() -> set[str]:
+    """The urgent subset of :func:`stale_queries`: the query's OWN fn
+    source or oracle SQL changed (or it was never certified at all) —
+    not merely a shared owner module underneath it."""
+    manifest = load_manifest()
+    return {
+        n
+        for n, fp in fingerprints().items()
+        if manifest.get(n, {}).get("self") != fp["self"]
+    }
 
 
 def refresh_manifest() -> list[str]:
@@ -191,7 +230,7 @@ def refresh_manifest() -> list[str]:
     window = Q._export_order()[:WINDOW]
     fps = fingerprints()
     for name in window:
-        manifest[name] = fps[name]
+        manifest[name] = dict(fps[name])
     MANIFEST_PATH.write_text(
         json.dumps(dict(sorted(manifest.items())), indent=1) + "\n"
     )

@@ -2121,17 +2121,27 @@ _CERT_ORDER: list[str] = [
 
 
 def _export_order() -> list[str]:
-    from gelly_streaming_spark.certify import stale_queries
+    from gelly_streaming_spark.certify import self_stale_queries, stale_queries
 
     stale = stale_queries()
+    urgent = self_stale_queries()
     pos = {n: i for i, n in enumerate(_CERT_ORDER)}
-    # stale first (static order breaks ties inside the stale block too,
-    # so stale §2 rows outrank stale extension rows); then non-stale in
-    # static-tier order; unknown names are new ⇒ necessarily stale.
-    return sorted(
-        REGISTRY,
-        key=lambda n: (n not in stale, pos.get(n, -1), n),
-    )
+
+    # three bands, static order breaking ties inside each (so stale §2
+    # rows outrank stale extension rows):
+    #   0 — self-stale / never-certified: the query's own code or SQL
+    #       changed; MUST re-certify this round;
+    #   1 — owner-stale: a shared operator module changed underneath an
+    #       otherwise-untouched query; re-certify while slots allow
+    #       (overflow keeps its old manifest entry and rotates in next
+    #       round);
+    #   2 — fresh: certified evidence matches shipped code.
+    def band(n: str) -> int:
+        if n in urgent:
+            return 0
+        return 1 if n in stale else 2
+
+    return sorted(REGISTRY, key=lambda n: (band(n), pos.get(n, -1), n))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -29,7 +29,9 @@ def owners(name: str):
 def test_every_query_has_a_fingerprint():
     fps = certify.fingerprints()
     assert set(fps) == set(Q.REGISTRY)
-    assert all(len(v) == 64 for v in fps.values())
+    assert all(
+        len(v["self"]) == 64 and len(v["full"]) == 64 for v in fps.values()
+    )
 
 
 def test_owner_derivation_direct_and_transitive():
@@ -50,34 +52,57 @@ def test_infra_modules_excluded_from_owners():
 
 
 def test_fingerprint_covers_oracle_sql(monkeypatch):
-    fps_before = dict(certify.fingerprints())
+    fps_before = {n: dict(v) for n, v in certify.fingerprints().items()}
     q = Q.REGISTRY["q01_scan"]
     monkeypatch.setattr(q, "sql", (q.sql or "") + " -- changed")
     certify._reset_cache()
     try:
-        assert certify.fingerprints()["q01_scan"] != fps_before["q01_scan"]
+        after = certify.fingerprints()["q01_scan"]
+        # an oracle-SQL edit is a SELF change (band 0), not owner-stale
+        assert after["self"] != fps_before["q01_scan"]["self"]
+        assert after["full"] != fps_before["q01_scan"]["full"]
     finally:
         certify._reset_cache()
 
 
-def test_stale_query_is_promoted_to_window_head(monkeypatch, tmp_path):
+def test_self_stale_query_heads_the_window(monkeypatch, tmp_path):
     # synthetic manifest: everything current EXCEPT one long-stable
     # extension row that the static list keeps outside the window
-    fps = certify.fingerprints()
+    fps = {n: dict(v) for n, v in certify.fingerprints().items()}
     victim = "q43_minhash_lsh"
     assert Q._CERT_ORDER.index(victim) >= certify.WINDOW - 5
-    manifest = dict(fps)
-    manifest[victim] = "0" * 64  # pretend its code changed post-cert
+    manifest = {n: dict(v) for n, v in fps.items()}
+    # its own body changed post-cert -> band 0, ahead of everything
+    manifest[victim]["self"] = "0" * 64
+    manifest[victim]["full"] = "0" * 64
     mp = tmp_path / "m.json"
     mp.write_text(json.dumps(manifest))
     monkeypatch.setattr(certify, "MANIFEST_PATH", mp)
     order = Q._export_order()
-    assert order[0] == victim, "changed query must head the window"
+    assert order[0] == victim, "self-changed query must head the window"
+
+
+def test_owner_stale_ranks_between_self_stale_and_fresh(monkeypatch, tmp_path):
+    fps = {n: dict(v) for n, v in certify.fingerprints().items()}
+    manifest = {n: dict(v) for n, v in fps.items()}
+    owner_victim = "q43_minhash_lsh"   # shared module changed underneath
+    self_victim = "q44_simhash_pairs"  # own body changed
+    manifest[owner_victim]["full"] = "0" * 64
+    manifest[self_victim]["self"] = "0" * 64
+    manifest[self_victim]["full"] = "0" * 64
+    mp = tmp_path / "m.json"
+    mp.write_text(json.dumps(manifest))
+    monkeypatch.setattr(certify, "MANIFEST_PATH", mp)
+    order = Q._export_order()
+    assert order[0] == self_victim
+    assert order[1] == owner_victim
+    assert certify.self_stale_queries() == {self_victim}
+    assert certify.stale_queries() == {self_victim, owner_victim}
 
 
 def test_new_query_sorts_stale(monkeypatch, tmp_path):
     mp = tmp_path / "m.json"
-    mp.write_text(json.dumps(dict(certify.fingerprints())))
+    mp.write_text(json.dumps(certify.fingerprints()))
     monkeypatch.setattr(certify, "MANIFEST_PATH", mp)
     fake = Q.Query(fn=Q.REGISTRY["q01_scan"].fn, sql=None, doc="")
     monkeypatch.setitem(Q.REGISTRY, "q99_brand_new", fake)
@@ -89,14 +114,19 @@ def test_new_query_sorts_stale(monkeypatch, tmp_path):
         certify._reset_cache()
 
 
-def test_ship_invariant_stale_within_window():
-    """The invariant the driver relies on: every stale query sits inside
-    the first-50 export window. If this fails mid-development you have
-    more changed-uncertified queries than window slots — split the
-    certification across rounds deliberately instead of silently."""
-    stale = certify.stale_queries()
+def test_ship_invariant_self_stale_within_window():
+    """The invariant the driver relies on: every SELF-stale query (own
+    body/SQL changed, or never certified) sits inside the first-50
+    export window. If this fails mid-development you have more
+    changed-uncertified queries than window slots — split the
+    certification across rounds deliberately instead of silently.
+    Owner-stale rows (a shared module changed underneath them) MAY
+    overflow the window; they keep their old manifest entries and
+    rotate in next round — that is the designed behavior when an
+    every-query owner like sources/tables.py changes."""
+    urgent = certify.self_stale_queries()
     window = set(Q._export_order()[: certify.WINDOW])
-    assert stale <= window, f"stale outside window: {sorted(stale - window)}"
+    assert urgent <= window, f"self-stale outside window: {sorted(urgent - window)}"
 
 
 def test_refresh_stamps_only_window_entries(monkeypatch, tmp_path):
