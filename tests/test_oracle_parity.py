@@ -27,9 +27,11 @@ def test_every_query_has_oracle():
 def test_certification_window_order():
     """The driver's correctness harness records the FIRST 50 entries of
     queries() in iteration order (r8 lesson: q38-q49 registered last got
-    no CORRECTNESS row at all). Lock the export-order contract:
-    never-certified queries first, every SURVEY §2 row inside the window,
-    unknown future names before everything."""
+    no CORRECTNESS row at all; r9 lesson: evidence goes stale when code
+    changes). Lock the CHANGE-AWARE export-order contract: self-stale /
+    never-certified queries lead the window, every SURVEY §2 row stays
+    inside it, unknown future names sort before everything."""
+    from gelly_streaming_spark.certify import WINDOW, self_stale_queries
     from gelly_streaming_spark.queries import _CERT_ORDER, oracle_sql, queries
 
     names = list(queries())
@@ -38,16 +40,12 @@ def test_certification_window_order():
         "every registered query must appear in _CERT_ORDER exactly once — "
         "update the list when adding queries"
     )
-    window = names[:50]
-    # the r8 never-certified block leads the window
-    r8_new = [
-        "q38_duplicate_passages", "q39_pii_scrub", "q40_pack_sequences",
-        "q41_mixture_sample", "q42_curate_corpus", "q43_minhash_lsh",
-        "q44_simhash_pairs", "q45_centroid_assign", "q46_knn_lsh",
-        "q47_embedding_near_dup_lsh", "q48_knn_ivf_search",
-        "q49_url_curation",
-    ]
-    assert window[: len(r8_new)] == r8_new
+    window = names[:WINDOW]
+    # the urgent band (own code/SQL changed since last certified row, or
+    # never certified) leads the window — this is the r9 verdict's
+    # mechanical guard
+    urgent = self_stale_queries()
+    assert set(window[: len(urgent)]) == urgent
     # every §2 reference-operator row stays inside the window
     s2_ids = {
         "q01", "q02", "q03", "q04", "q05", "q05b", "q06", "q07", "q08",
@@ -63,10 +61,13 @@ def test_certification_window_order():
         n for n in names if REGISTRY[n].sql is not None
     ]
     # a future (unknown) name must sort before everything
+    from gelly_streaming_spark import certify
     from gelly_streaming_spark.queries import _export_order
 
     REGISTRY["q99_future"] = REGISTRY[names[0]]
+    certify._reset_cache()
     try:
         assert _export_order()[0] == "q99_future"
     finally:
         del REGISTRY["q99_future"]
+        certify._reset_cache()
