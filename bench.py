@@ -183,6 +183,18 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> tuple[int, 
     d.mapInPandas(_echo, "k long, v long").write.mode(
         "overwrite"
     ).format("noop").save()
+    # PSL rule tables (q49): the 539-row VALUES parse + analyze and the
+    # lookup joins' first codegen are session-lifetime one-time costs —
+    # build the per-session table cache and run one tiny lookup here so
+    # a budget-degraded single-run q49 measures its steady state
+    from gelly_streaming_spark.ext.web import registered_domain_lookup
+
+    hosts = spark.range(0, 256, 1, 8).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".ex.co.uk")).alias("h")
+    )
+    registered_domain_lookup(hosts, F.col("h"), "dom").write.mode(
+        "overwrite"
+    ).format("noop").save()
     done += 1
     if over_cap():
         return done, STAGES_TOTAL
@@ -530,11 +542,17 @@ def main() -> None:
                 "errors. partial=true means the wall-clock budget "
                 f"(BENCH_BUDGET_SEC={budget.total:.0f}) or a signal stopped "
                 "the run before every query completed; under budget pressure "
-                "runs-per-query degrades 3->2->1 before stopping. Slow "
+                "runs-per-query degrades 3->2->1 before stopping, and leftover "
+                "budget after the main loop is reclaimed as warm second "
+                "runs for queries degraded to a single run (both sides, "
+                "interleaved). Slow "
                 "DuckDB oracles are deferred past the engine loop on "
-                "reserved wall-clock and get one warm-up run before their "
-                "recorded run (steady-state parity with both sides); any "
-                "still recorded cold are named in duckdb_cold_single_run"
+                "reserved wall-clock: a guaranteed cold run each, then an "
+                "opportunistic second run with min(cold, warm) recorded "
+                "(the two runs are minutes apart so weather between them "
+                "is uncorrelated - min is the steady-state estimator "
+                "there); any oracle that only got its cold run is named "
+                "in duckdb_cold_single_run"
             ),
             "errors_present": bool(errors),
             "comparable_queries": len(timings),
@@ -669,15 +687,21 @@ def main() -> None:
     # duck_slow_cap; the two quadratic ones actually run 8-18 s at sf0.1)
     # — a GUARANTEED reserve instead of leftovers, so the matched-set
     # ratio keeps its slowest DuckDB queries (BENCH_r08 lost q22/q31).
-    # Sized for TWO runs each since r10: deferred oracles get a warm-up
-    # run for steady-state parity with every other timing.
-    defer_est = max(30.0, 5.0 * duck_slow_cap)
+    # The reserve guarantees ONE (cold) run each; the steady-state
+    # warm-up run is opportunistic on leftover budget — pre-reserving
+    # double was measured to starve the tail engine queries down to a
+    # single cold run each, inflating their recorded values far more
+    # than the oracle asymmetry it fixed (duckdb_cold_single_run flags
+    # the asymmetry honestly when the leftover doesn't stretch).
+    defer_est = max(15.0, 2.5 * duck_slow_cap)
     loop_t0 = time.time()
     queries_done = 0
     ordered = sorted(REGISTRY.items())
+    all_runs: dict[str, list[float]] = {}
+    all_druns: dict[str, list[float]] = {}
 
     for name, q in ordered:
-        reserve = min(100.0, defer_est * len(duck_deferred))
+        reserve = min(50.0, defer_est * len(duck_deferred))
         # projection needs a stable sample: the first queries carry
         # one-time session builds that overestimate the steady rate
         est = (
@@ -816,10 +840,57 @@ def main() -> None:
                 dsteady = druns[1:] if len(druns) >= 2 else druns
                 duck[name] = round(statistics.median(dsteady), 3)
                 duck_min[name] = round(min(druns), 3)
+            all_runs[name] = runs
+            all_druns[name] = druns
         emit()  # last-line-wins checkpoint after every query
     else:
         if not out_of_budget:
             partial["v"] = False
+
+    # Pass 0 — reclaim leftover budget as WARM runs for queries that got
+    # only a single run under budget degradation: the steady-state
+    # policy (exclude run 1) cannot operate on one sample, so a
+    # degraded query's recorded value carried its first-run costs
+    # (measured: a single-run q49 recorded 2.2 s against a 0.9 s steady
+    # state). Runs BEFORE the deferred-oracle burns so the re-runs
+    # measure a warm-but-unheated JVM, and respects the oracle reserve.
+    # Interleaved like the main loop: the engine re-run is followed by
+    # its oracle's re-run when that side was single-run too. No per-run
+    # watchdog here: each query already completed once in runs[0]
+    # seconds, and the budget SIGTERM flush is the backstop.
+    reclaim_reserve = min(50.0, defer_est * len(duck_deferred))
+    for name, q in ordered:
+        runs = all_runs.get(name, [])
+        druns = all_druns.get(name, [])
+        need_duck = (
+            duck_con is not None and q.sql is not None
+            and name not in duck_deferred and len(druns) == 1
+        )
+        if (not runs or len(runs) >= 2 or name in errors) and not need_duck:
+            continue
+        est = runs[0] + (druns[0] if need_duck else 0.0)
+        if budget.remaining() - reclaim_reserve < 2.0 * est + 5:
+            continue
+        if len(runs) == 1 and name not in errors:
+            t0 = time.time()
+            try:
+                q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            except Exception:
+                continue
+            runs.append(time.time() - t0)
+            timings[name] = round(statistics.median(runs[1:]), 3)
+            timings_min[name] = round(min(runs), 3)
+            timings_max[name] = round(max(runs), 3)
+        if need_duck:
+            t0 = time.time()
+            try:
+                duck_con.sql(q.sql).fetchall()
+                druns.append(time.time() - t0)
+                duck[name] = round(statistics.median(druns[1:]), 3)
+                duck_min[name] = round(min(druns), 3)
+            except Exception:
+                pass
+        emit()
 
     # Deferred slow oracles: timed once each, AFTER every engine timing
     # is in the book — their multi-ten-second all-core burns can no
@@ -828,37 +899,45 @@ def main() -> None:
     # if an oracle still overruns, the matched-set ratio simply excludes
     # it (duck_skipped names it in the tail line) instead of silently
     # shrinking the denominator under the full engine total.
+    # Pass 1 — guaranteed COLD run for every deferred oracle (the
+    # reserve was sized for exactly this; a single oracle's warm-run
+    # overrun must never starve another oracle's only run, which would
+    # silently shrink the matched set).
+    deferred_cold: dict[str, float] = {}
     for name, sql in duck_deferred.items():
         if budget.remaining() <= 5:
             break
         t0 = time.time()
         try:
             duck_con.sql(sql).fetchall()
-            cold = time.time() - t0
         except Exception:
-            emit()
             continue
-        # Steady-state PARITY with every other timing (VERDICT r9 item
-        # 4): the engine side and the inline DuckDB side both exclude
-        # run 1 as warm-up, so a deferred oracle recorded from its cold
-        # run alone inflates the denominator on exactly the heaviest
-        # matched queries. Give it one warm run when the remaining
-        # budget can absorb a repeat of the cold time; otherwise record
-        # the cold run and flag it in duckdb_cold_single_run.
-        if budget.remaining() - cold > 5:
-            t1 = time.time()
-            try:
-                duck_con.sql(sql).fetchall()
-                duck[name] = round(time.time() - t1, 3)
-                duck_min[name] = min(duck[name], round(cold, 3))
-            except Exception:
-                duck[name] = round(cold, 3)
-                duck_min[name] = duck[name]
-                duck_cold.append(name)
-        else:
-            duck[name] = round(cold, 3)
-            duck_min[name] = duck[name]
-            duck_cold.append(name)
+        deferred_cold[name] = time.time() - t0
+        duck[name] = round(deferred_cold[name], 3)
+        duck_min[name] = duck[name]
+        duck_cold.append(name)
+        emit()
+
+    # Pass 2 — opportunistic warm run for steady-state parity (VERDICT
+    # r9 item 4): every other timing on both sides excludes run 1 as
+    # warm-up. Needs 2.5x the cold time of remaining headroom. The
+    # recorded value is min(cold, warm), NOT blindly run 2: the two
+    # runs are minutes apart (unlike the interleaved engine/duck pairs)
+    # so a host-steal burst between them is uncorrelated — an observed
+    # warm run measured 4x the cold one inside a burst, and recording
+    # it would have REWARDED the engine with an inflated denominator.
+    for name, cold in deferred_cold.items():
+        if budget.remaining() < 2.5 * cold + 5:
+            continue
+        t1 = time.time()
+        try:
+            duck_con.sql(duck_deferred[name]).fetchall()
+        except Exception:
+            continue
+        warm = time.time() - t1
+        duck[name] = round(min(cold, warm), 3)
+        duck_min[name] = duck[name]
+        duck_cold.remove(name)
         emit()
 
     emit()
