@@ -296,14 +296,16 @@ def compact_line(result: dict) -> str:
             "ratio_vs_duckdb", "ratio_raw", "matched_queries",
             "engine_matched_sec", "duckdb_matched_sec", "duck_skipped",
             "heavy_engine_sec", "heavy_duckdb_sec", "ratio_heavy",
+            "duckdb_cold_single_run",
         )
         if k in result
     }
     compact["queries"] = _short_queries(compact.get("queries", {}))
-    if "duck_skipped" in compact:
-        compact["duck_skipped"] = sorted(
-            n.split("_", 1)[0] for n in compact["duck_skipped"]
-        )
+    for names_key in ("duck_skipped", "duckdb_cold_single_run"):
+        if names_key in compact:
+            compact[names_key] = sorted(
+                n.split("_", 1)[0] for n in compact[names_key]
+            )
     compact["detail"] = "bench_detail.json"
     line = json.dumps(compact)
     # Degrade gracefully if the query set ever grows the line past
@@ -316,7 +318,8 @@ def compact_line(result: dict) -> str:
     # `queries` is part of the driver contract — shed optional
     # fields instead if the line is still too long.
     for opt in ("value_max_runs", "errored_queries", "session_setup_sec",
-                "duck_skipped", "engine_matched_sec", "duckdb_matched_sec",
+                "duck_skipped", "duckdb_cold_single_run",
+                "engine_matched_sec", "duckdb_matched_sec",
                 "heavy_engine_sec", "heavy_duckdb_sec"):
         if len(line) <= 1900:
             break

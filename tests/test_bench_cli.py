@@ -236,3 +236,43 @@ def test_bench_budget_stop_emits_parseable_tail(sf_dir):
         if saved is not None:
             with open(detail_path, "w") as fh:
                 fh.write(saved)
+
+
+def test_weather_degraded_scales_with_completed_stages():
+    """The host-weather probe must not be evadable by its own warm-up
+    cap (ADVICE r9): a budget-capped warm-up that only ran 2 of 8
+    stages in 60 s is degraded even though 60 s < 2x the full-profile
+    expectation; a quiet host that was merely budget-capped is not."""
+    sys.path.insert(0, REPO)
+    from bench import _weather_degraded
+
+    # stolen host, warm-up capped early: 60 s for 2/8 stages
+    assert _weather_degraded(60.0, 35.0, 2, 8) is True
+    # quiet host, small budget: 24 s for 5/8 stages is proportionate
+    assert _weather_degraded(24.0, 35.0, 5, 8) is False
+    # full warm-up, classic threshold at 2x expected
+    assert _weather_degraded(100.0, 35.0, 8, 8) is True
+    assert _weather_degraded(33.0, 35.0, 8, 8) is False
+    # pathological single-stage run cannot zero the threshold
+    assert _weather_degraded(20.0, 35.0, 1, 8) is True   # > 2*35*0.25
+    assert _weather_degraded(10.0, 35.0, 1, 8) is False
+
+
+def test_headline_carries_cold_oracle_names():
+    """duckdb_cold_single_run must survive into the compact headline
+    (abbreviated) so the driver tail records the timing asymmetry."""
+    sys.path.insert(0, REPO)
+    from bench import compact_line
+
+    result = {
+        "metric": "total_wallclock_declared_queries",
+        "value": 1.0, "unit": "sec", "queries": {"q22_jaccard_pairs": 1.0},
+        "sf": 0.1, "runs_per_query": 3, "partial": False,
+        "errors_present": False, "comparable_queries": 1,
+        "registered_queries": 1, "load_degraded": False,
+        "session_setup_sec": 1.0, "copart_build_sec": 0.1,
+        "duckdb_total_sec": 2.0,
+        "duckdb_cold_single_run": ["q22_jaccard_pairs"],
+    }
+    d = json.loads(compact_line(result))
+    assert d["duckdb_cold_single_run"] == ["q22"]
