@@ -29,16 +29,23 @@ time). A change to a queries.py helper that alters runtime behaviour
 without touching the SQL or any owner module is the one case this net
 misses; the per-round judge diff review is the backstop there.
 
-Ship-time workflow (run as the LAST step before the round's final
-commit, after all code changes):
+Round workflow:
 
-    python -m gelly_streaming_spark.certify status    # list stale
-    python -m gelly_streaming_spark.certify refresh   # stamp window head
+    # ROUND START, before any code edits — stamp what the driver just
+    # certified (current fingerprints == fingerprints of the certified
+    # code, because the driver ran on the previous round's final commit):
+    python -m gelly_streaming_spark.certify stamp CORRECTNESS_r10.json
+    # any time — list what would re-certify:
+    python -m gelly_streaming_spark.certify status
+    # ROUND END: nothing. Commit as-is; the export order already leads
+    # with the stale band, and the driver certifies exactly that order.
 
-``refresh`` writes current fingerprints ONLY for queries inside the
-projected 50-row window — queries outside the window keep their old
-entries, so a change to an outside query stays visibly stale until a
-later round rotates it in.
+Stamping at ship time would be unsound: the driver certifies the first
+50 of the POST-stamp export order, and stamping changes that order, so
+the stamped set and the certified set would diverge (no fixpoint once
+the registry outgrows the window). Queries outside the driver window
+keep their old entries and stay visibly stale until a later round
+rotates them in.
 """
 
 from __future__ import annotations
@@ -220,21 +227,37 @@ def self_stale_queries() -> set[str]:
     }
 
 
-def refresh_manifest() -> list[str]:
-    """Stamp current fingerprints for every query inside the projected
-    window. Returns the stamped names. Queries OUTSIDE the window keep
-    their old entries on purpose — see module docstring."""
-    from gelly_streaming_spark import queries as Q
+def stamp_from_correctness(correctness_path: str) -> list[str]:
+    """Stamp current fingerprints for every query the given driver
+    CORRECTNESS_r*.json certified triple-green. Returns the stamped
+    names.
 
+    MUST run at ROUND START, before any code edits: the driver ran on
+    the previous round's final commit, so the current fingerprints are
+    exactly the fingerprints of the certified code. (Stamping at ship
+    time instead is unsound — the driver certifies the first 50 of the
+    POST-stamp export order, and stamping changes that order, so the
+    stamped set and the certified set would diverge; there is no
+    fixpoint once the registry outgrows the window.) Red or missing
+    rows are never stamped."""
+    rows = json.loads(Path(correctness_path).read_text())
+    green = {
+        n
+        for n, r in rows.items()
+        if isinstance(r, dict)
+        and r.get("rows_match") and r.get("schema_match")
+        and (r.get("hash_match") is not False)
+        and not r.get("err")
+    }
     manifest = load_manifest()
-    window = Q._export_order()[:WINDOW]
     fps = fingerprints()
-    for name in window:
+    stamped = sorted(green & set(fps))
+    for name in stamped:
         manifest[name] = dict(fps[name])
     MANIFEST_PATH.write_text(
         json.dumps(dict(sorted(manifest.items())), indent=1) + "\n"
     )
-    return window
+    return stamped
 
 
 def _reset_cache() -> None:
@@ -248,12 +271,13 @@ if __name__ == "__main__":
 
     cmd = sys.argv[1] if len(sys.argv) > 1 else "status"
     if cmd == "status":
-        stale = sorted(stale_queries())
-        print(f"stale ({len(stale)}):")
-        for n in stale:
-            print(f"  {n}")
-    elif cmd == "refresh":
-        window = refresh_manifest()
-        print(f"stamped {len(window)} window entries -> {MANIFEST_PATH}")
+        urgent = self_stale_queries()
+        for n in sorted(stale_queries() | urgent):
+            print(f"  {n}  {'SELF' if n in urgent else 'owner'}")
+    elif cmd == "stamp":
+        if len(sys.argv) < 3:
+            raise SystemExit("usage: certify stamp CORRECTNESS_rN.json")
+        stamped = stamp_from_correctness(sys.argv[2])
+        print(f"stamped {len(stamped)} certified entries -> {MANIFEST_PATH}")
     else:
-        raise SystemExit(f"unknown command {cmd!r} (status|refresh)")
+        raise SystemExit(f"unknown command {cmd!r} (status|stamp)")

@@ -129,16 +129,27 @@ def test_ship_invariant_self_stale_within_window():
     assert urgent <= window, f"self-stale outside window: {sorted(urgent - window)}"
 
 
-def test_refresh_stamps_only_window_entries(monkeypatch, tmp_path):
+def test_stamp_from_correctness_stamps_only_green_rows(monkeypatch, tmp_path):
     mp = tmp_path / "m.json"
     mp.write_text("{}")
     monkeypatch.setattr(certify, "MANIFEST_PATH", mp)
-    stamped = certify.refresh_manifest()
+    rows = {
+        "q01_scan": {"rows_match": True, "schema_match": True,
+                     "hash_match": True, "err": None},
+        "q02_reverse": {"rows_match": True, "schema_match": True,
+                        "hash_match": False, "err": None},  # red
+        "q03_undirected": {"rows_match": True, "schema_match": True,
+                           "hash_match": True, "err": "boom"},  # errored
+        "q99_gone": {"rows_match": True, "schema_match": True,
+                     "hash_match": True, "err": None},  # not registered
+    }
+    cp = tmp_path / "CORRECTNESS_rX.json"
+    cp.write_text(json.dumps(rows))
+    stamped = certify.stamp_from_correctness(str(cp))
     manifest = json.loads(mp.read_text())
-    assert len(stamped) == certify.WINDOW
-    assert set(manifest) == set(stamped)
-    # entries outside the window stay absent (still stale) on purpose
-    assert len(manifest) < len(Q.REGISTRY)
+    assert stamped == ["q01_scan"]
+    assert set(manifest) == {"q01_scan"}
+    assert manifest["q01_scan"] == certify.fingerprints()["q01_scan"]
 
 
 def test_oracle_and_query_key_sets_unchanged():
