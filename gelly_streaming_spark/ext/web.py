@@ -419,10 +419,15 @@ def registered_domain_lookup(
     every join is a BroadcastHashJoin on a ≤|PSL|-row LocalRelation.
 
     Semantics are identical to :func:`registered_domain` (differential
-    test in tests/test_ext.py pins lookup ≡ regex ≡ a pure-Python PSL
+    test in tests/test_psl.py pins lookup ≡ regex ≡ a pure-Python PSL
     reference on adversarial hosts): exception beats wildcard beats
     longest normal rule beats the 2-label default, and a host too
     shallow for its matched rule falls back to its last two labels."""
+    clash = [c for c in df.columns if c.startswith("__psl_")]
+    if clash:
+        raise ValueError(
+            f"input columns collide with lookup helpers: {clash}"
+        )
     spark = df.sparkSession
     table = parse_psl(rules)
     rule_dfs = _rule_tables(spark, rules, table)
