@@ -868,6 +868,10 @@ def main() -> None:
         need_duck = (
             duck_con is not None and q.sql is not None
             and name not in duck_deferred and len(druns) == 1
+            # an errored query is excluded from timings entirely — a
+            # duck re-run would add an oracle timing with no engine
+            # counterpart, silently inflating duckdb_total_sec
+            and name not in errors
         )
         if (not runs or len(runs) >= 2 or name in errors) and not need_duck:
             continue
@@ -910,6 +914,11 @@ def main() -> None:
     for name, sql in duck_deferred.items():
         if budget.remaining() <= 5:
             break
+        if name in errors:
+            # the engine side errored after the oracle was deferred —
+            # an oracle timing with no engine counterpart would inflate
+            # duckdb_total_sec outside the matched set
+            continue
         t0 = time.time()
         try:
             duck_con.sql(sql).fetchall()
