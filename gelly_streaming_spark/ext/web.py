@@ -31,23 +31,32 @@ Two interchangeable implementations of the same contract:
 
 - :func:`registered_domain` — pure Column regex (RE2∩Java dialect).
   O(|PSL|) alternation per row: fine for the DuckDB oracle (RE2
-  compiles alternations to a DFA) and for small rule sets, WRONG for
-  the engine hot path at corpus scale (Java regex alternations don't
-  trie-compile — measured ~40× per-row overhead at 539 rules).
-- :func:`domain_filter` (lookup path) — split the host once, then
-  broadcast-hash-join the candidate label tails against the parsed
-  rule table: O(1) hash probes per row, still zero corpus shuffles.
+  compiles the ~5,900-branch alternation to a DFA — measured 0.2 s for
+  5 k rows) and for small rule sets, WRONG for the engine hot path at
+  corpus scale (Java regex alternations don't trie-compile — measured
+  ~40× per-row overhead already at 539 rules).
+- :func:`domain_filter` (lookup path) — split the host once, then ONE
+  broadcast hash join of the 2-label tail against the unified rule
+  table (deeper rules ride the matched row as tiny arrays probed
+  in-row): O(1)-ish work per row, zero corpus shuffles. The per-query
+  broadcast-exchange latency (~0.3 s for the 4k-row relation on
+  local[32]) is a fixed cost of the same class as the documented
+  control-plane floor — it amortizes over the scan at corpus scale.
 
-The vendored list is an ICANN-section excerpt (network here is
-sandboxed; the full ~9k-rule file cannot be fetched). Production swaps
-in the real file via :func:`load_psl_file` — the parser accepts the
-raw publicsuffix.org format, including wildcard/exception syntax.
+The DEFAULT rule set is the FULL vendored ICANN section of the Public
+Suffix List (``public_suffix_list.dat`` alongside this module —
+publicsuffix.org data via the distro's ``publicsuffix`` package,
+MPL-2.0, license header preserved; 7,380 rules, 18 wildcards, 8
+exceptions, max depth 4). A newer file drops in via
+:func:`load_psl_file`; the parser accepts the raw publicsuffix.org
+format, including wildcard/exception syntax.
 """
 
 from __future__ import annotations
 
 import weakref
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -208,8 +217,41 @@ WILDCARD_RULES: tuple[str, ...] = (
     "*.bd", "*.er", "*.fk", "*.mm", "*.pg",
 )
 
-# The default rule set: the flat excerpt plus wildcard/exception rules.
-PSL_RULES: tuple[str, ...] = MULTI_SUFFIXES + WILDCARD_RULES
+# PSL_RULES — the package default — is assigned right after
+# load_psl_file's definition below: the FULL vendored ICANN section of
+# the Public Suffix List (publicsuffix.org — public data, MPL-2.0,
+# license header preserved in the vendored file; 7,380 rules incl. 18
+# wildcards and 8 exceptions, max depth 4), falling back to the
+# hand-written excerpt if the data file is ever stripped from the
+# install. IDN boundary: the PSL carries IDN rules in Unicode form
+# (公司.cn, …) — they match hosts presented in the same Unicode form;
+# punycode (xn--) hosts need IDNA normalization upstream of the lookup,
+# as the PSL algorithm specifies.
+_PSL_DATA = Path(__file__).parent / "public_suffix_list.dat"
+
+
+def load_psl_file(path: str) -> tuple[str, ...]:
+    """Read a raw publicsuffix.org file, returning the ICANN-section
+    rule lines (comments/blank lines dropped, private section cut at
+    the ``===BEGIN PRIVATE DOMAINS===`` marker) for :func:`parse_psl`."""
+    rules: list[str] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if "===BEGIN PRIVATE DOMAINS===" in line:
+                break
+            if not line or line.startswith("//"):
+                continue
+            rules.append(line)
+    return tuple(rules)
+
+
+PSL_RULES: tuple[str, ...] = (
+    load_psl_file(str(_PSL_DATA)) if _PSL_DATA.is_file()
+    else MULTI_SUFFIXES + WILDCARD_RULES
+)
+
+
 
 
 @dataclass(frozen=True)
@@ -247,6 +289,12 @@ def parse_psl(rules: tuple[str, ...] = PSL_RULES) -> PslTable:
             key = line[1:]
             eff = key.count(".")  # depth − 1
             entries[key] = (eff, True)
+        elif "." not in line and not line.startswith("*"):
+            # depth-1 normal rule (a bare TLD): its eff of 1 equals the
+            # implicit `*` default the lookup already applies, so
+            # storing ~1,500 of them only bloats the depth-1 table and
+            # the oracle alternation without changing any output
+            continue
         elif line.startswith("*."):
             key = line[2:]
             eff = key.count(".") + 2  # base depth + 1
@@ -260,22 +308,6 @@ def parse_psl(rules: tuple[str, ...] = PSL_RULES) -> PslTable:
                 entries[line] = (eff, False)
     depths = tuple(sorted({k.count(".") + 1 for k in entries}))
     return PslTable(entries=entries, depths=depths)
-
-
-def load_psl_file(path: str) -> tuple[str, ...]:
-    """Read a raw publicsuffix.org file, returning the ICANN-section
-    rule lines (comments/blank lines dropped, private section cut at
-    the ``===BEGIN PRIVATE DOMAINS===`` marker) for :func:`parse_psl`."""
-    rules: list[str] = []
-    with open(path, encoding="utf-8") as fh:
-        for line in fh:
-            line = line.strip()
-            if "===BEGIN PRIVATE DOMAINS===" in line:
-                break
-            if not line or line.startswith("//"):
-                continue
-            rules.append(line)
-    return tuple(rules)
 
 
 def suffix_alternation(rules: tuple[str, ...] = PSL_RULES) -> str:
@@ -374,33 +406,67 @@ def registered_domain(
 _RULE_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _rule_tables(
+def _rule_table(
     spark: SparkSession, rules: tuple[str, ...], table: PslTable
-) -> dict[int, DataFrame]:
+) -> Optional[DataFrame]:
+    """ONE LocalRelation for the whole rule set, keyed on the last-2-label
+    tail: the exact depth-2 rule (eff/exc, nullable) plus every deeper
+    rule sharing that tail carried as parallel arrays (ICANN buckets are
+    tiny — max 142 deep rules under one tail, hokkaido.jp). One broadcast
+    hash join + in-row array probes replaces one join per depth: at
+    sf0.1 the extra depth-3 broadcast build alone cost ~0.2-0.4 s per
+    run after the full 7,380-rule PSL landed. Depth-1 entries (wildcard
+    bases) are excluded — they stay literal isin predicates. None when
+    the rule set has no depth>=2 entries."""
     per_session = _RULE_TABLE_CACHE.setdefault(spark, {})
     if rules in per_session:
         return per_session[rules]
-    out: dict[int, DataFrame] = {}
-    for d in table.depths:
-        rows = [
-            (k, eff, is_exc)
-            for k, (eff, is_exc) in table.entries.items()
-            if k.count(".") + 1 == d
-        ]
-        if len(rows) <= 64:  # served by literal isin, no relation needed
+    from collections import defaultdict
+
+    exact2: dict[str, tuple[int, bool]] = {}
+    deep: dict[str, list[tuple[str, int, bool]]] = defaultdict(list)
+    for k, (eff, exc) in table.entries.items():
+        d = k.count(".") + 1
+        if d == 1:
             continue
-        # VALUES LocalRelation, not createDataFrame — the first
-        # createDataFrame in a session pays ~3.5 s of Python-conversion
-        # machinery (r6 fixture lesson); VALUES parses in milliseconds.
-        values = ", ".join(
-            "('{}', {}, {})".format(k.replace("'", "''"), eff, str(e).lower())
-            for k, eff, e in rows
-        )
-        out[d] = spark.sql(
-            f"SELECT * FROM VALUES {values} t(__psl_key{d}, __psl_eff{d}, __psl_exc{d})"
-        )
-    per_session[rules] = out
-    return out
+        if d == 2:
+            exact2[k] = (eff, exc)
+        else:
+            deep[".".join(k.split(".")[-2:])].append((k, eff, exc))
+    keys = sorted(set(exact2) | set(deep))
+    if not keys:
+        per_session[rules] = None
+        return None
+
+    def q(x: str) -> str:
+        return "'" + x.replace("'", "''") + "'"
+
+    # VALUES LocalRelation, not createDataFrame — the first
+    # createDataFrame in a session pays ~3.5 s of Python-conversion
+    # machinery (r6 fixture lesson); VALUES parses in milliseconds.
+    rows = []
+    for k in keys:
+        e2 = exact2.get(k)
+        dk = deep.get(k)
+        eff2 = str(e2[0]) if e2 else "CAST(NULL AS INT)"
+        exc2 = str(e2[1]).lower() if e2 else "CAST(NULL AS BOOLEAN)"
+        if dk:
+            a_k = "array(" + ",".join(q(x[0]) for x in dk) + ")"
+            a_e = "array(" + ",".join(str(x[1]) for x in dk) + ")"
+            a_x = "array(" + ",".join(str(x[2]).lower() for x in dk) + ")"
+        else:
+            a_k = "CAST(NULL AS ARRAY<STRING>)"
+            a_e = "CAST(NULL AS ARRAY<INT>)"
+            a_x = "CAST(NULL AS ARRAY<BOOLEAN>)"
+        rows.append(f"({q(k)}, {eff2}, {exc2}, {a_k}, {a_e}, {a_x})")
+    tbl = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(rows)
+        + " t(__psl_key, __psl_eff2, __psl_exc2,"
+        " __psl_dkeys, __psl_deffs, __psl_dexcs)"
+    )
+    per_session[rules] = tbl
+    return tbl
 
 
 def registered_domain_lookup(
@@ -409,20 +475,22 @@ def registered_domain_lookup(
     out_col: str = "domain",
     rules: tuple[str, ...] = PSL_RULES,
 ) -> DataFrame:
-    """Append ``out_col`` = registered domain of ``host`` via the
-    scale path: split the host ONCE, then probe the candidate label
-    tails against the parsed rule table with one broadcast hash join
-    per key depth (ICANN PSL has depths 1–4, so ≤4 joins), O(1) hash
-    probes per row instead of O(|PSL|) regex alternation backtracking
-    (VERDICT r9 item 2: the 539-branch alternation measured ~40× the
-    per-row cost of DuckDB's DFA replay). The corpus never shuffles —
-    every join is a BroadcastHashJoin on a ≤|PSL|-row LocalRelation.
+    """Append ``out_col`` = registered domain of ``host`` via the scale
+    path: split the host ONCE, broadcast-hash-join its 2-label tail
+    against the unified rule table (one probe per row; deeper rules ride
+    that row as tiny arrays probed in-row; depth-1 wildcard bases are a
+    literal isin), O(1)-ish work per row instead of O(|PSL|) regex
+    alternation backtracking (VERDICT r9 item 2: the 539-branch
+    alternation measured ~40× the per-row cost of DuckDB's DFA replay).
+    The corpus never shuffles — the single join is a BroadcastHashJoin
+    on a ≤4k-row LocalRelation.
 
     Semantics are identical to :func:`registered_domain` (differential
     test in tests/test_psl.py pins lookup ≡ regex ≡ a pure-Python PSL
-    reference on adversarial hosts): exception beats wildcard beats
-    longest normal rule beats the 2-label default, and a host too
-    shallow for its matched rule falls back to its last two labels."""
+    reference on adversarial hosts and on hosts synthesized from the
+    full vendored rule set): exception beats wildcard beats longest
+    normal rule beats the 2-label default, and a host too shallow for
+    its matched rule falls back to its last two labels."""
     clash = [c for c in df.columns if c.startswith("__psl_")]
     if clash:
         raise ValueError(
@@ -430,71 +498,75 @@ def registered_domain_lookup(
         )
     spark = df.sparkSession
     table = parse_psl(rules)
-    rule_dfs = _rule_tables(spark, rules, table)
+    rtab = _rule_table(spark, rules, table)
 
     labels = F.split(host, r"\.")
     n = F.size(labels)
     df = df.withColumn("__psl_labels", labels).withColumn("__psl_n", n)
     labels, n = F.col("__psl_labels"), F.col("__psl_n")
-
-    eff_cols: list[Column] = []
-    exc_cols: list[Column] = []
     drop: list[str] = ["__psl_labels", "__psl_n"]
-    for d in table.depths:
-        rows = [
-            (k, eff, is_exc)
-            for k, (eff, is_exc) in table.entries.items()
-            if k.count(".") + 1 == d
-        ]
-        tail_expr = F.when(
+
+    def tail(d: int) -> Column:
+        return F.when(
             n >= d, F.concat_ws(".", F.slice(labels, n - F.lit(d) + 1, d))
         )
-        # a normal/wildcard rule only prevails when the host has an
-        # extra label beyond the suffix (n ≥ eff+1) — the regex path's
-        # `[^.]+\.(alt)` shape encodes exactly this, and hosts that ARE
-        # a public suffix fall through to the deepest shallower rule
-        # (e.g. host nsw.edu.au → edu.au prevails → nsw.edu.au)
-        if len(rows) <= 64:
-            # small depth table: literal isin predicates beat building
-            # and shipping a broadcast relation every run (ICANN depths
-            # 1 and 3 hold a handful of wildcard bases / state-registry
-            # rules; only depth 2 is in the hundreds)
-            tcol = f"__psl_tail{d}"
-            df = df.withColumn(tcol, tail_expr)
-            tail = F.col(tcol)
-            drop.append(tcol)
-            eff_c: Column = F.lit(None).cast("int")
-            exc_c: Column = F.lit(None).cast("int")
-            effs = sorted({e for _, e, x in rows if not x})
-            for e in effs:
-                keys = [k for k, ee, x in rows if ee == e and not x]
-                eff_c = F.when(tail.isin(*keys), F.lit(e)).otherwise(eff_c)
-            exc_rows = [(k, e) for k, e, x in rows if x]
-            for e in sorted({e for _, e in exc_rows}):
-                keys = [k for k, ee in exc_rows if ee == e]
-                exc_c = F.when(tail.isin(*keys), F.lit(e)).otherwise(exc_c)
-            eff_cols.append(F.when(n >= eff_c + 1, eff_c))
-            exc_cols.append(exc_c)
-        else:
-            rtab = rule_dfs[d]
-            df = df.withColumn(f"__psl_tail{d}", tail_expr).join(
-                F.broadcast(rtab),
-                F.col(f"__psl_tail{d}") == F.col(f"__psl_key{d}"),
-                "left",
-            )
-            eff_d, exc_d = F.col(f"__psl_eff{d}"), F.col(f"__psl_exc{d}")
-            eff_cols.append(
-                F.when(~F.coalesce(exc_d, F.lit(False)) & (n >= eff_d + 1), eff_d)
-            )
-            exc_cols.append(F.when(F.coalesce(exc_d, F.lit(False)), eff_d))
-            drop += [
-                f"__psl_tail{d}", f"__psl_key{d}", f"__psl_eff{d}", f"__psl_exc{d}"
-            ]
 
-    # exception (deepest first) beats everything; else longest rule; else
-    # the implicit TLD default (eff 1 → registered domain = last two)
-    exc_eff = F.coalesce(*reversed(exc_cols)) if exc_cols else F.lit(None)
-    norm_eff = F.greatest(*[F.coalesce(c, F.lit(1)) for c in eff_cols], F.lit(1))
+    # precedence inputs: exceptions deepest-first, then gated rules.
+    # a normal/wildcard rule only prevails when the host has an extra
+    # label beyond the suffix (n >= eff+1) — the regex path's
+    # `[^.]+\.(alt)` shape encodes exactly this, and hosts that ARE a
+    # public suffix fall through to the deepest shallower rule
+    # (e.g. host nsw.edu.au -> edu.au prevails -> nsw.edu.au)
+    exc_cols: list[Column] = []
+    eff_cols: list[Column] = []
+
+    if rtab is not None:
+        max_depth = max(table.depths)
+        df = df.withColumn("__psl_tail2", tail(2)).join(
+            F.broadcast(rtab),
+            F.col("__psl_tail2") == F.col("__psl_key"),
+            "left",
+        )
+        drop += ["__psl_tail2", "__psl_key", "__psl_eff2", "__psl_exc2",
+                 "__psl_dkeys", "__psl_deffs", "__psl_dexcs"]
+        dkeys = F.col("__psl_dkeys")
+        for d in range(max_depth, 2, -1):  # deepest first
+            tcol = f"__psl_tail{d}"
+            df = df.withColumn(tcol, tail(d))
+            drop.append(tcol)
+            idx = F.array_position(dkeys, F.col(tcol)).cast("int")
+            hit = idx > 0
+            e_d = F.when(hit, F.element_at(F.col("__psl_deffs"), idx))
+            x_d = F.when(hit, F.element_at(F.col("__psl_dexcs"), idx))
+            exc_cols.append(F.when(F.coalesce(x_d, F.lit(False)), e_d))
+            eff_cols.append(
+                F.when(~F.coalesce(x_d, F.lit(False)) & (n >= e_d + 1), e_d)
+            )
+        eff2, exc2 = F.col("__psl_eff2"), F.col("__psl_exc2")
+        exc_cols.append(F.when(F.coalesce(exc2, F.lit(False)), eff2))
+        eff_cols.append(
+            F.when(~F.coalesce(exc2, F.lit(False)) & (n >= eff2 + 1), eff2)
+        )
+
+    # depth-1 wildcard bases (a handful: *.ck, *.bd, ...) — literal isin
+    d1 = sorted(
+        (k, eff) for k, (eff, x) in table.entries.items()
+        if k.count(".") + 1 == 1 and not x
+    )
+    if d1:
+        tail1 = F.element_at(labels, -1)
+        w1: Column = F.lit(None).cast("int")
+        for e in sorted({eff for _, eff in d1}):
+            keys1 = [k for k, eff in d1 if eff == e]
+            w1 = F.when(tail1.isin(*keys1), F.lit(e)).otherwise(w1)
+        eff_cols.append(F.when(n >= w1 + 1, w1))
+
+    exc_eff = F.coalesce(*exc_cols, F.lit(None)) if exc_cols else F.lit(None)
+    norm_eff = (
+        F.greatest(*[F.coalesce(c, F.lit(1)) for c in eff_cols], F.lit(1))
+        if eff_cols
+        else F.lit(1)
+    )
     eff = F.coalesce(exc_eff, norm_eff)
     two = F.when(n >= 2, F.concat_ws(".", F.slice(labels, n - 1, 2))).otherwise(
         F.lit("")

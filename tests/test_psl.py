@@ -161,7 +161,8 @@ def test_parse_psl_file_dialect(tmp_path):
     assert t.entries["co.uk"] == (2, False)
     assert t.entries["ck"] == (2, False)  # wildcard base → eff 2
     assert t.entries["www.ck"] == (1, True)
-    assert t.entries["uk"] == (1, False)
+    # a bare-TLD normal rule is dropped: eff 1 == the implicit default
+    assert "uk" not in t.entries
 
 
 def test_parse_psl_merge_prefers_longer_eff():
@@ -200,3 +201,45 @@ def test_paths_agree_on_random_hosts(spark):
         want = ref_regdomain(h)
         assert regex[h] == want, ("regex", h, regex[h], want)
         assert lookup[h] == want, ("lookup", h, lookup[h], want)
+
+
+def test_vendored_full_psl_loaded():
+    """The package default is the FULL vendored ICANN section (7,380
+    rules), not the hand-written excerpt: every rule class present."""
+    assert len(PSL_RULES) > 7000
+    t = parse_psl()
+    assert t.entries["www.ck"] == (1, True)              # exception
+    assert t.entries["city.kawasaki.jp"] == (2, True)    # exception
+    assert t.entries["jm"] == (2, False)                 # *.jm
+    assert t.entries["nom.br"] == (3, False)             # *.nom.br
+    assert t.entries["sch.uk"] == (3, False)             # *.sch.uk
+    assert t.entries["kobe.jp"] == (3, False)            # *.kobe.jp
+    assert t.entries["co.uk"] == (2, False)              # normal d2
+    assert "uk" not in t.entries                         # bare TLD dropped
+    # IDN rules are carried in Unicode form (matching boundary is
+    # documented: Unicode hosts match; punycode needs IDNA upstream)
+    assert any(any(ord(c) > 127 for c in k) for k in t.entries)
+    assert t.depths == (1, 2, 3, 4)
+
+
+def test_full_psl_lookup_differential_sampled(spark):
+    """Lookup ≡ reference over hosts synthesized from REAL full-file
+    rules of every depth and class (normal/wildcard/exception), with
+    0–2 extra labels each — exercises the depth-4 table and the
+    broadcast join tiers the excerpt never reached."""
+    t = parse_psl()
+    keys = sorted(t.entries)
+    sample = []
+    for d in t.depths:
+        at_depth = [k for k in keys if k.count(".") + 1 == d]
+        sample += at_depth[:: max(1, len(at_depth) // 40)][:40]
+    hosts = []
+    for k in sample:
+        hosts += [k, f"one.{k}", f"two.one.{k}"]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    got = {
+        r.host: r.dom
+        for r in registered_domain_lookup(df, F.col("host"), "dom").collect()
+    }
+    for h in hosts:
+        assert got[h] == ref_regdomain(h), (h, got[h], ref_regdomain(h))
