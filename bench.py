@@ -548,7 +548,9 @@ def main() -> None:
                 "runs-per-query degrades 3->2->1 before stopping, and leftover "
                 "budget after the main loop is reclaimed as warm second "
                 "runs for queries degraded to a single run (both sides, "
-                "interleaved). Slow "
+                "interleaved; min of the two runs recorded - the re-run "
+                "is minutes after run 1 so weather between them is "
+                "uncorrelated). Slow "
                 "DuckDB oracles are deferred past the engine loop on "
                 "reserved wall-clock: a guaranteed cold run each, then an "
                 "opportunistic second run with min(cold, warm) recorded "
@@ -858,34 +860,71 @@ def main() -> None:
     # state). Runs BEFORE the deferred-oracle burns so the re-runs
     # measure a warm-but-unheated JVM, and respects the oracle reserve.
     # Interleaved like the main loop: the engine re-run is followed by
-    # its oracle's re-run when that side was single-run too. No per-run
-    # watchdog here: each query already completed once in runs[0]
-    # seconds, and the budget SIGTERM flush is the backstop.
+    # its oracle's re-run when that side was single-run too.
+    # The recorded value is min(run1, re-run) on BOTH sides, not the
+    # re-run alone: the re-run happens minutes after run 1, so weather
+    # between them is uncorrelated (same argument as the deferred
+    # oracles' min rule) and a steal burst during the reclaim pass must
+    # not overwrite a clean first run. Each re-run gets the same
+    # watchdog as the main loop — a hung re-run would otherwise burn
+    # through the deferred-oracle reserve that guarantees q22/q31 their
+    # cold runs — and a re-run FAILURE records the query under errors
+    # and withdraws its timings ('errored on ANY run' policy).
     reclaim_reserve = min(50.0, defer_est * len(duck_deferred))
     for name, q in ordered:
         runs = all_runs.get(name, [])
         druns = all_druns.get(name, [])
+        if name in errors:
+            continue
+        rerun_engine = len(runs) == 1
         need_duck = (
             duck_con is not None and q.sql is not None
             and name not in duck_deferred and len(druns) == 1
-            # an errored query is excluded from timings entirely — a
-            # duck re-run would add an oracle timing with no engine
-            # counterpart, silently inflating duckdb_total_sec
-            and name not in errors
         )
-        if (not runs or len(runs) >= 2 or name in errors) and not need_duck:
+        if not runs or (not rerun_engine and not need_duck):
             continue
-        est = runs[0] + (druns[0] if need_duck else 0.0)
+        est = (runs[0] if rerun_engine else 0.0) + (
+            druns[0] if need_duck else 0.0
+        )
         if budget.remaining() - reclaim_reserve < 2.0 * est + 5:
             continue
-        if len(runs) == 1 and name not in errors:
+        if rerun_engine:
+            deadline = min(
+                per_query_cap,
+                max(5.0, budget.remaining() - reclaim_reserve),
+            )
+            group = f"bench:{name}#reclaim"
+            armed = {"on": True}
+
+            def _cancel(armed=armed, group=group):
+                with cancel_lock:
+                    if armed["on"]:
+                        spark.sparkContext.cancelJobGroup(group)
+
+            watchdog = threading.Timer(deadline, _cancel)
+            watchdog.daemon = True
+            watchdog.start()
+            spark.sparkContext.setJobGroup(
+                group, f"bench reclaim of {name}", interruptOnCancel=True
+            )
             t0 = time.time()
             try:
                 q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            except Exception:
+            except Exception as ex:
+                errors[name] = f"reclaim: {type(ex).__name__}: {ex}"[:300]
+                for book in (timings, timings_min, timings_max, duck, duck_min):
+                    book.pop(name, None)
+                emit()
                 continue
+            finally:
+                with cancel_lock:
+                    armed["on"] = False
+                watchdog.cancel()
+                for p in ("spark.jobGroup.id", "spark.job.description",
+                          "spark.job.interruptOnCancel"):
+                    spark.sparkContext.setLocalProperty(p, None)
             runs.append(time.time() - t0)
-            timings[name] = round(statistics.median(runs[1:]), 3)
+            timings[name] = round(min(runs), 3)
             timings_min[name] = round(min(runs), 3)
             timings_max[name] = round(max(runs), 3)
         if need_duck:
@@ -893,7 +932,7 @@ def main() -> None:
             try:
                 duck_con.sql(q.sql).fetchall()
                 druns.append(time.time() - t0)
-                duck[name] = round(statistics.median(druns[1:]), 3)
+                duck[name] = round(min(druns), 3)
                 duck_min[name] = round(min(druns), 3)
             except Exception:
                 pass

@@ -385,6 +385,13 @@ def registered_domain(
     matched rule (the host IS a public suffix — kept for contract
     stability with the pre-wildcard rounds).
 
+    Malformed hosts — empty string, or any EMPTY LABEL (leading dot,
+    trailing-dot FQDN form, consecutive dots) — have no registered
+    domain ('') by documented contract: before this rule the regex and
+    lookup paths silently diverged on them (regex re-anchored to the
+    longest clean tail while the split-based lookup carried empty
+    labels into the output — 'example.com.' gave '' vs 'com.').
+
     O(|rules|) regex work per row — use the :func:`domain_filter`
     lookup path in the engine hot path; this form exists for small rule
     sets and as the shared semantics spec for the DuckDB oracle."""
@@ -396,7 +403,12 @@ def registered_domain(
     if exc:
         exc_hit = F.regexp_extract(host, rf"(^|\.)({exc})$", 2)
         out = F.when(exc_hit != "", exc_hit).otherwise(out)
-    return out
+    return F.when(_malformed_host(host), F.lit("")).otherwise(out)
+
+
+def _malformed_host(host: Column) -> Column:
+    """Empty host or any empty label (``.x``, ``x.``, ``x..y``)."""
+    return (host == "") | host.rlike(r"^\.|\.\.|\.$")
 
 
 # Per-session cache of the per-depth rule LocalRelations: the 539-row
@@ -408,7 +420,7 @@ _RULE_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 def _rule_table(
     spark: SparkSession, rules: tuple[str, ...], table: PslTable
-) -> Optional[DataFrame]:
+) -> DataFrame | None:
     """ONE LocalRelation for the whole rule set, keyed on the last-2-label
     tail: the exact depth-2 rule (eff/exc, nullable) plus every deeper
     rule sharing that tail carried as parallel arrays (ICANN buckets are
@@ -574,6 +586,11 @@ def registered_domain_lookup(
     dom = F.when(
         n >= eff + 1, F.concat_ws(".", F.slice(labels, n - eff, eff + 1))
     ).otherwise(two)
+    # malformed hosts (empty labels) have no registered domain — the
+    # documented contract shared with the regex path (see
+    # registered_domain): without it the two paths diverged on
+    # trailing-dot FQDNs ('example.com.' → '' vs 'com.')
+    dom = F.when(_malformed_host(host), F.lit("")).otherwise(dom)
     return df.withColumn(out_col, dom).drop(*drop)
 
 

@@ -1975,7 +1975,8 @@ canon AS (
 ),
 dom AS (
   SELECT doc_id, url_canon,
-         CASE WHEN regexp_extract(host, '(^|\.)({exc})$', 2) <> ''
+         CASE WHEN host = '' OR regexp_matches(host, '^\.|\.\.|\.$') THEN ''
+              WHEN regexp_extract(host, '(^|\.)({exc})$', 2) <> ''
               THEN regexp_extract(host, '(^|\.)({exc})$', 2)
               WHEN regexp_extract(host, '([^.]+\.({alt}))$', 1) <> ''
               THEN regexp_extract(host, '([^.]+\.({alt}))$', 1)

@@ -414,6 +414,11 @@ def test_blas_pinning_applies_and_is_idempotent():
                 assert fn() == 1, (p, sym, fn())
                 checked += 1
                 break
+    # an image that exposes NONE of the probed symbols is a loud
+    # failure, not a silent pass — only a missing image (MKL/BLIS
+    # numpy, no /proc) is a legitimate environment skip
+    if paths:
+        assert checked >= 1, f"OpenBLAS mapped but no probe symbol: {paths}"
     # idempotent and ~free on repeat (kernel-entry hot path)
     t0 = time.time()
     for _ in range(10_000):

@@ -26,6 +26,8 @@ def ref_regdomain(host: str, rules=PSL_RULES) -> str:
     beats wildcard beats longest normal rule beats the 2-label default;
     a host too shallow for its matched rule falls back to its last two
     labels (or '' below two labels)."""
+    if host == "" or "" in host.split("."):
+        return ""  # malformed: empty label (documented contract)
     entries = parse_psl(rules).entries
     labels = host.split(".")
     n = len(labels)
@@ -97,6 +99,14 @@ CASES = [
     # boundary: suffix-like tail without a dot boundary is NOT a match
     ("xco.uk", "xco.uk"),
     ("awww.ck", "awww.ck"),  # not the www.ck exception
+    # malformed hosts (empty labels) have no registered domain — the
+    # contract that keeps the regex and lookup paths identical (before
+    # it, 'example.com.' gave '' on regex vs 'com.' on lookup)
+    ("example.com.", ""),
+    ("www.news.co.uk.", ""),
+    (".example.com", ""),
+    ("a..b", ""),
+    ("a..co.uk", ""),
 ]
 
 
