@@ -1938,7 +1938,8 @@ WITH raw AS (
          || '://'
          || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'cdn.' END)
          || source
-         || (CASE WHEN doc_id % 13 = 0 THEN '-news.WWW.CK'
+         || (CASE WHEN doc_id % 19 = 0 THEN '-news..COM'
+                  WHEN doc_id % 13 = 0 THEN '-news.WWW.CK'
                   WHEN doc_id % 11 = 0 THEN '-news.Kawasaki.JP'
                   WHEN doc_id % 5 = 0 THEN '-News.CO.UK'
                   ELSE '-news.COM' END)
@@ -2027,9 +2028,12 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         scheme, F.lit("://"),
         F.when(d % 3 == 0, "WWW.").otherwise("cdn."),
         F.col("source"),
-        # %13 exercises the !www.ck exception rule, %11 the *.kawasaki.jp
-        # wildcard rule — the driver row certifies the full PSL semantics
-        F.when(d % 13 == 0, "-news.WWW.CK")
+        # %19 exercises the malformed-host rule (empty label → no
+        # registered domain), %13 the !www.ck exception rule, %11 the
+        # *.kawasaki.jp wildcard rule — the driver row certifies the
+        # full PSL semantics including the malformed contract
+        F.when(d % 19 == 0, "-news..COM")
+        .when(d % 13 == 0, "-news.WWW.CK")
         .when(d % 11 == 0, "-news.Kawasaki.JP")
         .when(d % 5 == 0, "-News.CO.UK")
         .otherwise("-news.COM"),
