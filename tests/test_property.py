@@ -368,3 +368,43 @@ def test_url_canonicalize_properties(spark, data, n_urls):
         assert "utm_" not in r.c1 and "fbclid" not in r.c1, r.c1
         assert r.dom == r.dom.lower()
         assert r.dom == "" or r.host.endswith(r.dom), (r.host, r.dom)
+
+
+@pytest.mark.parametrize("n_hosts", [48])
+@given(data=st.data())
+@settings(**_SETTINGS)
+def test_psl_lookup_fuzz_matches_reference(spark, data, n_hosts):
+    """Fuzz the broadcast-lookup registered-domain path against the
+    pure-Python PSL reference over random hosts built from real-suffix
+    tails, junk labels, EMPTY labels (leading/trailing/consecutive
+    dots — the malformed contract), and unicode labels."""
+    from pyspark.sql import functions as F
+
+    from gelly_streaming_spark.ext.web import registered_domain_lookup
+    from tests.test_psl import ref_regdomain
+
+    label = st.sampled_from(
+        ["a", "b9", "x-1", "www", "city", "edu", "公司", "straße", ""]
+    )
+    tail = st.sampled_from(
+        ["", "com", "co.uk", "nsw.edu.au", "ck", "www.ck", "kawasaki.jp",
+         "city.kawasaki.jp", "bd", "sch.uk", "unknowntld"]
+    )
+
+    def mk(d):
+        parts = d.draw(st.lists(label, min_size=0, max_size=3))
+        t = d.draw(tail)
+        host = ".".join([p for p in parts] + ([t] if t else []))
+        if d.draw(st.booleans()) and host:
+            host += "."  # trailing-dot FQDN form
+        return host
+
+    hosts = [mk(data) for _ in range(n_hosts)]
+    hosts = [h for h in hosts if h] or ["a.com"]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    got = {
+        r.host: r.dom
+        for r in registered_domain_lookup(df, F.col("host"), "dom").collect()
+    }
+    for h in set(hosts):
+        assert got[h] == ref_regdomain(h), (h, got[h], ref_regdomain(h))
