@@ -560,18 +560,26 @@ def registered_domain_lookup(
             F.when(~F.coalesce(exc2, F.lit(False)) & (n >= eff2 + 1), eff2)
         )
 
-    # depth-1 wildcard bases (a handful: *.ck, *.bd, ...) — literal isin
+    # depth-1 rules (a handful: *.ck-style wildcard bases, and — only
+    # via custom rule sets, never the ICANN file — !tld exceptions) stay
+    # literal isin predicates
     d1 = sorted(
-        (k, eff) for k, (eff, x) in table.entries.items()
-        if k.count(".") + 1 == 1 and not x
+        (k, eff, x) for k, (eff, x) in table.entries.items()
+        if k.count(".") + 1 == 1
     )
     if d1:
         tail1 = F.element_at(labels, -1)
         w1: Column = F.lit(None).cast("int")
-        for e in sorted({eff for _, eff in d1}):
-            keys1 = [k for k, eff in d1 if eff == e]
+        for e in sorted({eff for _, eff, x in d1 if not x}):
+            keys1 = [k for k, eff, x in d1 if eff == e and not x]
             w1 = F.when(tail1.isin(*keys1), F.lit(e)).otherwise(w1)
         eff_cols.append(F.when(n >= w1 + 1, w1))
+        exc1 = [(k, eff) for k, eff, x in d1 if x]
+        for e in sorted({eff for _, eff in exc1}):
+            keys1 = [k for k, eff in exc1 if eff == e]
+            # shallowest exceptions append LAST: exc_cols precedence is
+            # deepest-first and d2+ entries were appended above
+            exc_cols.append(F.when(tail1.isin(*keys1), F.lit(e)))
 
     exc_eff = F.coalesce(*exc_cols, F.lit(None)) if exc_cols else F.lit(None)
     norm_eff = (
@@ -589,8 +597,11 @@ def registered_domain_lookup(
     # malformed hosts (empty labels) have no registered domain — the
     # documented contract shared with the regex path (see
     # registered_domain): without it the two paths diverged on
-    # trailing-dot FQDNs ('example.com.' → '' vs 'com.')
-    dom = F.when(_malformed_host(host), F.lit("")).otherwise(dom)
+    # trailing-dot FQDNs ('example.com.' → '' vs 'com.'). Derived from
+    # the split already materialized above (an empty host splits to
+    # ['']), NOT _malformed_host — that rlike would re-evaluate the
+    # whole host expression with an extra per-row regex on the hot path.
+    dom = F.when(F.array_contains(labels, F.lit("")), F.lit("")).otherwise(dom)
     return df.withColumn(out_col, dom).drop(*drop)
 
 

@@ -253,3 +253,33 @@ def test_full_psl_lookup_differential_sampled(spark):
     }
     for h in hosts:
         assert got[h] == ref_regdomain(h), (h, got[h], ref_regdomain(h))
+
+
+def test_depth1_exception_rules_custom_set(spark):
+    """A !tld exception (never in the ICANN file, but expressible via
+    the public rules parameter) must behave identically on both paths:
+    the exception tail IS the registered domain (review finding — the
+    lookup path used to drop depth-1 exceptions entirely)."""
+    rules = ("*.ck", "!ck", "co.uk")
+    hosts = ["ck", "foo.ck", "a.foo.ck", "b.a.foo.ck", "news.co.uk"]
+    want = {h: ref_regdomain(h, rules) for h in hosts}
+    # independent spot checks of the reference itself
+    assert want["foo.ck"] == "ck"      # exception beats the wildcard
+    assert want["a.foo.ck"] == "ck"
+    assert want["news.co.uk"] == "news.co.uk"
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    regex = {
+        r.host: r.dom
+        for r in df.select(
+            "host", registered_domain(F.col("host"), rules).alias("dom")
+        ).collect()
+    }
+    lookup = {
+        r.host: r.dom
+        for r in registered_domain_lookup(
+            df, F.col("host"), "dom", rules
+        ).collect()
+    }
+    for h in hosts:
+        assert regex[h] == want[h], ("regex", h, regex[h], want[h])
+        assert lookup[h] == want[h], ("lookup", h, lookup[h], want[h])
