@@ -25,6 +25,7 @@ from gelly_streaming_spark.ext.similarity import (
 )
 from gelly_streaming_spark.ext.pipeline import curate_corpus
 from gelly_streaming_spark.ext.web import (
+    PSL_RULES,
     canonicalize_url,
     domain_filter,
     load_psl_file,
@@ -93,6 +94,7 @@ __all__ = [
     "tfidf_keywords",
     "token_doc_counts",
     "vocabulary",
+    "PSL_RULES",
     "canonicalize_url",
     "domain_filter",
     "load_psl_file",
