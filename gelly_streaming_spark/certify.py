@@ -21,13 +21,18 @@ differs — or which has no manifest entry at all (new query) — is STALE
 and is promoted to the head of the export order, ahead of every
 long-stable row, so the next driver run re-certifies it.
 
-Boundary (documented, not hidden): helpers defined in queries.py
-*outside* the query function body are captured only insofar as they
-flow into the registered oracle SQL string (module-level ``_Qxx_SQL``
-values are captured — they are part of the Query record at registration
-time). A change to a queries.py helper that alters runtime behaviour
-without touching the SQL or any owner module is the one case this net
-misses; the per-round judge diff review is the backstop there.
+queries.py module-level helpers (r10 verdict item 2, closed in r11):
+the ``self`` hash also folds in the source of every queries.py
+module-level function/class the query's fn body references, closed
+transitively over helper-to-helper references, plus the repr of every
+referenced module-level data constant with a deterministic repr
+(``_Qxx_SQL`` strings, ``_VIEW_SQL``, schemas). A helper edit that
+changes runtime behaviour therefore SELF-stales exactly the queries
+that reference it. Residual boundary: a constant whose repr is
+address-dependent is skipped (none exist today — functions and plain
+data cover the module), and dynamic dispatch through ``getattr`` would
+escape the name scan; the per-round judge diff review remains the
+backstop for those.
 
 Round workflow:
 
@@ -59,7 +64,12 @@ from pathlib import Path
 
 PKG_ROOT = Path(__file__).resolve().parent
 MANIFEST_PATH = PKG_ROOT / "cert_manifest.json"
-WINDOW = 50  # driver certification window (CORRECTNESS_r08 observation)
+# Driver certification window size — an OBSERVED constant (every
+# CORRECTNESS_r08+ file records exactly the first 50 export entries),
+# not a driver contract. If the driver ever widens or narrows its
+# window the triage bands still order correctly; the only failure mode
+# is benign under-rotation (fewer stale rows re-certified per round).
+WINDOW = 50
 
 # Names imported at queries.py top level, mapped to the module that owns
 # them — fn-body source references to these names pull the module into
@@ -156,6 +166,75 @@ def _owner_modules(fn_source: str) -> set[Path]:
     return _closure(seeds)
 
 
+def _code_names(source: str) -> set[str]:
+    """Identifiers a code block actually REFERENCES — ast.Name nodes
+    only, so names inside string literals/docstrings/comments do not
+    count (a doc line saying "see q15" must not pull q15's code into
+    the fingerprint). Falls back to a word scan (over-capture, never
+    under-capture) if the snippet doesn't parse standalone."""
+    import ast
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(source))
+    except SyntaxError:
+        return set(re.findall(r"\b[A-Za-z_]\w*\b", source))
+    return {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+
+
+@lru_cache(maxsize=1)
+def _helper_sources() -> dict[str, tuple[str, str]]:
+    """queries.py module-level name → ("src"|"repr", hashable text).
+
+    Functions/classes DEFINED in queries.py hash by source (kind
+    "src"; these expand transitively — their code can reference further
+    helpers); plain-data constants (SQL strings, view maps, schemas)
+    hash by repr (kind "repr"; leaves — data doesn't call helpers),
+    but only when the repr is deterministic (no memory addresses) — an
+    address-bearing repr (e.g. the Query REGISTRY holding function
+    objects) would make fingerprints differ between processes, so those
+    are skipped. Imported modules/objects from other files are owner
+    territory, not helper territory, and are excluded here.
+    """
+    import inspect as _inspect
+
+    from gelly_streaming_spark import queries as Q
+
+    out: dict[str, tuple[str, str]] = {}
+    for name, obj in vars(Q).items():
+        if name.startswith("__"):
+            continue
+        if _inspect.isfunction(obj) or _inspect.isclass(obj):
+            if getattr(obj, "__module__", None) == Q.__name__:
+                try:
+                    out[name] = ("src", _inspect.getsource(obj))
+                except (OSError, TypeError):
+                    pass
+        elif not _inspect.ismodule(obj):
+            rep = repr(obj)
+            if " at 0x" not in rep and "object at" not in rep:
+                out[name] = ("repr", rep)
+    return out
+
+
+def _referenced_helpers(fn_source: str, fn_name: str) -> list[tuple[str, str]]:
+    """Helpers the fn body references, closed transitively over
+    code-helper→helper references, sorted by name for stable hashing."""
+    helpers = _helper_sources()
+    found: dict[str, str] = {}
+    frontier = [fn_source]
+    while frontier:
+        src = frontier.pop()
+        for name in _code_names(src):
+            if name == fn_name or name in found or name not in helpers:
+                continue
+            kind, text = helpers[name]
+            found[name] = text
+            if kind == "src":
+                frontier.append(text)
+    return sorted(found.items())
+
+
 @lru_cache(maxsize=1)
 def fingerprints() -> dict[str, dict[str, str]]:
     """Current fingerprints for every registered query (cached per
@@ -183,6 +262,9 @@ def fingerprints() -> dict[str, dict[str, str]]:
         hs = hashlib.sha256()
         hs.update(src.encode())
         hs.update((q.sql or "").encode())
+        for hname, hsrc in _referenced_helpers(src, q.fn.__name__):
+            hs.update(hname.encode())
+            hs.update(hsrc.encode())
         self_fp = hs.hexdigest()
         hf = hashlib.sha256(self_fp.encode())
         for f in sorted(_owner_modules(src)):
@@ -239,14 +321,21 @@ def stamp_from_correctness(correctness_path: str) -> list[str]:
     POST-stamp export order, and stamping changes that order, so the
     stamped set and the certified set would diverge; there is no
     fixpoint once the registry outgrows the window.) Red or missing
-    rows are never stamped."""
+    rows are never stamped.
+
+    ``hash_match`` must be literally True: every registered query ships
+    an oracle SQL string, so the driver always performs full value-hash
+    verification — a row with a missing/None hash_match means the
+    verification did not run and is NOT certification evidence (a
+    rows-only row would previously have been stamped as if fully
+    certified)."""
     rows = json.loads(Path(correctness_path).read_text())
     green = {
         n
         for n, r in rows.items()
         if isinstance(r, dict)
         and r.get("rows_match") and r.get("schema_match")
-        and (r.get("hash_match") is not False)
+        and r.get("hash_match") is True
         and not r.get("err")
     }
     manifest = load_manifest()
@@ -264,6 +353,7 @@ def _reset_cache() -> None:
     """Test hook: drop memoized state after manifest/file edits."""
     fingerprints.cache_clear()
     _import_graph.cache_clear()
+    _helper_sources.cache_clear()
 
 
 if __name__ == "__main__":

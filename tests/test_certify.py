@@ -65,6 +65,66 @@ def test_fingerprint_covers_oracle_sql(monkeypatch):
         certify._reset_cache()
 
 
+def test_helper_edit_self_stales_exactly_its_callers(monkeypatch):
+    """r10 verdict item 2: a queries.py module-level helper edit must
+    SELF-stale exactly the queries whose fn bodies reference it —
+    previously such an edit escaped the fingerprint entirely."""
+    baseline = {n: dict(v) for n, v in certify.fingerprints().items()}
+    orig = Q._q15_edges
+
+    def _q15_edges(spark, sf_dir):
+        return orig(spark, sf_dir)  # semantically same, source differs
+
+    _q15_edges.__module__ = Q.__name__
+    monkeypatch.setattr(Q, "_q15_edges", _q15_edges)
+    certify._reset_cache()
+    try:
+        after = certify.fingerprints()
+        changed = {n for n in after if after[n]["self"] != baseline[n]["self"]}
+        # independent expectation: direct textual reference in fn source
+        expected = {
+            n for n, q in Q.REGISTRY.items()
+            if "_q15_edges" in inspect.getsource(q.fn)
+        }
+        assert expected, "fixture rot: no query references _q15_edges"
+        assert changed == expected
+        assert "q01_scan" not in changed
+    finally:
+        certify._reset_cache()
+
+
+def test_helper_chain_is_transitive(monkeypatch):
+    """fn → helper A → helper B: editing B stales the fn."""
+    def _cert_helper_b():
+        return 1
+
+    def _cert_helper_a():
+        return _cert_helper_b()
+
+    for h in (_cert_helper_a, _cert_helper_b):
+        h.__module__ = Q.__name__
+    monkeypatch.setattr(Q, "_cert_helper_a", _cert_helper_a, raising=False)
+    monkeypatch.setattr(Q, "_cert_helper_b", _cert_helper_b, raising=False)
+    certify._reset_cache()
+    try:
+        fn_src = "def qX(spark, sf_dir):\n    return _cert_helper_a()\n"
+        refs = dict(certify._referenced_helpers(fn_src, "qX"))
+        assert set(refs) >= {"_cert_helper_a", "_cert_helper_b"}
+    finally:
+        certify._reset_cache()
+
+
+def test_helper_sources_skip_address_bearing_reprs():
+    helpers = certify._helper_sources()
+    # REGISTRY holds function objects -> repr has addresses -> skipped
+    assert "REGISTRY" not in helpers
+    # plain-data constants and Q-defined functions are captured
+    assert "_VIEW_SQL" in helpers
+    assert "_q15_edges" in helpers
+    for kind, text in helpers.values():
+        assert kind in ("src", "repr") and " at 0x" not in text
+
+
 def test_self_stale_query_heads_the_window(monkeypatch, tmp_path):
     # synthetic manifest: everything current EXCEPT one long-stable
     # extension row that the static list keeps outside the window
@@ -142,6 +202,10 @@ def test_stamp_from_correctness_stamps_only_green_rows(monkeypatch, tmp_path):
                            "hash_match": True, "err": "boom"},  # errored
         "q99_gone": {"rows_match": True, "schema_match": True,
                      "hash_match": True, "err": None},  # not registered
+        "q04_filter_edges": {"rows_match": True, "schema_match": True,
+                             "err": None},  # hash verification never ran
+        "q05_filter_vertices": {"rows_match": True, "schema_match": True,
+                                "hash_match": None, "err": None},  # ditto
     }
     cp = tmp_path / "CORRECTNESS_rX.json"
     cp.write_text(json.dumps(rows))
