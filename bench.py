@@ -38,7 +38,9 @@ from gelly_streaming_spark.queries import REGISTRY
 from gelly_streaming_spark.session import BUILD_CONFS, RUNTIME_CONFS
 
 
-def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> tuple[int, int]:
+def _warm_up(
+    spark, sf_dir: str, budget: "_Budget | None" = None
+) -> tuple[int, int, list[float]]:
     """Warm the execution paths the queries use, so per-query timings
     measure steady-state distributed compute — not first-use costs that a
     long-lived session (or any real deployment) pays exactly once:
@@ -55,12 +57,13 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> tuple[int, 
     budget the remaining stages are skipped (their one-time costs land
     in the affected queries' FIRST runs; the median damps them).
 
-    Returns (stages_completed, stages_total) so the caller's
-    host-weather check can scale its threshold by how much warm-up
-    actually ran: a budget-capped warm-up could otherwise evade the
-    2x-setup degradation probe entirely (ADVICE r9) — the cap trims
-    elapsed time below the threshold while leaving the host just as
-    slow."""
+    Returns (stages_completed, stages_total, per_stage_seconds) so the
+    caller's host-weather check can scale its threshold by how much
+    warm-up WORK actually ran (profile-weighted, ADVICE r10) and record
+    the per-stage elapsed for audit: a budget-capped warm-up could
+    otherwise evade the 2x-setup degradation probe entirely (ADVICE r9)
+    — the cap trims elapsed time below the threshold while leaving the
+    host just as slow."""
     from pyspark.sql import functions as F
 
     from gelly_streaming_spark.sources.tables import TABLES, load_table
@@ -69,6 +72,16 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> tuple[int, 
     t_start = time.time()
     STAGES_TOTAL = 8  # 7 counted blocks + the final streaming stage
     done = 0
+    # Per-stage elapsed seconds, recorded for the weather verdict's
+    # audit trail (ADVICE r10: the verdict must be checkable against
+    # which stages ran and how long each took, not just a count).
+    stage_secs: list[float] = []
+    t_mark = time.time()
+
+    def mark() -> None:
+        nonlocal t_mark
+        stage_secs.append(round(time.time() - t_mark, 3))
+        t_mark = time.time()
 
     def over_cap() -> bool:
         return time.time() - t_start > cap
@@ -79,8 +92,9 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> tuple[int, 
     for t in TABLES:
         load_table(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
     done += 1
+    mark()
     if over_cap():
-        return done, STAGES_TOTAL
+        return done, STAGES_TOTAL, stage_secs
 
     # NOTE: the copart_canonical materialized view shared by
     # q07/q11b/q17/q18 is NOT built here — its build is a TIMED line
@@ -102,8 +116,9 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> tuple[int, 
         .write.mode("overwrite").format("noop").save()
     )
     done += 1
+    mark()
     if over_cap():
-        return done, STAGES_TOTAL
+        return done, STAGES_TOTAL, stage_secs
     # event-time window + distinct + top-k
     (
         d.select(F.window(F.timestamp_seconds("k"), "1 minute")["start"].alias("b"), "v")
@@ -111,8 +126,9 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> tuple[int, 
         .write.mode("overwrite").format("noop").save()
     )
     done += 1
+    mark()
     if over_cap():
-        return done, STAGES_TOTAL
+        return done, STAGES_TOTAL, stage_secs
     # higher-order-function lambda codegen (collect_set(struct) +
     # transform/filter/flatten) — the copart build's expression shapes,
     # on synthetic rows: warms the generated-class cache so the TIMED
@@ -150,8 +166,9 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> tuple[int, 
     # measured 6.2 s cold vs 0.8 s warm for q36 at sf0.1, mostly
     # first-use codegen/AQE machinery this pass absorbs
     done += 1
+    mark()
     if over_cap():
-        return done, STAGES_TOTAL
+        return done, STAGES_TOTAL, stage_secs
     from gelly_streaming_spark.ext.text import decontaminate
 
     fake_docs = spark.range(0, 512, 1, 8).select(
@@ -166,8 +183,9 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> tuple[int, 
         n=3,
     ).write.mode("overwrite").format("noop").save()
     done += 1
+    mark()
     if over_cap():
-        return done, STAGES_TOTAL
+        return done, STAGES_TOTAL, stage_secs
     # Arrow/pandas worker pool (one task per core)
     d.groupBy("k").applyInPandas(
         lambda p: p.head(1), "k long, v long"
@@ -196,8 +214,9 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> tuple[int, 
         "overwrite"
     ).format("noop").save()
     done += 1
+    mark()
     if over_cap():
-        return done, STAGES_TOTAL
+        return done, STAGES_TOTAL, stage_secs
     # Broadcast-variable numpy-kernel machinery (the q17/q18 shape: a
     # multi-MB python broadcast read by every task of a 2-waves-per-core
     # mapInPandas). Measured: this path keeps improving over ~4
@@ -235,10 +254,11 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> tuple[int, 
             break
     bc_np.destroy()
     done += 1
+    mark()
     # driver round-trips used by adaptive fast paths
     spark.createDataFrame([(1, 2)], "a long, b long").collect()
     if over_cap():
-        return done, STAGES_TOTAL
+        return done, STAGES_TOTAL, stage_secs
     # streaming machinery: file source + stateful agg + state store
     try:
         from gelly_streaming_spark.plans.memory import session_tmpdir
@@ -252,7 +272,20 @@ def _warm_up(spark, sf_dir: str, budget: "_Budget | None" = None) -> tuple[int, 
         run_to_memory(s.groupBy("src").count(), "complete")
     except Exception:
         pass  # streaming warm-up is best-effort; queries still run cold
-    return STAGES_TOTAL, STAGES_TOTAL
+    mark()  # final streaming stage
+    return STAGES_TOTAL, STAGES_TOTAL, stage_secs
+
+
+# Quiet-host per-stage warm-up profile (relative durations; only the
+# FRACTIONS matter — absolute scale cancels in _weather_degraded).
+# Measured r11 on a 0%-steal host at sf0.1, two fresh sessions:
+# [21.8, 6.0, 1.8, 2.9, 4.1, 13.7, 11.7, 24.6] and
+# [22.8, 5.1, 2.8, 3.6, 6.8, 14.7, 10.3, 8.9] — entries below take the
+# stabler of the two (the final streaming stage's 24.6 was first-run
+# FS/JVM noise). Stage order matches _warm_up: tables, shuffle-agg,
+# window-distinct, HOF-copart, decontaminate, arrow+PSL,
+# numpy-broadcast, streaming.
+_WARMUP_STAGE_PROFILE: tuple[float, ...] = (22.0, 5.0, 2.0, 3.0, 5.0, 14.0, 10.0, 9.0)
 
 
 def _weather_degraded(
@@ -260,12 +293,22 @@ def _weather_degraded(
 ) -> bool:
     """Host-weather verdict: setup time beyond 2x the quiet-host profile
     means the host is stealing cycles. The profile is scaled by the
-    fraction of warm-up stages that actually RAN, so a budget-capped
-    warm-up cannot evade the probe (ADVICE r9: the 20%-of-budget cap
-    used to trim elapsed time below the threshold while the host was
-    just as slow). The 0.25 floor keeps a pathological one-stage run
+    share of warm-up WORK that actually RAN, so a budget-capped warm-up
+    cannot evade the probe (ADVICE r9: the 20%-of-budget cap used to
+    trim elapsed time below the threshold while the host was just as
+    slow). The share weights stages by their quiet-host durations
+    (_WARMUP_STAGE_PROFILE), not by count — stage durations are highly
+    unequal (the table-load stage alone is ~30% of a quiet warm-up), so
+    a tight-budget quiet-host run that finishes only the expensive
+    early stages used to false-trigger and silently drop to 1 run/query
+    (ADVICE r10). The 0.25 floor keeps a pathological one-stage run
     from setting a near-zero threshold on a healthy host."""
-    frac = stages_done / stages_total if stages_total else 1.0
+    if stages_total == len(_WARMUP_STAGE_PROFILE):
+        frac = sum(_WARMUP_STAGE_PROFILE[:stages_done]) / sum(
+            _WARMUP_STAGE_PROFILE
+        )
+    else:  # stage list changed without a profile re-measure: count fallback
+        frac = stages_done / stages_total if stages_total else 1.0
     return setup_sec > 2 * expected * max(frac, 0.25)
 
 
@@ -640,8 +683,11 @@ def main() -> None:
     signal.signal(signal.SIGINT, _on_signal)
 
     t_setup = time.time()
-    ws_done, ws_total = _warm_up(spark, sf_dir, budget)
+    ws_done, ws_total, ws_secs = _warm_up(spark, sf_dir, budget)
     meta["setup_sec"] = round(time.time() - t_setup, 3)
+    # audit trail for the weather verdict (bench_detail.json only —
+    # not part of the <1900-char headline line)
+    meta["warmup_stage_secs"] = ws_secs
 
     # Host-weather signal: setup is ~29-35 s on a quiet host and has
     # measured 100 s inside a steal window (same code, same data). When

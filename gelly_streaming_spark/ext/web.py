@@ -392,6 +392,11 @@ def registered_domain(
     longest clean tail while the split-based lookup carried empty
     labels into the output — 'example.com.' gave '' vs 'com.').
 
+    A NULL host yields NULL (SQL-natural propagation), explicitly
+    gated in BOTH paths: before the explicit clause the regex path
+    propagated NULL while the lookup path fell through size(NULL)=-1
+    to the '' branch (ADVICE r10).
+
     O(|rules|) regex work per row — use the :func:`domain_filter`
     lookup path in the engine hot path; this form exists for small rule
     sets and as the shared semantics spec for the DuckDB oracle."""
@@ -403,7 +408,11 @@ def registered_domain(
     if exc:
         exc_hit = F.regexp_extract(host, rf"(^|\.)({exc})$", 2)
         out = F.when(exc_hit != "", exc_hit).otherwise(out)
-    return F.when(_malformed_host(host), F.lit("")).otherwise(out)
+    return (
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(_malformed_host(host), F.lit(""))
+        .otherwise(out)
+    )
 
 
 def _malformed_host(host: Column) -> Column:
@@ -411,10 +420,18 @@ def _malformed_host(host: Column) -> Column:
     return (host == "") | host.rlike(r"^\.|\.\.|\.$")
 
 
-# Per-session cache of the per-depth rule LocalRelations: the 539-row
-# VALUES statement costs ~0.2–0.9 s to parse+analyze, and the plan is
-# immutable — re-parsing it on every query run is pure waste. Weak keys
-# let closed sessions drop their entries.
+# Two-level rule-table cache. Level 1 (process-wide, session-free):
+# the rendered VALUES SQL text per ruleset — the Python-side bucket
+# grouping + row rendering runs once per process. Level 2 (per
+# session): the analyzed DataFrame, so repeat runs skip the ~0.2–0.9 s
+# parse+analyze of the multi-k-row VALUES statement. LIFETIME (ADVICE
+# r10): the keys are weak, but each cached DataFrame strongly
+# references its session, so a session is only collected — and its
+# entry only dropped — after user code releases the DataFrames too; in
+# practice entries persist for the process lifetime. That is a BOUNDED
+# cost by design: one ~4k-row logical plan per (session, ruleset) pair,
+# a few MB against the JVM heap, not a growth path.
+_RULE_SQL_CACHE: dict[tuple, str | None] = {}
 _RULE_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
@@ -433,6 +450,11 @@ def _rule_table(
     per_session = _RULE_TABLE_CACHE.setdefault(spark, {})
     if rules in per_session:
         return per_session[rules]
+    if rules in _RULE_SQL_CACHE:
+        sql = _RULE_SQL_CACHE[rules]
+        tbl = spark.sql(sql) if sql is not None else None
+        per_session[rules] = tbl
+        return tbl
     from collections import defaultdict
 
     exact2: dict[str, tuple[int, bool]] = {}
@@ -447,6 +469,7 @@ def _rule_table(
             deep[".".join(k.split(".")[-2:])].append((k, eff, exc))
     keys = sorted(set(exact2) | set(deep))
     if not keys:
+        _RULE_SQL_CACHE[rules] = None
         per_session[rules] = None
         return None
 
@@ -471,12 +494,14 @@ def _rule_table(
             a_e = "CAST(NULL AS ARRAY<INT>)"
             a_x = "CAST(NULL AS ARRAY<BOOLEAN>)"
         rows.append(f"({q(k)}, {eff2}, {exc2}, {a_k}, {a_e}, {a_x})")
-    tbl = spark.sql(
+    sql = (
         "SELECT * FROM VALUES "
         + ", ".join(rows)
         + " t(__psl_key, __psl_eff2, __psl_exc2,"
         " __psl_dkeys, __psl_deffs, __psl_dexcs)"
     )
+    _RULE_SQL_CACHE[rules] = sql
+    tbl = spark.sql(sql)
     per_session[rules] = tbl
     return tbl
 
@@ -501,8 +526,9 @@ def registered_domain_lookup(
     test in tests/test_psl.py pins lookup ≡ regex ≡ a pure-Python PSL
     reference on adversarial hosts and on hosts synthesized from the
     full vendored rule set): exception beats wildcard beats longest
-    normal rule beats the 2-label default, and a host too shallow for
-    its matched rule falls back to its last two labels."""
+    normal rule beats the 2-label default, a host too shallow for
+    its matched rule falls back to its last two labels, malformed
+    hosts (any empty label) give '', and a NULL host gives NULL."""
     clash = [c for c in df.columns if c.startswith("__psl_")]
     if clash:
         raise ValueError(
@@ -602,6 +628,12 @@ def registered_domain_lookup(
     # ['']), NOT _malformed_host — that rlike would re-evaluate the
     # whole host expression with an extra per-row regex on the hot path.
     dom = F.when(F.array_contains(labels, F.lit("")), F.lit("")).otherwise(dom)
+    # NULL host → NULL domain, matching the regex path's NULL
+    # propagation (ADVICE r10: size(NULL)=-1 used to fall through every
+    # gate to the '' branch here). Probes the already-materialized
+    # labels column — split(NULL) is NULL — so the (possibly expensive)
+    # host expression is not re-evaluated.
+    dom = F.when(labels.isNull(), F.lit(None).cast("string")).otherwise(dom)
     return df.withColumn(out_col, dom).drop(*drop)
 
 

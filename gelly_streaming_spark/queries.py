@@ -2046,17 +2046,17 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM VALUES ('src1-news.com'), ('src1-news.co.uk'), "
         "('src7-news.com'), ('src7-news.co.uk') t(domain)"
     )
-    # One codegen barrier for this bounded certification run: without
-    # it the url CASE tree inlines into every canonicalization regex
-    # node AND the PSL-lookup join keys, and the one-time janino
-    # compile measured ~10 s cold. The r9 second barrier (pin_derived)
-    # became a net LOSS once the domain moved from the 539-branch regex
-    # to broadcast lookups: it added a materialization for a tree that
-    # no longer explodes (measured 1.00 s with vs 0.68 s without at
-    # sf0.1 steady state). At corpus scale neither barrier belongs —
-    # the fused one-pass projection amortizes its compile over the scan.
-    withurl = docs.withColumn("url", url).localCheckpoint(eager=False)
-    out = domain_filter(withurl, blocklist)
+    # No codegen barrier: both r9-era barriers became net LOSSES once
+    # the domain moved from the 539-branch regex alternation to the
+    # broadcast PSL lookup. The r9 pin_derived barrier was dropped in
+    # r10 (1.00 s with vs 0.68 s without); the remaining url-tree
+    # localCheckpoint was dropped in r11 after measuring BOTH phases in
+    # fresh sessions at sf0.1 — cold 6.9 s without vs 10.2 s with
+    # (the inlined url CASE tree no longer explodes the compile), and
+    # steady-state 0.52 s without vs 0.76 s with (the barrier's extra
+    # job + materialization was pure overhead). The fused one-pass
+    # projection is also the corpus-scale shape.
+    out = domain_filter(docs.withColumn("url", url), blocklist)
     return out.select("doc_id", "url_canon", "domain", "blocked")
 
 

@@ -242,20 +242,31 @@ def test_weather_degraded_scales_with_completed_stages():
     """The host-weather probe must not be evadable by its own warm-up
     cap (ADVICE r9): a budget-capped warm-up that only ran 2 of 8
     stages in 60 s is degraded even though 60 s < 2x the full-profile
-    expectation; a quiet host that was merely budget-capped is not."""
+    expectation; a quiet host that was merely budget-capped is not.
+    Stages are weighted by their quiet-host durations, not counted
+    uniformly (ADVICE r10): the table-load stage alone is ~31% of a
+    quiet warm-up, so finishing only it in 20 s is NOT degradation."""
     sys.path.insert(0, REPO)
-    from bench import _weather_degraded
+    from bench import _WARMUP_STAGE_PROFILE, _weather_degraded
 
-    # stolen host, warm-up capped early: 60 s for 2/8 stages
+    assert len(_WARMUP_STAGE_PROFILE) == 8
+    # stolen host, warm-up capped early: 60 s for the first 2 stages
+    # (profile share 27/70 -> threshold 27 s)
     assert _weather_degraded(60.0, 35.0, 2, 8) is True
     # quiet host, small budget: 24 s for 5/8 stages is proportionate
     assert _weather_degraded(24.0, 35.0, 5, 8) is False
     # full warm-up, classic threshold at 2x expected
     assert _weather_degraded(100.0, 35.0, 8, 8) is True
     assert _weather_degraded(33.0, 35.0, 8, 8) is False
-    # pathological single-stage run cannot zero the threshold
-    assert _weather_degraded(20.0, 35.0, 1, 8) is True   # > 2*35*0.25
+    # the ADVICE r10 false-trigger: only the EXPENSIVE first stage ran
+    # (22/70 of quiet-host work); 20 s for it is healthy, not steal
+    assert _weather_degraded(20.0, 35.0, 1, 8) is False
+    assert _weather_degraded(25.0, 35.0, 1, 8) is True  # > 2*35*(22/70)
     assert _weather_degraded(10.0, 35.0, 1, 8) is False
+    # zero-stage floor still can't zero the threshold
+    assert _weather_degraded(18.0, 35.0, 0, 8) is True  # > 2*35*0.25
+    # stage-count drift without a profile re-measure: count fallback
+    assert _weather_degraded(60.0, 35.0, 2, 9) is True
 
 
 def test_headline_carries_cold_oracle_names():

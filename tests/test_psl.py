@@ -26,6 +26,8 @@ def ref_regdomain(host: str, rules=PSL_RULES) -> str:
     beats wildcard beats longest normal rule beats the 2-label default;
     a host too shallow for its matched rule falls back to its last two
     labels (or '' below two labels)."""
+    if host is None:
+        return None  # NULL propagates (ADVICE r10 contract)
     if host == "" or "" in host.split("."):
         return ""  # malformed: empty label (documented contract)
     entries = parse_psl(rules).entries
@@ -107,6 +109,10 @@ CASES = [
     (".example.com", ""),
     ("a..b", ""),
     ("a..co.uk", ""),
+    ("", ""),
+    # NULL host propagates as NULL on BOTH paths (ADVICE r10: the
+    # lookup path used to fall through size(NULL)=-1 to '')
+    (None, None),
 ]
 
 
