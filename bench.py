@@ -312,6 +312,37 @@ def _weather_degraded(
     return setup_sec > 2 * expected * max(frac, 0.25)
 
 
+def _timed_duck_run(con, lock, sql: str, cap: float):
+    """Run one DuckDB statement with a wall-clock cap, enforced via
+    ``con.interrupt()`` from a timer thread (the same guard pattern the
+    reclaim pass uses). Returns ``(elapsed_sec | None, interrupted)``:
+    elapsed on success, ``(None, True)`` when the cap fired (caller may
+    retry on leftover budget), ``(None, False)`` on a genuine failure
+    (retrying would just fail again and burn budget)."""
+    armed = {"on": True}
+    fired = {"v": False}
+
+    def _cancel():
+        with lock:
+            if armed["on"]:
+                fired["v"] = True
+                con.interrupt()
+
+    timer = threading.Timer(cap, _cancel)
+    timer.daemon = True
+    timer.start()
+    t0 = time.time()
+    try:
+        con.sql(sql).fetchall()
+        return time.time() - t0, False
+    except Exception:
+        return None, fired["v"]
+    finally:
+        with lock:
+            armed["on"] = False
+        timer.cancel()
+
+
 def _short_queries(queries: dict[str, float]) -> dict[str, float]:
     """Abbreviate per-query keys for the HEADLINE line only (q31_near_...
     -> q31): the driver keeps just the last 2000 chars of stdout, and at
@@ -595,8 +626,13 @@ def main() -> None:
                 "is minutes after run 1 so weather between them is "
                 "uncorrelated). Slow "
                 "DuckDB oracles are deferred past the engine loop on "
-                "reserved wall-clock: a guaranteed cold run each, then an "
-                "opportunistic second run with min(cold, warm) recorded "
+                "reserved wall-clock: a cold run each capped at its fair "
+                "share of remaining budget (one hog oracle must not "
+                "starve another's only run or blow the budget - an "
+                "interrupted oracle retries on whatever budget survives "
+                "the warm pass), then an "
+                "opportunistic second run (capped at 2.5x cold) with "
+                "min(cold, warm) recorded "
                 "(the two runs are minutes apart so weather between them "
                 "is uncorrelated - min is the steady-state estimator "
                 "there); any oracle that only got its cold run is named "
@@ -1024,22 +1060,32 @@ def main() -> None:
     # reserve was sized for exactly this; a single oracle's warm-run
     # overrun must never starve another oracle's only run, which would
     # silently shrink the matched set).
+    # Each cold run is capped at its FAIR SHARE of the remaining budget
+    # (floor defer_est) and interrupted past it: without the cap, one
+    # hog oracle starves every oracle after it — observed r11: a 62.6 s
+    # q22 cold run (the same SQL measures 4–10 s in quiet windows) left
+    # q31 skipped entirely AND overshot the budget by itself. An
+    # interrupted oracle goes to a retry list that spends whatever
+    # budget survives pass 2, so in a merely-slow window the hog still
+    # records; only a genuinely budget-exceeding oracle stays skipped.
     deferred_cold: dict[str, float] = {}
-    for name, sql in duck_deferred.items():
-        if budget.remaining() <= 5:
+    deferred_retry: list[str] = []
+    pending = [(n, s) for n, s in duck_deferred.items() if n not in errors]
+    # names in `errors`: the engine side errored after the oracle was
+    # deferred — an oracle timing with no engine counterpart would
+    # inflate duckdb_total_sec outside the matched set
+    for i, (name, sql) in enumerate(pending):
+        rem = budget.remaining() - 5
+        if rem <= 0:
             break
-        if name in errors:
-            # the engine side errored after the oracle was deferred —
-            # an oracle timing with no engine counterpart would inflate
-            # duckdb_total_sec outside the matched set
+        cap = max(defer_est, rem / (len(pending) - i))
+        cold, interrupted = _timed_duck_run(duck_con, duck_lock, sql, cap)
+        if cold is None:
+            if interrupted:
+                deferred_retry.append(name)
             continue
-        t0 = time.time()
-        try:
-            duck_con.sql(sql).fetchall()
-        except Exception:
-            continue
-        deferred_cold[name] = time.time() - t0
-        duck[name] = round(deferred_cold[name], 3)
+        deferred_cold[name] = cold
+        duck[name] = round(cold, 3)
         duck_min[name] = duck[name]
         duck_cold.append(name)
         emit()
@@ -1055,15 +1101,36 @@ def main() -> None:
     for name, cold in deferred_cold.items():
         if budget.remaining() < 2.5 * cold + 5:
             continue
-        t1 = time.time()
-        try:
-            duck_con.sql(duck_deferred[name]).fetchall()
-        except Exception:
+        # capped at the same 2.5x-cold the precondition budgeted: an
+        # in-burst warm run measured 4x its cold time, and unguarded it
+        # would blow the budget pass 1.5 (and the driver's own clock)
+        # relies on — the min rule keeps the cold value on interrupt
+        warm, _ = _timed_duck_run(
+            duck_con, duck_lock, duck_deferred[name], 2.5 * cold
+        )
+        if warm is None:
             continue
-        warm = time.time() - t1
         duck[name] = round(min(cold, warm), 3)
         duck_min[name] = duck[name]
         duck_cold.remove(name)
+        emit()
+
+    # Pass 1.5 — retry pass-1 interrupts on surviving budget: the
+    # fair-share cap exists to protect the OTHER oracles' only runs,
+    # not to punish the slow one — whatever wall-clock is left now
+    # belongs to it.
+    for name in deferred_retry:
+        rem = budget.remaining() - 5
+        if rem <= 0:
+            break
+        cold, _ = _timed_duck_run(
+            duck_con, duck_lock, duck_deferred[name], rem
+        )
+        if cold is None:
+            continue
+        duck[name] = round(cold, 3)
+        duck_min[name] = duck[name]
+        duck_cold.append(name)
         emit()
 
     emit()

@@ -269,6 +269,36 @@ def test_weather_degraded_scales_with_completed_stages():
     assert _weather_degraded(60.0, 35.0, 2, 9) is True
 
 
+def test_timed_duck_run_cap_and_failure_semantics():
+    """Deferred-oracle fair-share caps (r11): a run under the cap
+    returns its elapsed time; a run past the cap is interrupted and
+    flagged retryable; a genuinely failing statement is NOT flagged
+    retryable (a retry would just fail again and burn budget)."""
+    import threading
+
+    import duckdb
+
+    sys.path.insert(0, REPO)
+    from bench import _timed_duck_run
+
+    con = duckdb.connect()
+    lock = threading.Lock()
+    # fast statement, generous cap
+    elapsed, interrupted = _timed_duck_run(con, lock, "SELECT 1", 30.0)
+    assert elapsed is not None and elapsed < 5 and interrupted is False
+    # quadratic statement, tiny cap -> interrupted, retryable
+    slow = ("SELECT max(a.range * b.range) "
+            "FROM range(100000000) a, range(1000) b")
+    elapsed, interrupted = _timed_duck_run(con, lock, slow, 0.2)
+    assert elapsed is None and interrupted is True
+    # the connection survives the interrupt and still works
+    elapsed, interrupted = _timed_duck_run(con, lock, "SELECT 2", 30.0)
+    assert elapsed is not None and interrupted is False
+    # broken SQL -> failure, NOT retryable
+    elapsed, interrupted = _timed_duck_run(con, lock, "SELECT * FROM nope", 30.0)
+    assert elapsed is None and interrupted is False
+
+
 def test_headline_carries_cold_oracle_names():
     """duckdb_cold_single_run must survive into the compact headline
     (abbreviated) so the driver tail records the timing asymmetry."""
