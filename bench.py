@@ -335,8 +335,12 @@ def _timed_duck_run(con, lock, sql: str, cap: float):
     try:
         con.sql(sql).fetchall()
         return time.time() - t0, False
-    except Exception:
-        return None, fired["v"]
+    except Exception as ex:
+        # retryable ONLY when OUR timer fired AND the failure is the
+        # interrupt itself: a genuine failure (OOM, catalog error)
+        # landing concurrently with the timer must not be retried —
+        # it would fail again and burn the budget the cap protects
+        return None, fired["v"] and type(ex).__name__ == "InterruptException"
     finally:
         with lock:
             armed["on"] = False
@@ -601,6 +605,11 @@ def main() -> None:
             "sf": float(sf),
             "runs_per_query": runs_per_query,
             "session_setup_sec": meta["setup_sec"],
+            # per-stage warm-up audit trail (ADVICE r10): lets a
+            # load_degraded verdict — or a drifted _WARMUP_STAGE_PROFILE —
+            # be checked against what actually ran; detail-file only
+            # (compact_line drops it from the headline)
+            "warmup_stage_secs": meta.get("warmup_stage_secs", []),
             "copart_build_sec": meta["copart_build_sec"],
             "policy": (
                 "value = copart_build_sec + sum of per-query steady-state "
@@ -877,30 +886,14 @@ def main() -> None:
                 # the NEXT query) is closed with the same lock+flag
                 # shape as the engine watchdog. A duck failure must
                 # never kill the bench.
-                d_armed = {"on": True}
-                d_fired = {"v": False}
-
-                def _dcancel(d_armed=d_armed, d_fired=d_fired):
-                    with duck_lock:
-                        if d_armed["on"]:
-                            d_fired["v"] = True
-                            duck_con.interrupt()
-
-                d_timer = threading.Timer(duck_slow_cap, _dcancel)
-                d_timer.daemon = True
-                d_timer.start()
-                t0 = time.time()
-                try:
-                    duck_con.sql(q.sql).fetchall()
-                    druns.append(time.time() - t0)
-                except Exception:
-                    if d_fired["v"]:
-                        duck_deferred[name] = q.sql
-                    # else: oracle-side failure — engine timing still counts
-                finally:
-                    with duck_lock:
-                        d_armed["on"] = False
-                    d_timer.cancel()
+                elapsed, interrupted = _timed_duck_run(
+                    duck_con, duck_lock, q.sql, duck_slow_cap
+                )
+                if elapsed is not None:
+                    druns.append(elapsed)
+                elif interrupted:
+                    duck_deferred[name] = q.sql
+                # else: oracle-side failure — engine timing still counts
             if budget.remaining() - reserve <= 5:
                 break  # keep whatever runs we have; flush and move on
         queries_done += 1
@@ -1025,28 +1018,14 @@ def main() -> None:
             # the re-run was budgeted at druns[0] (≤ duck_slow_cap by the
             # deferral rule), and an unguarded stall here would burn the
             # deferred-oracle reserve the engine watchdog protects
-            d_armed = {"on": True}
-
-            def _dcancel(d_armed=d_armed):
-                with duck_lock:
-                    if d_armed["on"]:
-                        duck_con.interrupt()
-
-            d_timer = threading.Timer(duck_slow_cap, _dcancel)
-            d_timer.daemon = True
-            d_timer.start()
-            t0 = time.time()
-            try:
-                duck_con.sql(q.sql).fetchall()
-                druns.append(time.time() - t0)
+            elapsed, _ = _timed_duck_run(
+                duck_con, duck_lock, q.sql, duck_slow_cap
+            )
+            if elapsed is not None:
+                druns.append(elapsed)
                 duck[name] = round(min(druns), 3)
                 duck_min[name] = round(min(druns), 3)
-            except Exception:
-                pass  # keep the single-run oracle value
-            finally:
-                with duck_lock:
-                    d_armed["on"] = False
-                d_timer.cancel()
+            # on failure/interrupt: keep the single-run oracle value
         emit()
 
     # Deferred slow oracles: timed once each, AFTER every engine timing
@@ -1118,13 +1097,16 @@ def main() -> None:
     # Pass 1.5 — retry pass-1 interrupts on surviving budget: the
     # fair-share cap exists to protect the OTHER oracles' only runs,
     # not to punish the slow one — whatever wall-clock is left now
-    # belongs to it.
-    for name in deferred_retry:
+    # belongs to the retry list, split fairly for the same reason as
+    # pass 1 (two interrupted oracles must not re-create the
+    # starvation inside the retry pass itself).
+    for j, name in enumerate(deferred_retry):
         rem = budget.remaining() - 5
         if rem <= 0:
             break
         cold, _ = _timed_duck_run(
-            duck_con, duck_lock, duck_deferred[name], rem
+            duck_con, duck_lock, duck_deferred[name],
+            rem / (len(deferred_retry) - j),
         )
         if cold is None:
             continue

@@ -210,6 +210,11 @@ def _helper_sources() -> dict[str, tuple[str, str]]:
                     out[name] = ("src", _inspect.getsource(obj))
                 except (OSError, TypeError):
                     pass
+        elif isinstance(obj, (set, frozenset)):
+            # raw set repr order follows PYTHONHASHSEED-randomized
+            # string hashing — it would change every process start and
+            # permanently self-stale every caller; canonicalize instead
+            out[name] = ("repr", repr(sorted(obj, key=repr)))
         elif not _inspect.ismodule(obj):
             rep = repr(obj)
             if " at 0x" not in rep and "object at" not in rep:
@@ -259,15 +264,22 @@ def fingerprints() -> dict[str, dict[str, str]]:
     out: dict[str, dict[str, str]] = {}
     for name, q in Q.REGISTRY.items():
         src = inspect.getsource(q.fn)
+        helpers = _referenced_helpers(src, q.fn.__name__)
         hs = hashlib.sha256()
         hs.update(src.encode())
         hs.update((q.sql or "").encode())
-        for hname, hsrc in _referenced_helpers(src, q.fn.__name__):
+        for hname, hsrc in helpers:
             hs.update(hname.encode())
             hs.update(hsrc.encode())
         self_fp = hs.hexdigest()
         hf = hashlib.sha256(self_fp.encode())
-        for f in sorted(_owner_modules(src)):
+        # owner derivation scans the fn source AND every referenced
+        # helper's source: a helper like _q15_edges builds the query's
+        # input from sources/edges.py, so a module referenced only
+        # inside a helper body is an owner too (r11 review finding —
+        # an edges.py edit previously staled nothing for q15b/q15c).
+        owner_scan = "\n".join([src, *(h for _, h in helpers)])
+        for f in sorted(_owner_modules(owner_scan)):
             hf.update(str(f.relative_to(PKG_ROOT)).encode())
             hf.update(f.read_bytes())
         out[name] = {"self": self_fp, "full": hf.hexdigest()}

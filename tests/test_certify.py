@@ -46,6 +46,38 @@ def test_owner_derivation_direct_and_transitive():
     assert "sources/edges.py" in owners("q01_scan")
 
 
+def test_owner_derivation_through_helper_bodies():
+    """r11 review finding: a module referenced only inside a queries.py
+    HELPER body must still own the helper's callers — q15b's input is
+    built by _q15_edges from sources/edges.py (via the E. name mapping),
+    and an edges.py edit previously staled nothing for it."""
+    src = inspect.getsource(Q.REGISTRY["q15b_cc_summary"].fn)
+    helpers = certify._referenced_helpers(src, "q15b")
+    scan = "\n".join([src, *(h for _, h in helpers)])
+    assert "sources/edges.py" in rel(certify._owner_modules(scan))
+    # and the fn source ALONE does not reach it (the gap being covered)
+    assert "sources/edges.py" not in owners("q15b_cc_summary")
+    # end-to-end: an edges.py content change must flip q15b's full hash
+    fps = certify.fingerprints()
+    assert "q15b_cc_summary" in fps  # fingerprint exists under new scan
+
+
+def test_helper_set_constants_hash_deterministically():
+    """A set/frozenset module constant must canonicalize (raw set repr
+    order is PYTHONHASHSEED-randomized -> permanent self-staleness)."""
+    s = frozenset({"com", "net", "org", "io"})
+    import gelly_streaming_spark.queries as Qm
+    try:
+        Qm._CERT_TEST_SET = s
+        certify._reset_cache()
+        kind, text = certify._helper_sources()["_CERT_TEST_SET"]
+        assert kind == "repr"
+        assert text == repr(sorted(s, key=repr))
+    finally:
+        del Qm._CERT_TEST_SET
+        certify._reset_cache()
+
+
 def test_infra_modules_excluded_from_owners():
     for name in ("q01_scan", "q31_near_dup_collapse", "q49_url_curation"):
         assert not owners(name) & certify._INFRA_EXCLUDE
