@@ -347,6 +347,57 @@ def _timed_duck_run(con, lock, sql: str, cap: float):
         timer.cancel()
 
 
+# Child script for _oracle_subprocess_run: connect, recreate the table
+# views, time the SQL from stdin, print one JSON line.
+_ORACLE_RUNNER = r"""
+import json, sys, time
+import duckdb
+sf_dir = sys.argv[1]
+sql = sys.stdin.read()
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+t0 = time.time()
+con.sql(sql).fetchall()
+print(json.dumps({"sec": time.time() - t0}))
+"""
+
+
+def _oracle_subprocess_run(sql: str, sf_dir: str, cap: float):
+    """Time one oracle statement in a FRESH single-purpose process —
+    the binary a standalone DuckDB user actually runs. Same return
+    contract as :func:`_timed_duck_run`: ``(elapsed | None,
+    interrupted)``, with a kill past ``cap`` counting as interrupted
+    (retryable) and a nonzero exit as a genuine failure.
+
+    Used for the DEFERRED oracle passes only: in-process JVM-resident
+    timings of the quadratic oracles measured up to 2.5x their clean-
+    process cost with enormous variance (BASELINE.md r8: q22 3.9 s
+    clean vs 10.1 s JVM-resident vs 62.6 s observed r11) — variance
+    that starved the deferred runs out of their reserve entirely. The
+    elapsed time is measured INSIDE the child around the SQL alone;
+    the cap covers child startup too."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _ORACLE_RUNNER, sf_dir],
+            input=sql.encode(),
+            capture_output=True,
+            timeout=cap,
+        )
+    except subprocess.TimeoutExpired:
+        return None, True
+    if proc.returncode != 0:
+        return None, False
+    try:
+        line = proc.stdout.decode().strip().splitlines()[-1]
+        return float(json.loads(line)["sec"]), False
+    except Exception:
+        return None, False
+
+
 def _short_queries(queries: dict[str, float]) -> dict[str, float]:
     """Abbreviate per-query keys for the HEADLINE line only (q31_near_...
     -> q31): the driver keeps just the last 2000 chars of stdout, and at
@@ -578,6 +629,11 @@ def main() -> None:
     duck: dict[str, float] = {}
     duck_min: dict[str, float] = {}
     duck_cold: list[str] = []  # deferred oracles recorded from a single cold run
+    # per-deferred-oracle audit trail (detail file only): why each run
+    # happened or didn't — 'no-budget(rem=...)' entries are the evidence
+    # when duck_skipped names an oracle (r11: two same-day runs skipped
+    # both quadratic oracles with no recorded cause)
+    deferred_log: dict[str, str] = {}
     errors: dict[str, str] = {}
     n_total = len(REGISTRY)
     partial = {"v": True}  # flipped off only when the loop completes
@@ -610,6 +666,9 @@ def main() -> None:
             # be checked against what actually ran; detail-file only
             # (compact_line drops it from the headline)
             "warmup_stage_secs": meta.get("warmup_stage_secs", []),
+            # per-deferred-oracle outcomes (detail only): the evidence
+            # trail when duck_skipped names an oracle
+            "deferred_oracles": deferred_log,
             "copart_build_sec": meta["copart_build_sec"],
             "policy": (
                 "value = copart_build_sec + sum of per-query steady-state "
@@ -635,11 +694,16 @@ def main() -> None:
                 "is minutes after run 1 so weather between them is "
                 "uncorrelated). Slow "
                 "DuckDB oracles are deferred past the engine loop on "
-                "reserved wall-clock: a cold run each capped at its fair "
-                "share of remaining budget (one hog oracle must not "
-                "starve another's only run or blow the budget - an "
-                "interrupted oracle retries on whatever budget survives "
-                "the warm pass), then an "
+                "reserved wall-clock and timed in a FRESH single-purpose "
+                "process (the standalone-DuckDB convention: JVM-resident "
+                "in-process timings of the quadratic oracles carried up "
+                "to 2.5x residency overhead with 4-60s variance, which "
+                "starved the deferred runs entirely; a clean process is "
+                "also the STRONGER denominator): a cold run each capped "
+                "at its fair share of remaining budget (one hog oracle "
+                "must not starve another's only run or blow the budget - "
+                "an interrupted oracle retries on whatever budget "
+                "survives the warm pass), then an "
                 "opportunistic second run (capped at 2.5x cold) with "
                 "min(cold, warm) recorded "
                 "(the two runs are minutes apart so weather between them "
@@ -1056,13 +1120,23 @@ def main() -> None:
     for i, (name, sql) in enumerate(pending):
         rem = budget.remaining() - 5
         if rem <= 0:
-            break
+            deferred_log[name] = f"no-budget(rem={rem:.1f})"
+            continue
         cap = max(defer_est, rem / (len(pending) - i))
-        cold, interrupted = _timed_duck_run(duck_con, duck_lock, sql, cap)
+        # fresh single-purpose process, NOT the JVM-resident in-process
+        # connection: residency overhead ran the quadratic oracles at
+        # up to 2.5x with 4-60 s variance (see _oracle_subprocess_run),
+        # which is what kept starving these runs out of their reserve
+        cold, interrupted = _oracle_subprocess_run(sql, sf_dir, cap)
         if cold is None:
+            deferred_log[name] = (
+                f"cold-interrupted(cap={cap:.1f})" if interrupted
+                else f"cold-failed(cap={cap:.1f})"
+            )
             if interrupted:
                 deferred_retry.append(name)
             continue
+        deferred_log[name] = f"cold={cold:.2f}"
         deferred_cold[name] = cold
         duck[name] = round(cold, 3)
         duck_min[name] = duck[name]
@@ -1084,14 +1158,15 @@ def main() -> None:
         # in-burst warm run measured 4x its cold time, and unguarded it
         # would blow the budget pass 1.5 (and the driver's own clock)
         # relies on — the min rule keeps the cold value on interrupt
-        warm, _ = _timed_duck_run(
-            duck_con, duck_lock, duck_deferred[name], 2.5 * cold
+        warm, _ = _oracle_subprocess_run(
+            duck_deferred[name], sf_dir, 2.5 * cold + 5
         )
         if warm is None:
             continue
         duck[name] = round(min(cold, warm), 3)
         duck_min[name] = duck[name]
         duck_cold.remove(name)
+        deferred_log[name] += f" warm={warm:.2f}"
         emit()
 
     # Pass 1.5 — retry pass-1 interrupts on surviving budget: the
@@ -1104,12 +1179,13 @@ def main() -> None:
         rem = budget.remaining() - 5
         if rem <= 0:
             break
-        cold, _ = _timed_duck_run(
-            duck_con, duck_lock, duck_deferred[name],
-            rem / (len(deferred_retry) - j),
+        cold, _ = _oracle_subprocess_run(
+            duck_deferred[name], sf_dir, rem / (len(deferred_retry) - j)
         )
         if cold is None:
+            deferred_log[name] += " retry-failed"
             continue
+        deferred_log[name] = f"retry-cold={cold:.2f}"
         duck[name] = round(cold, 3)
         duck_min[name] = duck[name]
         duck_cold.append(name)

@@ -299,6 +299,30 @@ def test_timed_duck_run_cap_and_failure_semantics():
     assert elapsed is None and interrupted is False
 
 
+def test_oracle_subprocess_run_semantics(tmp_path):
+    """Deferred oracles run in a fresh process (r11): success returns
+    the child-measured elapsed, a kill past the cap is retryable, and
+    a failing statement is not."""
+    sys.path.insert(0, REPO)
+    from bench import _oracle_subprocess_run
+
+    sf = "/root/testdata/sf0.001"
+    elapsed, interrupted = _oracle_subprocess_run(
+        "SELECT count(*) FROM region", sf, 60.0
+    )
+    assert elapsed is not None and interrupted is False
+    # elapsed excludes child startup: a trivial statement is near-zero
+    assert elapsed < 2.0
+    slow = ("SELECT max(a.range * b.range) "
+            "FROM range(100000000) a, range(1000) b")
+    elapsed, interrupted = _oracle_subprocess_run(slow, sf, 1.0)
+    assert elapsed is None and interrupted is True
+    elapsed, interrupted = _oracle_subprocess_run(
+        "SELECT * FROM no_such_table", sf, 60.0
+    )
+    assert elapsed is None and interrupted is False
+
+
 def test_headline_carries_cold_oracle_names():
     """duckdb_cold_single_run must survive into the compact headline
     (abbreviated) so the driver tail records the timing asymmetry."""
