@@ -347,6 +347,28 @@ def _timed_duck_run(con, lock, sql: str, cap: float):
         timer.cancel()
 
 
+def _steal_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat, or None off-Linux."""
+    try:
+        vals = list(map(int, open("/proc/stat").readline().split()[1:]))
+        return vals[7], sum(vals)
+    except Exception:
+        return None
+
+
+def _steal_pct(start: tuple[int, int] | None) -> float | None:
+    """Percent of host CPU stolen by the hypervisor since ``start``.
+    The single most explanatory covariate for run-to-run swings on this
+    shared VM (BASELINE.md r8-r11: identical code measured 45-81 s
+    totals across same-day windows) — recorded so every bench carries
+    its own weather evidence instead of requiring a manual /proc/stat
+    sample around the run."""
+    end = _steal_jiffies()
+    if start is None or end is None or end[1] <= start[1]:
+        return None
+    return round(100.0 * (end[0] - start[0]) / (end[1] - start[1]), 2)
+
+
 # Child script for _oracle_subprocess_run: connect, recreate the table
 # views, time the SQL from stdin, print one JSON line.
 _ORACLE_RUNNER = r"""
@@ -594,6 +616,7 @@ def main() -> None:
     # even if the kill arrives BEFORE setup finishes (warm-up runs tens
     # of seconds; a kill inside it previously printed nothing at all).
     meta = {"setup_sec": 0.0, "copart_build_sec": 0.0, "load_degraded": False}
+    steal_start = _steal_jiffies()
 
     # BENCH_RUNS timed executions per query (default 3); the headline
     # per-query number is the MEDIAN (min also reported). Median-of-3
@@ -716,6 +739,9 @@ def main() -> None:
             "registered_queries": n_total,
             "partial": partial["v"],
             "load_degraded": meta["load_degraded"],
+            # whole-run hypervisor steal (detail only): the weather
+            # covariate, sampled process-start -> each emit
+            "host_steal_pct": _steal_pct(steal_start),
         }
         if errors:
             result["errors"] = errors
