@@ -388,10 +388,11 @@ print(json.dumps({"sec": time.time() - t0}))
 
 def _oracle_subprocess_run(sql: str, sf_dir: str, cap: float):
     """Time one oracle statement in a FRESH single-purpose process —
-    the binary a standalone DuckDB user actually runs. Same return
-    contract as :func:`_timed_duck_run`: ``(elapsed | None,
-    interrupted)``, with a kill past ``cap`` counting as interrupted
-    (retryable) and a nonzero exit as a genuine failure.
+    the binary a standalone DuckDB user actually runs. Returns
+    ``(elapsed | None, interrupted, err)``: elapsed on success, a kill
+    past ``cap`` counts as interrupted (retryable), and a nonzero exit
+    is a genuine failure with the child's stderr tail in ``err`` so
+    the audit log carries the cause (missing file, OOM kill, ...).
 
     Used for the DEFERRED oracle passes only: in-process JVM-resident
     timings of the quadratic oracles measured up to 2.5x their clean-
@@ -410,14 +411,15 @@ def _oracle_subprocess_run(sql: str, sf_dir: str, cap: float):
             timeout=cap,
         )
     except subprocess.TimeoutExpired:
-        return None, True
+        return None, True, ""
     if proc.returncode != 0:
-        return None, False
+        tail = proc.stderr.decode(errors="replace").strip()[-200:]
+        return None, False, f"exit={proc.returncode}: {tail}"
     try:
         line = proc.stdout.decode().strip().splitlines()[-1]
-        return float(json.loads(line)["sec"]), False
-    except Exception:
-        return None, False
+        return float(json.loads(line)["sec"]), False, ""
+    except Exception as ex:
+        return None, False, f"unparseable child output: {ex}"
 
 
 def _short_queries(queries: dict[str, float]) -> dict[str, float]:
@@ -732,7 +734,12 @@ def main() -> None:
                 "(the two runs are minutes apart so weather between them "
                 "is uncorrelated - min is the steady-state estimator "
                 "there); any oracle that only got its cold run is named "
-                "in duckdb_cold_single_run"
+                "in duckdb_cold_single_run. Convention note: INLINE "
+                "(sub-5s) oracles stay in-process for same-noise-window "
+                "interleaving with their engine runs and therefore carry "
+                "some JVM-residency overhead; only the deferred slow "
+                "oracles use the clean-process convention - per-oracle "
+                "outcomes are in deferred_oracles"
             ),
             "errors_present": bool(errors),
             "comparable_queries": len(timings),
@@ -1153,11 +1160,11 @@ def main() -> None:
         # connection: residency overhead ran the quadratic oracles at
         # up to 2.5x with 4-60 s variance (see _oracle_subprocess_run),
         # which is what kept starving these runs out of their reserve
-        cold, interrupted = _oracle_subprocess_run(sql, sf_dir, cap)
+        cold, interrupted, err = _oracle_subprocess_run(sql, sf_dir, cap)
         if cold is None:
             deferred_log[name] = (
                 f"cold-interrupted(cap={cap:.1f})" if interrupted
-                else f"cold-failed(cap={cap:.1f})"
+                else f"cold-failed(cap={cap:.1f}, {err})"
             )
             if interrupted:
                 deferred_retry.append(name)
@@ -1184,7 +1191,7 @@ def main() -> None:
         # in-burst warm run measured 4x its cold time, and unguarded it
         # would blow the budget pass 1.5 (and the driver's own clock)
         # relies on — the min rule keeps the cold value on interrupt
-        warm, _ = _oracle_subprocess_run(
+        warm, _, _err = _oracle_subprocess_run(
             duck_deferred[name], sf_dir, 2.5 * cold + 5
         )
         if warm is None:
@@ -1203,15 +1210,25 @@ def main() -> None:
     # starvation inside the retry pass itself).
     for j, name in enumerate(deferred_retry):
         rem = budget.remaining() - 5
-        if rem <= 0:
-            break
-        cold, _ = _oracle_subprocess_run(
-            duck_deferred[name], sf_dir, rem / (len(deferred_retry) - j)
+        share = rem / (len(deferred_retry) - j) if rem > 0 else 0.0
+        if share < 5.0:
+            # below child startup + any real SQL time: running would be
+            # a guaranteed-futile kill that still burns the remaining
+            # retries' budget
+            deferred_log[name] += f" retry-no-budget(share={share:.1f})"
+            continue
+        cold, interrupted, err = _oracle_subprocess_run(
+            duck_deferred[name], sf_dir, share
         )
         if cold is None:
-            deferred_log[name] += " retry-failed"
+            # keep the interrupted-at-cap evidence AND say which way
+            # the retry died: budget-killed vs genuine SQL failure
+            deferred_log[name] += (
+                f" retry-interrupted(cap={share:.1f})" if interrupted
+                else f" retry-failed({err})"
+            )
             continue
-        deferred_log[name] = f"retry-cold={cold:.2f}"
+        deferred_log[name] += f" retry-cold={cold:.2f}"
         duck[name] = round(cold, 3)
         duck_min[name] = duck[name]
         duck_cold.append(name)

@@ -160,7 +160,13 @@ def _owner_modules(fn_source: str) -> set[Path]:
                 if sub is not None:
                     seeds.add(sub)
     for name, rel in _TOP_LEVEL_NAME_OWNERS.items():
-        pat = re.escape(name) if name.endswith(".") else rf"\b{re.escape(name)}\b"
+        if name.endswith("."):
+            # dot-suffixed names ("E.") need a LEFT boundary that also
+            # rejects attribute chains: bare "E\." matched "NOTE." in a
+            # comment and "x.E" in a chain (r11 review finding)
+            pat = rf"(?<![\w.]){re.escape(name)}"
+        else:
+            pat = rf"\b{re.escape(name)}\b"
         if re.search(pat, fn_source):
             seeds.add(PKG_ROOT / rel)
     return _closure(seeds)
@@ -213,8 +219,12 @@ def _helper_sources() -> dict[str, tuple[str, str]]:
         elif isinstance(obj, (set, frozenset)):
             # raw set repr order follows PYTHONHASHSEED-randomized
             # string hashing — it would change every process start and
-            # permanently self-stale every caller; canonicalize instead
-            out[name] = ("repr", repr(sorted(obj, key=repr)))
+            # permanently self-stale every caller; canonicalize instead.
+            # The address guard still applies: a set of OBJECTS would
+            # re-smuggle per-process addresses through the sorted repr.
+            rep = repr(sorted(obj, key=repr))
+            if " at 0x" not in rep and "object at" not in rep:
+                out[name] = ("repr", rep)
         elif not _inspect.ismodule(obj):
             rep = repr(obj)
             if " at 0x" not in rep and "object at" not in rep:
@@ -222,11 +232,17 @@ def _helper_sources() -> dict[str, tuple[str, str]]:
     return out
 
 
-def _referenced_helpers(fn_source: str, fn_name: str) -> list[tuple[str, str]]:
-    """Helpers the fn body references, closed transitively over
-    code-helper→helper references, sorted by name for stable hashing."""
+def _referenced_helpers(
+    fn_source: str, fn_name: str
+) -> list[tuple[str, str, str]]:
+    """``(name, kind, text)`` for every helper the fn body references,
+    closed transitively over code-helper→helper references, sorted by
+    name for stable hashing. ``kind`` is "src" (function/class source —
+    eligible for owner-module scanning) or "repr" (data constant —
+    hashed but never scanned for owners: regex-matching import patterns
+    inside SQL/doc DATA would add spurious owner modules)."""
     helpers = _helper_sources()
-    found: dict[str, str] = {}
+    found: dict[str, tuple[str, str]] = {}
     frontier = [fn_source]
     while frontier:
         src = frontier.pop()
@@ -234,10 +250,10 @@ def _referenced_helpers(fn_source: str, fn_name: str) -> list[tuple[str, str]]:
             if name == fn_name or name in found or name not in helpers:
                 continue
             kind, text = helpers[name]
-            found[name] = text
+            found[name] = (kind, text)
             if kind == "src":
                 frontier.append(text)
-    return sorted(found.items())
+    return sorted((n, k, t) for n, (k, t) in found.items())
 
 
 @lru_cache(maxsize=1)
@@ -268,17 +284,22 @@ def fingerprints() -> dict[str, dict[str, str]]:
         hs = hashlib.sha256()
         hs.update(src.encode())
         hs.update((q.sql or "").encode())
-        for hname, hsrc in helpers:
+        for hname, _kind, htext in helpers:
             hs.update(hname.encode())
-            hs.update(hsrc.encode())
+            hs.update(htext.encode())
         self_fp = hs.hexdigest()
         hf = hashlib.sha256(self_fp.encode())
         # owner derivation scans the fn source AND every referenced
-        # helper's source: a helper like _q15_edges builds the query's
-        # input from sources/edges.py, so a module referenced only
-        # inside a helper body is an owner too (r11 review finding —
-        # an edges.py edit previously staled nothing for q15b/q15c).
-        owner_scan = "\n".join([src, *(h for _, h in helpers)])
+        # CODE helper's source: a helper like _q15_edges builds the
+        # query's input from sources/edges.py, so a module referenced
+        # only inside a helper body is an owner too (r11 review finding
+        # — an edges.py edit previously staled nothing for q15b/q15c).
+        # Data constants (kind "repr") are hashed above but excluded
+        # here: import-looking text inside SQL/doc DATA must not add
+        # spurious owners.
+        owner_scan = "\n".join(
+            [src, *(t for _, k, t in helpers if k == "src")]
+        )
         for f in sorted(_owner_modules(owner_scan)):
             hf.update(str(f.relative_to(PKG_ROOT)).encode())
             hf.update(f.read_bytes())

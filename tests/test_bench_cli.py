@@ -307,20 +307,22 @@ def test_oracle_subprocess_run_semantics(tmp_path):
     from bench import _oracle_subprocess_run
 
     sf = "/root/testdata/sf0.001"
-    elapsed, interrupted = _oracle_subprocess_run(
+    elapsed, interrupted, err = _oracle_subprocess_run(
         "SELECT count(*) FROM region", sf, 60.0
     )
-    assert elapsed is not None and interrupted is False
+    assert elapsed is not None and interrupted is False and err == ""
     # elapsed excludes child startup: a trivial statement is near-zero
     assert elapsed < 2.0
     slow = ("SELECT max(a.range * b.range) "
             "FROM range(100000000) a, range(1000) b")
-    elapsed, interrupted = _oracle_subprocess_run(slow, sf, 1.0)
+    elapsed, interrupted, err = _oracle_subprocess_run(slow, sf, 1.0)
     assert elapsed is None and interrupted is True
-    elapsed, interrupted = _oracle_subprocess_run(
+    elapsed, interrupted, err = _oracle_subprocess_run(
         "SELECT * FROM no_such_table", sf, 60.0
     )
     assert elapsed is None and interrupted is False
+    # the failure carries its cause for the audit log
+    assert "no_such_table" in err
 
 
 def test_headline_carries_cold_oracle_names():

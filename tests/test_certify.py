@@ -46,20 +46,61 @@ def test_owner_derivation_direct_and_transitive():
     assert "sources/edges.py" in owners("q01_scan")
 
 
-def test_owner_derivation_through_helper_bodies():
+def test_owner_derivation_through_helper_bodies(monkeypatch):
     """r11 review finding: a module referenced only inside a queries.py
     HELPER body must still own the helper's callers — q15b's input is
     built by _q15_edges from sources/edges.py (via the E. name mapping),
     and an edges.py edit previously staled nothing for it."""
     src = inspect.getsource(Q.REGISTRY["q15b_cc_summary"].fn)
     helpers = certify._referenced_helpers(src, "q15b")
-    scan = "\n".join([src, *(h for _, h in helpers)])
+    scan = "\n".join([src, *(t for _, k, t in helpers if k == "src")])
     assert "sources/edges.py" in rel(certify._owner_modules(scan))
     # and the fn source ALONE does not reach it (the gap being covered)
     assert "sources/edges.py" not in owners("q15b_cc_summary")
-    # end-to-end: an edges.py content change must flip q15b's full hash
-    fps = certify.fingerprints()
-    assert "q15b_cc_summary" in fps  # fingerprint exists under new scan
+    # guard the WIRING, not a reimplementation: fingerprints() must pass
+    # the helper-expanded scan (with _q15_edges' body) to _owner_modules
+    # for q15b — reverting to _owner_modules(src) must fail here
+    captured: list[str] = []
+    orig = certify._owner_modules
+
+    def spy(scan_text):
+        captured.append(scan_text)
+        return orig(scan_text)
+
+    monkeypatch.setattr(certify, "_owner_modules", spy)
+    certify._reset_cache()
+    try:
+        certify.fingerprints()
+        q15b_scans = [s for s in captured if src in s]
+        assert q15b_scans, "fingerprints() never scanned q15b's source"
+        assert any("def _q15_edges" in s for s in q15b_scans)
+        # data constants must NOT be in any owner scan (spurious owners)
+        assert not any("_Q31_SQL" == s.strip() for s in captured)
+    finally:
+        certify._reset_cache()
+
+
+def test_owner_scan_excludes_data_constants():
+    """Import-looking text inside SQL/doc DATA must not add owners: a
+    repr-kind helper (string constant) is hashed into `self` but never
+    fed to the owner regex scan."""
+    helpers = dict(
+        (n, (k, t))
+        for n, k, t in certify._referenced_helpers(
+            "def qX(spark, sf_dir):\n    return _with(_Q15_SQL)\n", "qX"
+        )
+    )
+    assert helpers["_Q15_SQL"][0] == "repr"
+    assert helpers["_with"][0] == "src"
+    # the E. owner pattern must not fire on attribute chains or words
+    # ending in E followed by a dot (r11 review: bare 'E\\.' matched
+    # 'NOTE.' in comments)
+    assert "sources/edges.py" not in rel(
+        certify._owner_modules("x = obj.E.thing  # NOTE. nothing\n")
+    )
+    assert "sources/edges.py" in rel(
+        certify._owner_modules("e = E.edges_events(spark, sf_dir)\n")
+    )
 
 
 def test_helper_set_constants_hash_deterministically():
@@ -140,8 +181,8 @@ def test_helper_chain_is_transitive(monkeypatch):
     certify._reset_cache()
     try:
         fn_src = "def qX(spark, sf_dir):\n    return _cert_helper_a()\n"
-        refs = dict(certify._referenced_helpers(fn_src, "qX"))
-        assert set(refs) >= {"_cert_helper_a", "_cert_helper_b"}
+        refs = {n for n, _k, _t in certify._referenced_helpers(fn_src, "qX")}
+        assert refs >= {"_cert_helper_a", "_cert_helper_b"}
     finally:
         certify._reset_cache()
 
