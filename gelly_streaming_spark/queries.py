@@ -1344,6 +1344,77 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(docs, n=_SHINGLE_N).select("src_a", "src_b", "shared")
 
 
+# 16-token boilerplate headers (exactly two aligned 8-token passages)
+# prepended to 2/3 of the corpus: the certified outcome covers both the
+# drop path (headers repeat across ~1,600 docs each) and the keep path
+# (organic passages survive except genuine short-tail collisions, which
+# both engines count identically).
+_Q51_HDR_A = (
+    "hdr alpha beta gamma delta epsilon zeta eta "
+    "theta iota kappa lam mu nu xi omicron"
+)
+_Q51_HDR_B = (
+    "nav promo sale click here subscribe now banner "
+    "footer terms privacy cookie accept close menu home"
+)
+
+_Q51_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '{_Q51_HDR_A} ' || text
+              WHEN doc_id % 3 = 1 THEN '{_Q51_HDR_B} ' || text
+              ELSE text END AS text
+  FROM documents),
+lst AS (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+        FROM base),
+tok AS (SELECT doc_id, unnest(l) AS token,
+               unnest(range(len(l))) AS pos
+        FROM lst),
+p AS (SELECT doc_id, pos // 8 AS pid,
+             string_agg(token, ' ' ORDER BY pos) AS passage
+      FROM tok GROUP BY 1, 2),
+dup AS (SELECT passage FROM p GROUP BY 1
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+f AS (SELECT p.doc_id, p.pid, p.passage,
+             p.passage IN (SELECT passage FROM dup) AS is_dup
+      FROM p)
+SELECT doc_id,
+       md5(COALESCE(string_agg(passage, ' ' ORDER BY pid)
+                    FILTER (WHERE NOT is_dup), '')) AS dedup_md5,
+       CAST(COUNT(*) FILTER (WHERE NOT is_dup) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dropped
+FROM f GROUP BY doc_id
+"""
+
+
+@_q("q51_passage_dedup", _Q51_SQL,
+    "cross-document exact passage dedup with document REWRITE (the "
+    "RefinedWeb/C4 boilerplate-removal stage): aligned 8-token passages, "
+    "a passage in >=2 distinct docs is dropped everywhere, survivors "
+    "re-join in order — three key-partitioned shuffles, the dup set "
+    "probes back as an AQE broadcast, the corpus never joins itself")
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.dedup import dedup_passages
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    corpus = docs.select(
+        "doc_id",
+        F.when(d % 3 == 0, F.concat(F.lit(_Q51_HDR_A + " "), F.col("text")))
+        .when(d % 3 == 1, F.concat(F.lit(_Q51_HDR_B + " "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = dedup_passages(corpus, n=8)
+    return out.select(
+        "doc_id",
+        F.md5("text_dedup").alias("dedup_md5"),
+        "n_kept",
+        "n_dropped",
+    )
+
+
 _Q38_SQL = (
     "WITH " + _SHINGLE_CTE + """,
 d AS (SELECT DISTINCT doc_id, shingle FROM sh),
@@ -2121,7 +2192,7 @@ _CERT_ORDER: list[str] = [
     "q41_mixture_sample", "q42_curate_corpus", "q43_minhash_lsh",
     "q44_simhash_pairs", "q45_centroid_assign", "q46_knn_lsh",
     "q47_embedding_near_dup_lsh", "q48_knn_ivf_search", "q49_url_curation",
-    "q50_source_overlap",
+    "q50_source_overlap", "q51_passage_dedup",
 ]
 
 

@@ -1549,3 +1549,34 @@ def test_curate_corpus_no_blocklist_and_short_docs(spark):
     out = curate_corpus(docs, None, min_quality=0.0, max_rep_permille=0, n=3)
     ids = sorted(r.doc_id for r in out.collect())
     assert ids == [1, 2]
+
+
+def test_dedup_passages_semantics(spark):
+    """Cross-doc aligned-passage dedup with rewrite: a passage in >=2
+    distinct docs drops from every doc; a passage repeated WITHIN one
+    doc is kept (cross-doc criterion); survivors re-join in document
+    order; token-free docs are absent by contract."""
+    from gelly_streaming_spark.ext.dedup import dedup_passages
+
+    docs = spark.createDataFrame(
+        [
+            (1, "h1 h2 h3 h4 a b c d e"),      # header + organic + tail
+            (2, "h1 h2 h3 h4 f g h i"),        # shares the header with 1
+            (3, "x y z w a b c d"),            # shares "a b c d" with 1
+            (4, "p q r s p q r s"),            # within-doc repeat only
+            (5, "   "),                        # token-free: absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_passages(docs, n=4).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1].text_dedup, out[1].n_kept, out[1].n_dropped) == ("e", 1, 2)
+    assert (out[2].text_dedup, out[2].n_kept, out[2].n_dropped) == ("f g h i", 1, 1)
+    assert (out[3].text_dedup, out[3].n_kept, out[3].n_dropped) == ("x y z w", 1, 1)
+    # within-doc repeat: count(distinct doc)=1 -> kept, text unchanged
+    assert (out[4].text_dedup, out[4].n_kept, out[4].n_dropped) == (
+        "p q r s p q r s", 2, 0,
+    )

@@ -46,7 +46,13 @@ def test_certification_window_order():
     # mechanical guard
     urgent = self_stale_queries()
     assert set(window[: len(urgent)]) == urgent
-    # every §2 reference-operator row stays inside the window
+    # every §2 reference-operator row is either INSIDE the window (gets
+    # a fresh driver row this round) or FRESH (its manifest entry
+    # matches shipped code, so its existing driver row still certifies
+    # it — the change-aware model's whole point). A §2 row that is
+    # stale AND outside the window would ship uncertified changed code.
+    from gelly_streaming_spark.certify import stale_queries
+
     s2_ids = {
         "q01", "q02", "q03", "q04", "q05", "q05b", "q06", "q07", "q08",
         "q09", "q10", "q11", "q11b", "q12", "q12c", "q12d", "q13", "q14",
@@ -55,7 +61,9 @@ def test_certification_window_order():
         "q29s", "q30",
     }
     in_window_ids = {n.split("_", 1)[0] for n in window}
-    assert s2_ids <= in_window_ids, s2_ids - in_window_ids
+    stale_ids = {n.split("_", 1)[0] for n in stale_queries()}
+    uncovered = s2_ids & stale_ids - in_window_ids
+    assert not uncovered, f"stale §2 rows outside the window: {uncovered}"
     # oracle_sql iterates in the same order (driver zips the two)
     assert list(oracle_sql()) == [
         n for n in names if REGISTRY[n].sql is not None
