@@ -886,7 +886,14 @@ def main() -> None:
     # single cold run each, inflating their recorded values far more
     # than the oracle asymmetry it fixed (duckdb_cold_single_run flags
     # the asymmetry honestly when the leftover doesn't stretch).
-    defer_est = max(15.0, 2.5 * duck_slow_cap)
+    # Sized from measurement, r11: the quadratic oracles' clean-process
+    # cold runs take 4-10 s quiet but 15-25 s inside the steal bursts
+    # that usually accompany a pressured bench — 15 s/oracle of reserve
+    # produced ~20 s fair-share caps that repeatedly interrupted
+    # borderline runs. 25 s/oracle (reserve 50 for the 2-oracle set)
+    # gives caps the bursts clear while costing the main loop at most
+    # one more degraded tail query.
+    defer_est = max(25.0, 5.0 * duck_slow_cap)
     loop_t0 = time.time()
     queries_done = 0
     ordered = sorted(REGISTRY.items())
