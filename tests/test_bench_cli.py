@@ -343,3 +343,58 @@ def test_headline_carries_cold_oracle_names():
     }
     d = json.loads(compact_line(result))
     assert d["duckdb_cold_single_run"] == ["q22"]
+
+
+def test_reclaim_flags_inflated_storm_and_single_run():
+    """VERDICT r11 item 1: BENCH_r11 breached the 2x gate inside a
+    mid-loop steal storm the setup-time probe called clean. The reclaim
+    pass must flag (a) single-sample recordings, (b) medians >2.5x the
+    query's own in-run min, and (c) the med=min=max signature where
+    every run was hit and ONLY the per-query steal telemetry shows the
+    storm (r11's q23b: 6.52 s recorded vs a 1.20 s clean median)."""
+    sys.path.insert(0, REPO)
+    from bench import _reclaim_candidates, _reclaim_flags
+
+    assert _reclaim_flags([2.0], 2.0, None) == ["single-run"]
+    fl = _reclaim_flags([0.5, 2.0, 2.1], 2.05, 0.0)
+    assert fl and fl[0].startswith("inflated")
+    # med=min=max: the in-run spread shows nothing -> only steal flags it
+    assert _reclaim_flags([6.5, 6.5, 6.5], 6.5, 0.1) == []
+    fl = _reclaim_flags([6.5, 6.5, 6.5], 6.5, 8.0)
+    assert fl and fl[0].startswith("storm")
+    # clean 3-run recording on a quiet host is untouched
+    assert _reclaim_flags([1.0, 0.95, 1.05], 1.0, 0.5) == []
+    # sub-0.3 s recordings never flagged for inflation/storm (cannot
+    # move the gate; re-running them burns budget the heavy ones need)
+    assert _reclaim_flags([0.02, 0.1, 0.11], 0.105, 9.0) == []
+
+
+def test_reclaim_candidates_order_symmetry_and_exclusions():
+    """Candidate assembly: gate-dominant (biggest engine recording)
+    first, a storm flags BOTH sides symmetrically (engine and inline
+    oracle shared the flagged window), and errored / clean / deferred /
+    oracle-less entries stay out."""
+    sys.path.insert(0, REPO)
+    from bench import _reclaim_candidates
+
+    timings = {"qa": 6.5, "qb": 1.2, "qc": 0.9, "qd": 3.0, "qe": 2.0}
+    duck = {"qa": 1.0, "qb": 0.4, "qc": 0.9}
+    all_runs = {
+        "qa": [6.5, 6.5, 6.5],   # storm window (steal 8%)
+        "qb": [1.2],             # budget-degraded single run
+        "qc": [0.9, 0.9, 0.95],  # clean
+        "qd": [3.0, 3.1, 2.9],   # errored -> excluded
+        "qe": [2.0, 2.0, 2.0],   # clean, no oracle
+    }
+    all_druns = {"qa": [1.0, 1.0, 1.0], "qb": [0.4], "qc": [0.9, 0.9, 0.9]}
+    cands = _reclaim_candidates(
+        ["qa", "qb", "qc", "qd", "qe"], timings, duck, all_runs,
+        all_druns, {"qd": "boom"}, {}, {"qa", "qb", "qc"},
+        {"qa": 8.0, "qb": 0.2, "qc": 0.3},
+    )
+    assert [c[0] for c in cands] == ["qa", "qb"]
+    name, e_reasons, d_reasons = cands[0]
+    assert e_reasons[0].startswith("storm")
+    assert d_reasons[0].startswith("storm")  # symmetric re-run
+    name, e_reasons, d_reasons = cands[1]
+    assert e_reasons == ["single-run"] and d_reasons == ["single-run"]
