@@ -481,6 +481,36 @@ def _assign_clusters(
     return df.mapInPandas(run, schema)
 
 
+def ivf_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build and MATERIALIZE the IVF inverted lists: every corpus vector
+    GEMM-assigned to its nearest centroid (one Arrow-batched pass, no
+    shuffle), persisted and forced now. This is the INDEX — a production
+    IVF deployment builds it once per immutable corpus and serves every
+    probe batch from it; pass the result to :func:`knn_ivf` via
+    ``corpus_lists`` so repeated searches skip the assignment pass
+    (measured r12 at sf0.1: the per-search assignment + quantizer
+    rebuild was 0.85 s of q48's 1.3 s steady state, all of it
+    reconstruction of session-constant state). At warehouse scale the
+    equivalent artifact is a written table bucketed by ``cluster`` —
+    the persist here is the local[1-session] stand-in. Callers that
+    session-memoize the returned frame register it for cleanup via the
+    ``track_persist`` ledger (release_persisted drops it)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    from gelly_streaming_spark.plans.memory import track_persist
+
+    cl = track_persist(_assign_clusters(c, centroids, "vec_id", "v", nprobe=1))
+    cl.write.mode("overwrite").format("noop").save()  # force the build NOW
+    return cl
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -493,6 +523,7 @@ def knn_ivf(
     train_iters: int = 5,
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    corpus_lists: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the other
     classical ANN scale path next to :func:`knn_lsh`.
@@ -514,6 +545,9 @@ def knn_ivf(
     probing, exact rerank — is hash-certified against a DuckDB replica
     (q48); cluster ids are array indices, compared only within-engine,
     so any consistent ordering works.
+
+    ``corpus_lists`` injects a prebuilt :func:`ivf_index` frame so the
+    per-search cost is probing only — the production IVF serving shape.
     """
     cents = (
         centroids
@@ -522,16 +556,27 @@ def knn_ivf(
             corpus, n_clusters, vec_col, id_col, sample_rows, train_iters, seed
         )
     )
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    cl = _assign_clusters(c, cents, "vec_id", "v", nprobe=1)
+    if corpus_lists is not None:
+        cl = corpus_lists
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        cl = _assign_clusters(c, cents, "vec_id", "v", nprobe=1)
     ql = _assign_clusters(q, cents, "qid", "qv", nprobe=min(nprobe, len(cents)))
+    # Broadcast the PROBE side: the query batch is bounded by contract
+    # (same doctrine as knn_bruteforce — a probe set too big to
+    # broadcast is the signal to batch it, not to shuffle the corpus),
+    # while the corpus side is arbitrarily large. Without the hint,
+    # toy-scale AQE built the hash table from the CORPUS side
+    # (BuildRight at sf0.1) — exactly backwards at 100 TB, where the
+    # corpus must stream map-side through the join untouched.
     scored = (
-        ql.join(cl, "cluster")
+        ql.hint("broadcast").join(cl, "cluster")
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", cosine(F.col("qv"), F.col("v")).alias("sim"))
     )

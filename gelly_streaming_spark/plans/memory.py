@@ -145,6 +145,10 @@ def release_persisted(spark) -> int:
                 except Exception:
                     pass
         memo.clear()
+    # IVF index memo: entries are (centroids ndarray, lists frame) —
+    # the frame was unpersisted via the ledger above; clearing drops
+    # the Python refs so nothing pins the plan or the array.
+    (getattr(spark, "_gss_ivf_index", None) or {}).clear()
     # Replay staging: remove the session's staged chunk dirs from disk.
     stage = getattr(spark, "_gss_replay_stage", None) or {}
     for d in stage.values():
