@@ -9,7 +9,9 @@ collect — measures distributed compute, not toPandas transfer).
 The DuckDB oracle side is timed in the same run by default (the
 BASELINE.md gate is engine ≤ 2× DuckDB; same-run numbers make the ratio
 same-host, same-hour). Set BENCH_DUCKDB=0 to skip it, BENCH_RUNS to
-change the per-query run count (default 3, median reported).
+change the per-query run count (default 2: run 1 warms/builds and is
+excluded, run 2 is the steady state, and the reclaim pass re-measures
+storm-flagged recordings — see the policy string).
 
 Delivery hardening (BENCH_r05/r06 failure modes): the headline JSON line
 is re-printed after EVERY completed query (last-line-wins, <1900 chars),
@@ -712,12 +714,21 @@ def main() -> None:
     meta = {"setup_sec": 0.0, "copart_build_sec": 0.0, "load_degraded": False}
     steal_start = _steal_jiffies()
 
-    # BENCH_RUNS timed executions per query (default 3); the headline
-    # per-query number is the MEDIAN (min also reported). Median-of-3
-    # over min-of-2 because the virtualized bench host shows 3-4x
-    # wall-clock swings on identical CPU-bound work (host steal bursts):
-    # the median damps a single burst without crediting a single lucky
-    # run. The DuckDB baseline (BENCH_DUCKDB=0 disables) is timed the
+    # BENCH_RUNS timed executions per query (default 2 since r12): run 1
+    # is the warm-up/one-time-build run (excluded by the steady-state
+    # policy), run 2 is the recorded steady state, and the RECLAIM pass
+    # re-measures any recording whose window was degraded (storm/
+    # inflation/single-run flags) with min-of-runs recorded. The r11
+    # default of 3 runs no longer fits: 63 queries x 3 engine + 3
+    # interleaved oracle runs exceeded the 300 s budget whenever the
+    # window was mediocre, so the TAIL queries got degraded to single
+    # COLD runs (r12 observed q33 6.8 s, q49 5.6 s first-run costs
+    # recorded as steady state) and the reclaim pass that exists to
+    # repair exactly that ran with zero budget (21 flagged candidates,
+    # all skipped-no-budget). Two runs + funded reclaim beats three
+    # runs + starved reclaim: the third run only tightened the median
+    # in windows where all three samples were clean anyway.
+    # The DuckDB baseline (BENCH_DUCKDB=0 disables) is timed the
     # same way in the same process, and its runs are INTERLEAVED with
     # the engine's per run (engine, duck, engine, duck, ...): with the
     # two sides in separate sequential phases minutes apart, a steal
@@ -727,7 +738,7 @@ def main() -> None:
     # blows past BENCH_DUCK_SLOW_SEC is interrupted and re-run once at
     # the very END of the bench (see the loop comment) — interleaving a
     # 30 s all-core burn heated the engine runs that followed it.
-    runs_per_query = int(os.environ.get("BENCH_RUNS", "3"))
+    runs_per_query = int(os.environ.get("BENCH_RUNS", "2"))
     duck_con = None
     if os.environ.get("BENCH_DUCKDB", "1") != "0":
         import duckdb
