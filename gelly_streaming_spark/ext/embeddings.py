@@ -307,10 +307,24 @@ def _exact_pairs_gemm(
         .repartition(F.col("i"), F.col("j"))  # one block pair per task slot
     )
 
-    def _unzip(rows_):
-        ids = np.asarray([r["id"] for r in rows_], dtype=np.int64)
-        mat = np.stack([np.asarray(r["v"]) for r in rows_])
-        return ids, mat
+    return paired.mapInPandas(
+        _gemm_pairs_fn(threshold), "a long, b long, sim double"
+    )
+
+
+def _unzip_idvec(rows_):
+    ids = np.asarray([r["id"] for r in rows_], dtype=np.int64)
+    mat = np.stack([np.asarray(r["v"]) for r in rows_])
+    return ids, mat
+
+
+def _gemm_pairs_fn(threshold: float):
+    """Block-pair cosine kernel shared by the global exact scan
+    (q23b-certified) and the cluster-blocked scan (semantic_dedup):
+    each input row holds one block pair (columns ``i``, ``j``,
+    ``rows_l``, ``rows_r``; extra grouping columns are ignored) and
+    yields the qualifying (a < b, sim) pairs of that pair of chunks."""
+    import pandas as pd
 
     def gemm(batches):
         from gelly_streaming_spark.blas import pin_blas_threads
@@ -318,8 +332,8 @@ def _exact_pairs_gemm(
         pin_blas_threads()
         for pdf in batches:
             for t in pdf.itertuples(index=False):
-                ids_l, mat_l = _unzip(t.rows_l)
-                ids_r, mat_r = _unzip(t.rows_r)
+                ids_l, mat_l = _unzip_idvec(t.rows_l)
+                ids_r, mat_r = _unzip_idvec(t.rows_r)
                 norm_l = np.linalg.norm(mat_l, axis=1)
                 norm_r = np.linalg.norm(mat_r, axis=1)
                 # dot/(|a||b|), the oracle's formula shape; round-6 before
@@ -340,7 +354,103 @@ def _exact_pairs_gemm(
                     {"a": lo[keep], "b": hi[keep], "sim": sims[li, ri][keep]}
                 )
 
-    return paired.mapInPandas(gemm, "a long, b long, sim double")
+    return gemm
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroids: DataFrame | None = None,
+    rows_per_block: int = 8192,
+    corpus_lists: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster-bounded embedding
+    near-dup pruning, after Abbas et al. 2023, arXiv:2303.09540 —
+    public method): rows ``(vec_id, cluster, kept)`` where ``kept`` is
+    false iff the vector has ANY smaller-id neighbor with round-6
+    cosine >= ``threshold`` INSIDE its own cluster — the deterministic
+    keep-smallest-id variant of the paper's keep-one-per-ball rule
+    (greedy over chains: in a chain a<b<c every member with a
+    qualifying smaller-id neighbor drops, whether or not that neighbor
+    itself dropped).
+
+    Plan (the 100 TB shape):
+
+    1. nearest-centroid assignment (:func:`centroid_assign`): the
+       centroid table broadcasts, ONE map pass scores the corpus —
+       clustering exists precisely to bound the quadratic;
+    2. vectors are re-keyed by (cluster, block) with a PER-CLUSTER
+       block count ceil(cluster_size / rows_per_block) from one tiny
+       (cluster, count) aggregate broadcast back — per-task work is
+       bounded at rows_per_block² regardless of cluster skew (a giant
+       cluster becomes MORE block-pair tasks, never a bigger task);
+    3. every within-cluster block pair {i <= j} runs the SAME
+       blocked-GEMM kernel the global exact scan certifies via q23b
+       (round-6 HALF_UP before thresholding, shared with the oracle);
+    4. the dropped-id minority probes back as a broadcast left side —
+       the corpus is never reshuffled after the block stage.
+
+    Within-cluster pair work is O(Σ c_i²) — the paper's trade: raise
+    the cluster count to shrink it; cross-cluster near-dups are
+    unscored by design (that recall loss is the method's documented
+    approximation, measured ~1-2% at paper scale).
+
+    ``corpus_lists`` injects a prebuilt (vec_id, v, cluster) frame —
+    :func:`ivf_index` output — so ONE session-lifetime IVF index serves
+    both kNN search and semantic dedup without re-deriving the
+    assignment per call; cluster ids are then the caller's (centroid
+    array indices for ivf_index)."""
+    from gelly_streaming_spark.plans.memory import track_persist
+
+    if corpus_lists is not None:
+        ev = corpus_lists.select("vec_id", "v", "cluster")
+    else:
+        asg = centroid_assign(emb, centroids, id_col, vec_col, label_col)
+        v = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        ev = track_persist(
+            v.join(
+                asg.select("vec_id", F.col("assigned").alias("cluster")),
+                "vec_id",
+            )
+        )
+    sizes = ev.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
+    rows = ev.join(F.broadcast(sizes), "cluster").select(
+        "cluster",
+        F.pmod(
+            F.xxhash64("vec_id"),
+            F.ceil(F.col("_n") / F.lit(rows_per_block)).cast("long"),
+        ).alias("blk"),
+        F.struct(F.col("vec_id").alias("id"), "v").alias("row"),
+    )
+    chunks = rows.groupBy("cluster", "blk").agg(
+        F.collect_list("row").alias("rows")
+    )
+    paired = (
+        chunks.select(
+            "cluster", F.col("blk").alias("i"), F.col("rows").alias("rows_l")
+        )
+        .join(
+            chunks.select(
+                "cluster", F.col("blk").alias("j"), F.col("rows").alias("rows_r")
+            ),
+            "cluster",
+        )
+        .where(F.col("i") <= F.col("j"))
+        .repartition(F.col("cluster"), F.col("i"), F.col("j"))
+    )
+    pairs = paired.mapInPandas(
+        _gemm_pairs_fn(threshold), "a long, b long, sim double"
+    )
+    dropped = pairs.select(F.col("b").alias("vec_id")).distinct()
+    return ev.join(
+        F.broadcast(dropped.withColumn("_dup", F.lit(True))), "vec_id", "left"
+    ).select("vec_id", "cluster", F.col("_dup").isNull().alias("kept"))
 
 
 def label_centroids(

@@ -145,9 +145,9 @@ def release_persisted(spark) -> int:
                 except Exception:
                     pass
         memo.clear()
-    # IVF index memo: entries are (centroids ndarray, lists frame) —
-    # the frame was unpersisted via the ledger above; clearing drops
-    # the Python refs so nothing pins the plan or the array.
+    # IVF index memo: entries are (labels, centroids ndarray, lists
+    # frame) — the frame was unpersisted via the ledger above; clearing
+    # drops the Python refs so nothing pins the plan or the array.
     (getattr(spark, "_gss_ivf_index", None) or {}).clear()
     # Replay staging: remove the session's staged chunk dirs from disk.
     stage = getattr(spark, "_gss_replay_stage", None) or {}

@@ -2131,6 +2131,39 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "url_canon", "domain", "blocked")
 
 
+def _ivf_session_index(spark: SparkSession, sf_dir: str):
+    """Session-lifetime IVF index over the immutable embeddings table
+    (the same materialized-view doctrine as the copart edge cache and
+    q17's prepped-broadcast memo): the label-centroid quantizer (one
+    bounded collect) and the persisted inverted lists are built ONCE
+    per (session, sf_dir) and serve BOTH consumers — q48's kNN probe
+    path and q52's semantic dedup — exactly as one production IVF
+    index serves search and curation. Returns (labels, centroids,
+    lists): ``labels[i]`` is the label whose centroid sits at array
+    index i (ivf_index cluster ids are array indices; q52 maps them
+    back to label values for its certified output).
+    release_persisted drains the memo; the lists frame is in the
+    track_persist ledger."""
+    import numpy as np
+
+    from gelly_streaming_spark.ext.embeddings import ivf_index, label_centroids
+
+    memo = getattr(spark, "_gss_ivf_index", None)
+    if memo is None:
+        memo = {}
+        spark._gss_ivf_index = memo  # noqa: SLF001 — session memo
+    key = ("ivf", sf_dir)
+    hit = memo.get(key)
+    if hit is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = label_centroids(emb).orderBy("label").collect()  # one row/label
+        labels = [r["label"] for r in rows]
+        cents = np.array([r["centroid"] for r in rows])
+        hit = (labels, cents, ivf_index(emb, cents))
+        memo[key] = hit
+    return hit
+
+
 @_q("q48_knn_ivf_search", _Q48_SQL,
     "IVF approximate kNN with a FIXED quantizer (the q45 label "
     "centroids): GEMM assignment to inverted lists, nprobe=2 probing, "
@@ -2138,40 +2171,72 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-certified against a DuckDB replica; only k-means training "
     "remains property-tested")
 def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    from gelly_streaming_spark.ext.embeddings import (
-        ivf_index, knn_ivf, label_centroids,
-    )
+    from gelly_streaming_spark.ext.embeddings import knn_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # Session-lifetime IVF index (the same immutable-input
-    # materialized-view doctrine as the copart edge cache and q17's
-    # prepped-broadcast memo): the quantizer (one bounded centroid
-    # collect) and the persisted inverted lists are built ONCE per
-    # (session, sf_dir) — a production IVF serves every probe batch
-    # from an index it built once, so the steady state measured here
-    # is the probe path (query assignment, nprobe bucket join, exact
-    # rerank, top-k), not per-search index reconstruction (r12
-    # decomposition: rebuild was 0.85 s of the 1.3 s total at sf0.1).
-    # release_persisted drains the memo; the lists frame is in the
-    # track_persist ledger.
-    memo = getattr(spark, "_gss_ivf_index", None)
-    if memo is None:
-        memo = {}
-        spark._gss_ivf_index = memo  # noqa: SLF001 — session memo
-    key = ("q48", sf_dir)
-    hit = memo.get(key)
-    if hit is None:
-        rows = label_centroids(emb).orderBy("label").collect()  # one row/label
-        cents = np.array([r["centroid"] for r in rows])
-        hit = (cents, ivf_index(emb, cents))
-        memo[key] = hit
-    cents, lists = hit
+    # steady state = the probe path (query assignment, nprobe bucket
+    # join, exact rerank, top-k), not per-search index reconstruction
+    # (r12 decomposition: rebuild was 0.85 s of the 1.3 s total at
+    # sf0.1); run 1 carries the shared index build.
+    _labels, cents, lists = _ivf_session_index(spark, sf_dir)
     return knn_ivf(
         emb, emb.where(F.col("vec_id").between(1, 10)), k=5,
         nprobe=2, centroids=cents, corpus_lists=lists,
     ).select("qid", "vec_id", "sim")
+
+
+# The oracle replicates the ENTIRE SemDeDup pipeline: label-centroid
+# means (the q45-certified quantizer), argmax-cosine assignment (same
+# sim DESC, clabel ASC tie rule), the within-cluster pair scan with
+# round-6 HALF_UP thresholding (the q23b-certified kernel contract),
+# and the greedy keep-smallest-id verdict via EXISTS. Margins measured
+# r12: min top1-vs-top2 assignment gap 2.8e-5 (sf0.1), min raw-sim
+# distance to a 0.5e-6 rounding boundary near theta 4.5e-10 — both
+# many orders above the ~1e-15 cross-engine summation drift.
+_Q52_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v)+1)) AS d FROM e),
+cent AS (SELECT label AS clabel, list(m ORDER BY d) AS c
+         FROM (SELECT label, d, AVG(x) AS m FROM ex GROUP BY label, d) GROUP BY label),
+scored AS (SELECT e.vec_id, cent.clabel, list_cosine_similarity(e.v, cent.c) AS sim
+           FROM e CROSS JOIN cent),
+asg AS (SELECT vec_id, clabel AS cluster FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) AS rn
+          FROM scored) WHERE rn = 1),
+ev AS (SELECT e.vec_id, a.cluster, e.v FROM e JOIN asg a USING (vec_id)),
+dropped AS (SELECT DISTINCT y.vec_id FROM ev x JOIN ev y
+            ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+            WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= 0.38)
+SELECT ev.vec_id, ev.cluster, (d.vec_id IS NULL) AS kept
+FROM ev LEFT JOIN dropped d ON ev.vec_id = d.vec_id
+"""
+
+
+@_q("q52_semantic_dedup", _Q52_SQL,
+    "SemDeDup-style semantic dedup (public method, arXiv:2303.09540): "
+    "fixed label-centroid quantizer bounds the quadratic, per-cluster "
+    "block-pair GEMM scan (the q23b kernel), greedy keep-smallest-id "
+    "within each cosine ball - the embedding-level curation step "
+    "between exact near-dup pairs (q23b) and LSH collapse (q47)")
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.embeddings import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # One session IVF index, two consumers (q48 search, q52 dedup).
+    # ivf_index cluster ids are centroid ARRAY INDICES; the certified
+    # output reports label-valued clusters, so map index -> label with
+    # a literal lookup (labels is bounded: one entry per label). The
+    # argmax-dot assignment over unit-normed centroids equals the
+    # oracle's argmax-cosine (q45/q48-certified formulation; min
+    # top1-vs-top2 margin 2.8e-5 at sf0.1 >> cross-engine drift).
+    labels, _cents, lists = _ivf_session_index(spark, sf_dir)
+    out = semantic_dedup(emb, threshold=0.38, corpus_lists=lists)
+    lab = F.array(*[F.lit(int(l)).cast("long") for l in labels])
+    return out.select(
+        "vec_id",
+        F.element_at(lab, F.col("cluster").cast("int") + 1).alias("cluster"),
+        "kept",
+    )
 
 
 # Driver-certification export order. The correctness harness records the
@@ -2215,7 +2280,7 @@ _CERT_ORDER: list[str] = [
     "q41_mixture_sample", "q42_curate_corpus", "q43_minhash_lsh",
     "q44_simhash_pairs", "q45_centroid_assign", "q46_knn_lsh",
     "q47_embedding_near_dup_lsh", "q48_knn_ivf_search", "q49_url_curation",
-    "q50_source_overlap", "q51_passage_dedup",
+    "q50_source_overlap", "q51_passage_dedup", "q52_semantic_dedup",
 ]
 
 

@@ -1580,3 +1580,67 @@ def test_dedup_passages_semantics(spark):
     assert (out[4].text_dedup, out[4].n_kept, out[4].n_dropped) == (
         "p q r s p q r s", 2, 0,
     )
+
+
+def test_semantic_dedup_cluster_bounded_semantics(spark):
+    """SemDeDup rule on a constructed corpus: within a cluster, every
+    vector with a smaller-id neighbor at cosine >= threshold drops
+    (greedy keep-smallest-id, chain members drop independently); a
+    near-identical pair SPLIT ACROSS clusters is untouched — the
+    method's documented approximation (clusters bound the quadratic, so
+    cross-cluster near-dups are unscored by design)."""
+    from gelly_streaming_spark.ext.embeddings import semantic_dedup
+
+    # two well-separated label clusters along axes 0 / 1; vectors carry
+    # a tiny orthogonal jitter (axis 2/3) so in-cluster cosines are
+    # high but distinct
+    rows = [
+        # cluster 0: 10/11 near-identical (11 drops), 12 dissimilar
+        (10, 0, [1.0, 0.0, 0.00, 0.0]),
+        (11, 0, [1.0, 0.0, 0.01, 0.0]),
+        (12, 0, [1.0, 0.0, 2.00, 0.0]),   # cos to 10 = 0.447 < 0.95
+        # cluster 1: chain 20~21, 21~22 with 20-22 also >= threshold
+        (20, 1, [0.0, 1.0, 0.00, 0.00]),
+        (21, 1, [0.0, 1.0, 0.02, 0.00]),
+        (22, 1, [0.0, 1.0, 0.00, 0.02]),
+        # cluster 1 member nearly identical to vec 10 of cluster 0 —
+        # cross-cluster, must stay kept
+        (23, 1, [0.0, 1.0, 4.00, 0.00]),  # far from 20-22 in angle
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    out = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in semantic_dedup(emb, threshold=0.95).collect()
+    }
+    assert len(out) == 7
+    assert out[10][1] is True            # smallest id of its ball
+    assert out[11][1] is False           # dropped by 10
+    assert out[12][1] is True            # below threshold
+    assert out[20][1] is True
+    assert out[21][1] is False           # dropped by 20
+    assert out[22][1] is False           # dropped by 20 (and 21)
+    assert out[23][1] is True            # its cluster-mates are far
+    # clusters came from the label-centroid quantizer
+    assert out[10][0] == out[11][0] == out[12][0]
+    assert out[20][0] == out[21][0] == out[22][0]
+
+
+def test_semantic_dedup_block_invariance(emb):
+    """The per-cluster block decomposition is an implementation detail:
+    forcing many blocks per cluster (rows_per_block=16 over ~50-vector
+    clusters) must yield exactly the verdict of the single-block run —
+    each unordered pair is scored exactly once either way."""
+    from gelly_streaming_spark.ext.embeddings import semantic_dedup
+
+    one = sorted(
+        (r.vec_id, r.cluster, r.kept)
+        for r in semantic_dedup(emb, threshold=0.38).collect()
+    )
+    many = sorted(
+        (r.vec_id, r.cluster, r.kept)
+        for r in semantic_dedup(emb, threshold=0.38, rows_per_block=16).collect()
+    )
+    assert one == many
+    assert any(not k for (_, _, k) in one)  # the threshold actually bites

@@ -321,6 +321,8 @@ def test_all_batch_query_plans_no_cartesian(spark, sf_dir):
         "q23b_embedding_near_dup", # blocked GEMM: bounded block id cross
         "q35_tfidf_keywords",      # 1-row corpus-count aggregate crossJoin
         "q45_centroid_assign",     # labels x dim centroid table broadcast
+        "q52_semantic_dedup",      # same centroid-table broadcast (first
+                                   # run builds the shared session index)
     }
     for name, q in sorted(REGISTRY.items()):
         if re.match(r"q\d+s_", name):
