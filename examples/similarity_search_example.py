@@ -73,6 +73,15 @@ def main() -> None:
         F.sum((F.col("assigned") == F.col("label")).cast("int")).alias("self"),
     ).orderBy("label").show(12)
 
+    from gelly_streaming_spark.ext.embeddings import semantic_dedup
+
+    sd = semantic_dedup(emb, threshold=0.38)
+    print("== SemDeDup-style semantic dedup (cluster-bounded pruning) ==")
+    sd.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("kept")).cast("int")).alias("dropped"),
+    ).orderBy("cluster").show(12)
+
     spark.stop()
 
 

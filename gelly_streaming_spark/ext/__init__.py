@@ -15,9 +15,11 @@ from gelly_streaming_spark.ext.dedup import (
 )
 from gelly_streaming_spark.ext.embeddings import (
     embedding_near_dup_pairs,
+    ivf_index,
     knn_bruteforce,
     knn_ivf,
     knn_lsh,
+    semantic_dedup,
 )
 from gelly_streaming_spark.ext.similarity import (
     jaccard_pairs,
@@ -69,8 +71,10 @@ __all__ = [
     "simhash",
     "simhash_near_pairs",
     "embedding_near_dup_pairs",
+    "ivf_index",
     "knn_bruteforce",
     "knn_ivf",
+    "semantic_dedup",
     "knn_lsh",
     "jaccard_pairs",
     "minhash_lsh_pairs",
