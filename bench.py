@@ -1007,14 +1007,19 @@ def main() -> None:
     # single cold run each, inflating their recorded values far more
     # than the oracle asymmetry it fixed (duckdb_cold_single_run flags
     # the asymmetry honestly when the leftover doesn't stretch).
-    # Sized from measurement, r11: the quadratic oracles' clean-process
-    # cold runs take 4-10 s quiet but 15-25 s inside the steal bursts
-    # that usually accompany a pressured bench — 15 s/oracle of reserve
-    # produced ~20 s fair-share caps that repeatedly interrupted
-    # borderline runs. 25 s/oracle (reserve 50 for the 2-oracle set)
-    # gives caps the bursts clear while costing the main loop at most
-    # one more degraded tail query.
-    defer_est = max(25.0, 5.0 * duck_slow_cap)
+    # Sized from measurement, re-sized r12: the quadratic oracles'
+    # clean-process cold runs take 4-10 s quiet, but two same-day r12
+    # windows at 1-3% whole-run steal measured q22 needing >25.7 s and
+    # >44 s and q31 taking 32.1 s — the r11 sizing of 25 s/oracle lost
+    # one or both oracles in BOTH windows, and losing them guts the
+    # matched-set denominator of exactly the two queries where the
+    # engine wins biggest (duck 15-40 s vs engine ~2 s). 40 s/oracle
+    # shifts budget from tail-query extra runs to the oracle reserve;
+    # the funded reclaim pass (r12) repairs the additional single-run
+    # tail queries at ~2 s each, so the trade costs little and the
+    # reserve only accelerates run-degradation - it never stops the
+    # loop (runs_allowed contract).
+    defer_est = max(40.0, 8.0 * duck_slow_cap)
     loop_t0 = time.time()
     queries_done = 0
     ordered = sorted(REGISTRY.items())
