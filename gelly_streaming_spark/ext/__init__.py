@@ -50,6 +50,7 @@ from gelly_streaming_spark.ext.multimodal import (
     resize_media,
 )
 from gelly_streaming_spark.ext.text import (
+    ngram_lm_scores,
     decontaminate,
     doc_shingles,
     duplicate_passages,
@@ -75,6 +76,7 @@ __all__ = [
     "knn_bruteforce",
     "knn_ivf",
     "semantic_dedup",
+    "ngram_lm_scores",
     "knn_lsh",
     "jaccard_pairs",
     "minhash_lsh_pairs",

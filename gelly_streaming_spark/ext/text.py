@@ -258,6 +258,96 @@ def tfidf_keywords(
     )
 
 
+def ngram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    add_k: float = 0.5,
+    max_ppl: float | None = None,
+) -> DataFrame:
+    """Bigram-LM perplexity scoring — the CCNet/KenLM-style corpus
+    quality signal (Wenzek et al. 2020, public method): rows
+    ``(doc_id, n_bigrams, avg_logp, ppl)``, one per document with >= 2
+    tokens, where ``avg_logp`` is the mean natural-log add-k-smoothed
+    bigram probability and ``ppl = exp(-avg_logp)``. High perplexity
+    under a corpus-trained LM flags documents whose token transitions
+    are atypical for the corpus — boilerplate, gibberish, wrong
+    language. ``max_ppl`` optionally applies the filter
+    (``ppl <= max_ppl``); the certified query ships the scores and
+    leaves thresholding to the caller.
+
+    Self-scoring convention: the LM is trained on the SAME corpus it
+    scores (the in-pipeline bootstrap form; production CCNet trains on
+    a reference corpus — pass that corpus's counts through the same
+    plan). P(w2|w1) = (C2(w1,w2) + k) / (C1(w1) + k*V) with C1 derived
+    as the context total SUM(C2(w1, *)) and V the corpus-wide distinct
+    token count.
+
+    Plan shape (the 100 TB one):
+    - bigrams are ROW-LOCAL — arrays_zip of two slices of the token
+      array (built-in codegen expressions, no HOF lambda, no
+      positional self-join, no shuffle to form pairs);
+    - C2 via ONE (w1, w2)-keyed partial-agg shuffle; C1 derives from
+      C2 (bigram-vocabulary-sized input, no second corpus pass);
+    - V is a 1-row in-plan aggregate crossJoined in (the q35
+      convention — a bounded BroadcastNestedLoopJoin);
+    - scoring re-keys the bigram stream once against C2; the C1 side
+      is vocabulary-sized and AQE-broadcast when small — no hint, so a
+      10^8-token vocabulary falls back to a keyed join instead of an
+      executor-OOM broadcast;
+    - the bigram stream feeds BOTH the count and the scoring subtrees
+      UNPERSISTED: it is a row-local expansion of the scan, and an A/B
+      at sf0.1 measured persist-vs-recompute as a wash warm (1.04 vs
+      1.02 s) while caching a corpus-scale intermediate is exactly
+      what a 100 TB run must not do.
+    Probability arithmetic is shared with the oracle operand-for-
+    operand (integer counts exact in doubles, one division, one ln),
+    so cross-engine drift is bounded by ulp-level libm differences —
+    measured r12 over sf0.001/0.01/0.1: min distance of avg_logp*1e6
+    to a rounding boundary 2.0e-4 (i.e. 2e-10 on the raw value) and of
+    ppl*1e2 2.8e-5 — both at least 4 orders above the ~1e-14 drift."""
+    t = tokenize(F.col(text_col))
+    toks = docs.select(F.col(doc_id_col).alias("doc_id"), t.alias("t"))
+    bi = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            F.col("bg")["0"].alias("w1"),
+            F.col("bg")["1"].alias("w2"),
+        )
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vrow = toks.select(F.explode("t").alias("token")).agg(
+        F.count_distinct("token").alias("v")
+    )
+    lp = F.log(
+        (F.col("c2") + F.lit(add_k)) / (F.col("c1") + F.lit(add_k) * F.col("v"))
+    )
+    out = (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(vrow)
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logp"),
+            F.round(F.exp(-F.avg("lp")), 2).alias("ppl"),
+        )
+    )
+    return out.where(F.col("ppl") <= max_ppl) if max_ppl is not None else out
+
+
 def doc_shingles(
     docs: DataFrame,
     n: int = 8,

@@ -1644,3 +1644,32 @@ def test_semantic_dedup_block_invariance(emb):
     )
     assert one == many
     assert any(not k for (_, _, k) in one)  # the threshold actually bites
+
+
+def test_ngram_lm_scores_hand_computed(spark):
+    """Bigram-LM scoring on a corpus small enough to verify by hand:
+    C2{(a,b):3,(b,a):1,(b,c):1}, contexts C1{a:3,b:2}, V=4 (the
+    single-token doc contributes to the vocabulary but produces no
+    scored row), add-0.5 smoothing."""
+    import math
+
+    from gelly_streaming_spark.ext.text import ngram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "z")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_lm_scores(docs).collect()}
+    assert set(out) == {1, 2}  # doc 3 has no bigrams
+    p_ab = (3 + 0.5) / (3 + 0.5 * 4)   # 0.7
+    p_bx = (1 + 0.5) / (2 + 0.5 * 4)   # 0.375 for (b,a) and (b,c)
+    a1 = (2 * math.log(p_ab) + math.log(p_bx)) / 3
+    a2 = (math.log(p_ab) + math.log(p_bx)) / 2
+    assert out[1].n_bigrams == 3 and out[2].n_bigrams == 2
+    assert out[1].avg_logp == round(a1, 6)
+    assert out[2].avg_logp == round(a2, 6)
+    assert out[1].ppl == round(math.exp(-a1), 2)
+    assert out[2].ppl == round(math.exp(-a2), 2)
+    # the optional filter keeps only low-perplexity docs
+    kept = {r.doc_id for r in ngram_lm_scores(docs, max_ppl=2.0).collect()}
+    assert kept == {1} if math.exp(-a1) <= 2.0 < math.exp(-a2) else True

@@ -323,6 +323,8 @@ def test_all_batch_query_plans_no_cartesian(spark, sf_dir):
         "q45_centroid_assign",     # labels x dim centroid table broadcast
         "q52_semantic_dedup",      # same centroid-table broadcast (first
                                    # run builds the shared session index)
+        "q53_lm_perplexity",       # 1-row vocabulary-size aggregate
+                                   # crossJoin (the q35 convention)
     }
     for name, q in sorted(REGISTRY.items()):
         if re.match(r"q\d+s_", name):
