@@ -17,7 +17,7 @@ Delivery hardening (BENCH_r05/r06 failure modes): the headline JSON line
 is re-printed after EVERY completed query (last-line-wins, <1900 chars),
 SIGTERM/SIGINT flush a final line before exiting, Spark console progress
 bars are disabled, and a wall-clock budget (BENCH_BUDGET_SEC, default
-300) degrades runs-per-query 3->2->1 and stops cleanly with
+300) degrades runs-per-query stepwise toward 1 and stops cleanly with
 "partial": true rather than being killed mid-stage.
 """
 
@@ -825,7 +825,8 @@ def main() -> None:
                 "errors. partial=true means the wall-clock budget "
                 f"(BENCH_BUDGET_SEC={budget.total:.0f}) or a signal stopped "
                 "the run before every query completed; under budget pressure "
-                "runs-per-query degrades 3->2->1 before stopping. Leftover "
+                "runs-per-query degrades stepwise toward 1 before stopping. "
+                "Leftover "
                 "budget after the main loop is reclaimed as re-runs for "
                 "every recording whose window was degraded: single-run "
                 "(the steady-state policy needs >=2 samples), recorded "
@@ -1029,8 +1030,12 @@ def main() -> None:
     for name, q in ordered:
         # reserve scales with the number of deferred oracles (ADVICE
         # r11: the old min(50, ...) ceiling silently under-reserved at
-        # >=3 deferred oracles, re-creating the r8 starvation; with
-        # today's 2 quadratic oracles the value is identical)
+        # >=3 deferred oracles, re-creating the r8 starvation). With
+        # today's 2 quadratic oracles and the r12 defer_est of 40 s
+        # this reserves 80 s (was 50): budget deliberately shifted
+        # from tail-query extra runs to the oracle reserve — the
+        # funded reclaim pass repairs the extra single-run tail
+        # queries at ~2 s each.
         reserve = defer_est * len(duck_deferred)
         # projection needs a stable sample: the first queries carry
         # one-time session builds that overestimate the steady rate

@@ -159,24 +159,28 @@ def main() -> None:
             ),
             "ngram": lambda d: ngram_repetition(d, n=3),
         }
-        for label, fn in kernels.items():
+        def scale_pair(key, fn, one, ten):
+            """Warm + min-of-3 at each size, record 1x/10x/ratio keys.
+            MIN of 3: the scaling claim is about the PLAN, and
+            host-steal noise is strictly additive — observed 4x swings
+            between adjacent identical runs on this VM (ngram 10x:
+            3.1 s and 11.1 s in back-to-back micro runs); the min is
+            the defensible per-size estimate."""
             secs = {}
-            for size, d in (("1x", docs), ("10x", big)):
+            for size, d in (("1x", one), ("10x", ten)):
                 fn(d).write.mode("overwrite").format("noop").save()  # warm
                 runs = []
                 for _ in range(3):
                     t0 = time.time()
                     fn(d).write.mode("overwrite").format("noop").save()
                     runs.append(time.time() - t0)
-                # MIN of 3: the scaling claim is about the PLAN, and
-                # host-steal noise is strictly additive — observed 4x
-                # swings between adjacent identical runs on this VM
-                # (ngram 10x: 3.1 s and 11.1 s in back-to-back micro
-                # runs); the min is the defensible per-size estimate
                 secs[size] = round(min(runs), 3)
-            out[f"text_{label}_1x_sec"] = secs["1x"]
-            out[f"text_{label}_10x_sec"] = secs["10x"]
-            out[f"text_{label}_scaling_ratio"] = round(secs["10x"] / secs["1x"], 2)
+            out[f"{key}_1x_sec"] = secs["1x"]
+            out[f"{key}_10x_sec"] = secs["10x"]
+            out[f"{key}_scaling_ratio"] = round(secs["10x"] / secs["1x"], 2)
+
+        for label, fn in kernels.items():
+            scale_pair(f"text_{label}", fn, docs, big)
 
         # dedup-kernel scaling (q43/q44 shapes at 1x and 10x): the 10x
         # corpus here is NOT plain doc_id-shifted clones — identical
@@ -211,18 +215,54 @@ def main() -> None:
             "simhash": lambda d: simhash_near_pairs(simhash(d), max_hamming=3),
         }
         for label, fn in ded_kernels.items():
-            secs = {}
-            for size, d in (("1x", sample.select("doc_id", "text")), ("10x", big2)):
-                fn(d).write.mode("overwrite").format("noop").save()  # warm
-                runs = []
-                for _ in range(3):
-                    t0 = time.time()
-                    fn(d).write.mode("overwrite").format("noop").save()
-                    runs.append(time.time() - t0)
-                secs[size] = round(min(runs), 3)
-            out[f"dedup_{label}_1x_sec"] = secs["1x"]
-            out[f"dedup_{label}_10x_sec"] = secs["10x"]
-            out[f"dedup_{label}_scaling_ratio"] = round(secs["10x"] / secs["1x"], 2)
+            scale_pair(f"dedup_{label}", fn, sample.select("doc_id", "text"), big2)
+
+        # LM-perplexity scaling (q53 shape) on the SAME disjoint-token
+        # 10x corpus: disjointness matters here too — a duplicated
+        # corpus would hold the bigram vocabulary constant (count
+        # tables x1, only the scored stream x10) and flatter the count
+        # shuffle; disjoint shards scale the bigram stream AND both
+        # count tables exactly x10, which is what a genuinely bigger
+        # corpus does to this kernel.
+        from gelly_streaming_spark.ext.text import ngram_lm_scores
+
+        scale_pair(
+            "text_lm", ngram_lm_scores, sample.select("doc_id", "text"), big2
+        )
+
+        # semantic-dedup scaling (q52 shape): 10x vectors WITH 10x
+        # clusters — the SemDeDup contract (cluster count grows with
+        # the corpus so per-cluster quadratic work stays bounded).
+        # Cluster SIZE is ~200 at both scales, so pair work scales
+        # x10, not x100; a fixed cluster count would measure the
+        # method's documented failure mode instead of its scaling.
+        # Synthetic label-clustered vectors over 128 dims — dim >=
+        # n_labels so every label gets its OWN spike dimension (a
+        # 64-dim space would alias labels 64-99 onto labels 0-35 and
+        # let jitter decide assignment between the aliased pairs).
+        from gelly_streaming_spark.ext.embeddings import semantic_dedup
+
+        def _synth_emb(n_vec_: int, n_labels: int):
+            lbl = F.col("id") % n_labels
+            return spark.range(n_vec_).select(
+                F.col("id").alias("vec_id"),
+                lbl.alias("label"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(127)),
+                    lambda d: (
+                        F.when(d == lbl, F.lit(4.0)).otherwise(F.lit(0.0))
+                        + F.pmod(F.xxhash64(F.col("id") * 128 + d), F.lit(1000))
+                        / 1000.0
+                    ),
+                ).cast("array<double>").alias("embedding"),
+            ).localCheckpoint(eager=True)
+
+        scale_pair(
+            "semdedup",
+            lambda d: semantic_dedup(d, threshold=0.95),
+            _synth_emb(2_000, 10),
+            _synth_emb(20_000, 100),
+        )
 
     # ANN bucketing throughput: vectors/sec through the Arrow/BLAS
     # multi-table LSH kernel (4 tables x 8 planes over 64-dim vectors on

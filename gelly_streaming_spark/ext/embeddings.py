@@ -390,8 +390,11 @@ def semantic_dedup(
     3. every within-cluster block pair {i <= j} runs the SAME
        blocked-GEMM kernel the global exact scan certifies via q23b
        (round-6 HALF_UP before thresholding, shared with the oracle);
-    4. the dropped-id minority probes back as a broadcast left side —
-       the corpus is never reshuffled after the block stage.
+    4. the dropped-id set probes back UN-HINTED: AQE broadcasts it
+       when it is the minority (the typical curation case) and falls
+       back to a keyed join for dup-heavy corpora where dropped is
+       O(corpus) — a forced broadcast there would blow the 8 GB
+       broadcast limit.
 
     Within-cluster pair work is O(Σ c_i²) — the paper's trade: raise
     the cluster count to shrink it; cross-cluster near-dups are
@@ -449,7 +452,7 @@ def semantic_dedup(
     )
     dropped = pairs.select(F.col("b").alias("vec_id")).distinct()
     return ev.join(
-        F.broadcast(dropped.withColumn("_dup", F.lit(True))), "vec_id", "left"
+        dropped.withColumn("_dup", F.lit(True)), "vec_id", "left"
     ).select("vec_id", "cluster", F.col("_dup").isNull().alias("kept"))
 
 
@@ -658,7 +661,16 @@ def knn_ivf(
 
     ``corpus_lists`` injects a prebuilt :func:`ivf_index` frame so the
     per-search cost is probing only — the production IVF serving shape.
+    It REQUIRES explicit ``centroids``: the lists' cluster ids are
+    indices into the quantizer that built them, and silently training
+    a fresh quantizer here would probe them with mismatched indices —
+    wrong buckets, no error, garbage neighbors.
     """
+    if corpus_lists is not None and centroids is None:
+        raise ValueError(
+            "knn_ivf: corpus_lists requires the centroids that built it "
+            "(cluster ids are quantizer-specific array indices)"
+        )
     cents = (
         centroids
         if centroids is not None

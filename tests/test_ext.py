@@ -1670,6 +1670,8 @@ def test_ngram_lm_scores_hand_computed(spark):
     assert out[2].avg_logp == round(a2, 6)
     assert out[1].ppl == round(math.exp(-a1), 2)
     assert out[2].ppl == round(math.exp(-a2), 2)
-    # the optional filter keeps only low-perplexity docs
-    kept = {r.doc_id for r in ngram_lm_scores(docs, max_ppl=2.0).collect()}
-    assert kept == {1} if math.exp(-a1) <= 2.0 < math.exp(-a2) else True
+    # the optional filter keeps only low-perplexity docs: 1.8 sits
+    # between ppl(doc1)=1.76 and ppl(doc2)=1.95 by construction
+    assert math.exp(-a1) <= 1.8 < math.exp(-a2)
+    kept = {r.doc_id for r in ngram_lm_scores(docs, max_ppl=1.8).collect()}
+    assert kept == {1}
