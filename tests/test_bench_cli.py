@@ -398,3 +398,26 @@ def test_reclaim_candidates_order_symmetry_and_exclusions():
     assert d_reasons[0].startswith("storm")  # symmetric re-run
     name, e_reasons, d_reasons = cands[1]
     assert e_reasons == ["single-run"] and d_reasons == ["single-run"]
+
+
+def test_storm_mode_hysteresis():
+    """Mid-loop coverage-mode switch: enters on 3-of-last-5 readings
+    over the storm threshold, leaves only when the last 5 are ALL
+    under half of it (the r12 5.66%-steal run spent its whole budget
+    on inflated 2-run timings and starved both deferred oracles; one
+    run per query through a sustained storm is strictly more signal)."""
+    sys.path.insert(0, REPO)
+    from bench import _storm_mode
+
+    # quiet host: never enters
+    assert _storm_mode([0.1, 0.3, 0.0, 0.2, 0.1], False) is False
+    # single blip: debounced
+    assert _storm_mode([0.1, 9.0, 0.2, 0.1, 0.3], False) is False
+    # sustained storm: enters
+    assert _storm_mode([0.2, 6.0, 5.1, 0.3, 8.2], False) is True
+    assert _storm_mode([6.0, 5.1, 8.2], False) is True  # early-loop storm
+    # active mode is sticky while any recent reading is warm
+    assert _storm_mode([5.0, 0.1, 0.1, 0.1, 3.0], True) is True
+    assert _storm_mode([0.1, 0.2], True) is True  # needs 5 calm readings
+    # 5 consecutive calm readings clear it
+    assert _storm_mode([0.3, 0.1, 0.2, 0.4, 0.0], True) is False
