@@ -19,6 +19,11 @@ from gelly_streaming_spark.ext.embeddings import (
     knn_bruteforce,
     knn_ivf,
     knn_lsh,
+    knn_pq,
+    pq_codebooks,
+    pq_codebooks_trained,
+    pq_encode,
+    pq_index,
     semantic_dedup,
 )
 from gelly_streaming_spark.ext.similarity import (

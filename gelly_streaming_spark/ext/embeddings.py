@@ -819,3 +819,299 @@ def knn_lsh(
     )
     out = top_k_per_group(scored, ["qid"], [F.desc("sim"), F.asc("vec_id")], k)
     return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN (FAISS IVFPQ-style ADC)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """FIXED per-subspace codebooks from residue-class means — the PQ
+    analog of the q45/q48 label-centroid quantizer: codeword ``k`` of
+    every subspace is the elementwise mean of the sub-vectors whose
+    ``pmod(id, n_codes) == k``. Deterministic and exactly replicable in
+    SQL, so the ENTIRE encode + ADC search path is hash-certifiable
+    (q54); use :func:`pq_codebooks_trained` for production-quality
+    codebooks (per-subspace Lloyd's — property-tested, like the IVF
+    k-means trainer).
+
+    100 TB shape: one (k, dim) elementwise-mean partial-agg shuffle over
+    posexploded rows (the label_centroids plan), then a BOUNDED collect
+    of n_codes x dim doubles (k=16, d=64 -> 1024 values) reshaped to
+    ``[n_subspaces, n_codes, ds]`` on the driver."""
+    ex = corpus.select(
+        F.pmod(F.col(id_col), F.lit(n_codes)).cast("int").alias("k"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+    )
+    rows = ex.groupBy("k", "d").agg(F.avg("x").alias("c")).collect()
+    if not rows:
+        raise ValueError("pq_codebooks: empty corpus")
+    dim = max(r["d"] for r in rows) + 1
+    if dim % n_subspaces:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by {n_subspaces} subspaces")
+    got = {r["k"] for r in rows}
+    if got != set(range(n_codes)):
+        raise ValueError(
+            f"pq_codebooks: residue classes {sorted(set(range(n_codes)) - got)} "
+            "have no members — corpus smaller than n_codes; lower n_codes"
+        )
+    grid = np.zeros((n_codes, dim))
+    for r in rows:
+        grid[r["k"], r["d"]] = r["c"]
+    ds = dim // n_subspaces
+    return grid.reshape(n_codes, n_subspaces, ds).transpose(1, 0, 2).copy()
+
+
+def pq_codebooks_trained(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 20_000,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Production codebooks: independent L2 Lloyd's per subspace over a
+    BOUNDED deterministic sample (hash-ordered limit — the same
+    adaptive-bounded-collect pattern as the IVF quantizer trainer; at
+    most ``sample_rows`` vectors ever reach the driver). Training
+    quality needs only a representative sample — the standard PQ
+    recipe. Non-portable across engines (argmin over float iterates),
+    so this path is property-tested (recall vs knn_bruteforce), never
+    hash-certified."""
+    from gelly_streaming_spark.blas import pin_blas_threads
+
+    pin_blas_threads()
+    pdf = (
+        corpus.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.xxhash64(F.col(id_col)).alias("h"),
+        )
+        .orderBy("h")
+        .limit(sample_rows)
+        .select("v")
+        .toPandas()
+    )
+    x = np.stack(pdf["v"].to_numpy())
+    dim = x.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"pq_codebooks_trained: dim {dim} not divisible by {n_subspaces}")
+    ds = dim // n_subspaces
+    rng = np.random.default_rng(seed)
+    out = np.zeros((n_subspaces, n_codes, ds))
+    for m in range(n_subspaces):
+        xm = x[:, m * ds : (m + 1) * ds]
+        kk = min(n_codes, len(xm))
+        cents = xm[rng.choice(len(xm), size=kk, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xm[:, None, :] - cents[None]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                members = xm[assign == c]
+                cents[c] = members.mean(axis=0) if len(members) else xm[rng.integers(len(xm))]
+        out[m, :kk] = cents
+        if kk < n_codes:
+            # tiny corpus: pad with copies so the shape contract holds;
+            # argmin's first-win tie rule keeps codes in [0, kk)
+            out[m, kk:] = cents[0]
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """Encode every vector as ``n_subspaces`` codeword ids — the
+    compressed index rows (vec_id, codes array<int>), 1 byte/subspace of
+    information vs 8 bytes/dim: the representation that lets a 100 TB
+    embedding corpus fit hot storage. One Arrow-batched map pass, no
+    shuffle — vectors stay where they were scanned.
+
+    Distances are DIRECT squared differences (sum over (x-c)^2), not the
+    ||x||^2 - 2xc + ||c||^2 GEMM expansion: the expansion's cancellation
+    error would eat the cross-engine certification margins the q54
+    oracle relies on. Ties argmin-resolve to the smaller codeword id in
+    both engines (numpy first-win == ORDER BY d2, k)."""
+    import pandas as pd
+
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    n_sub, _n_codes, ds = cb.shape
+    dim = n_sub * ds
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+
+    def run(batches):
+        from gelly_streaming_spark.blas import pin_blas_threads
+
+        pin_blas_threads()
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk_rows):
+                chunk = pdf.iloc[lo : lo + chunk_rows]
+                if not len(chunk):
+                    continue
+                mat = np.stack(chunk["v"].to_numpy())
+                if mat.shape[1] != dim:
+                    raise ValueError(
+                        f"pq_encode: vector length {mat.shape[1]} != codebook dim {dim}"
+                    )
+                sub = mat.reshape(len(mat), n_sub, ds)
+                d2 = ((sub[:, :, None, :] - cb[None]) ** 2).sum(axis=3)
+                codes = d2.argmin(axis=2).astype("int32")
+                yield pd.DataFrame(
+                    {"vec_id": chunk["vec_id"].to_numpy(), "codes": list(codes)}
+                )
+
+    return c.mapInPandas(run, "vec_id long, codes array<int>")
+
+
+def pq_index(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build and MATERIALIZE the PQ code table (the ivf_index doctrine:
+    one index build per immutable corpus, every search serves from it;
+    at warehouse scale the artifact is a written table of 8-byte code
+    rows). Registered in the track_persist ledger for cleanup."""
+    from gelly_streaming_spark.plans.memory import track_persist
+
+    codes = track_persist(pq_encode(corpus, codebooks, id_col, vec_col))
+    codes.write.mode("overwrite").format("noop").save()  # force the build NOW
+    return codes
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over
+    PQ codes — the compressed-domain ANN path next to knn_lsh (buckets)
+    and knn_ivf (inverted lists). Rows (qid, vec_id, adist) with adist
+    the rounded approximate squared L2 distance, total order
+    (adist ASC, vec_id ASC); ``rerank=R`` instead takes the top-R ADC
+    candidates and exactly cosine-reranks them to (qid, vec_id, sim).
+
+    Search shape: the bounded probe batch collects to the driver (the
+    knn_bruteforce broadcast doctrine — a probe set too big for a
+    |Q| x M x K double LUT table is the signal to batch it, never to
+    shuffle the corpus), per-query lookup tables LUT[q][m][k] =
+    ||q_m - c_mk||^2 close over one Arrow map pass across the CODE
+    table — the corpus vectors themselves are never read at search
+    time. Each partition emits only its own top-k per query under the
+    global total order (exact: a global top-k element is a top-k
+    element of its partition), so the exchange moves O(partitions*Q*k)
+    rows into the final window trim.
+
+    With ``codebooks=pq_codebooks(...)`` (residue-class means) the whole
+    path — codebook means, encoding argmin, LUT, ADC sum, top-k — is
+    hash-certified against a DuckDB replica (q54). ``codes`` injects a
+    prebuilt :func:`pq_index`; it REQUIRES explicit ``codebooks`` (code
+    ids are indices into the codebook that built them — the knn_ivf
+    quantizer-mismatch contract)."""
+    import pandas as pd
+
+    if codes is not None and codebooks is None:
+        raise ValueError(
+            "knn_pq: codes requires the codebooks that built them "
+            "(codeword ids are codebook-specific array indices)"
+        )
+    cb = (
+        np.ascontiguousarray(codebooks, dtype=np.float64)
+        if codebooks is not None
+        else pq_codebooks(corpus, n_subspaces, n_codes, id_col, vec_col)
+    )
+    n_sub, _k_codes, ds = cb.shape
+    co = codes if codes is not None else pq_encode(corpus, cb, id_col, vec_col)
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).collect()
+    spark = corpus.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [],
+            "qid long, vec_id long, sim double" if rerank else "qid long, vec_id long, adist double",
+        )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    if qmat.shape[1] != n_sub * ds:
+        raise ValueError(f"knn_pq: query length {qmat.shape[1]} != codebook dim {n_sub * ds}")
+    lut = ((qmat.reshape(len(qids), n_sub, 1, ds) - cb[None]) ** 2).sum(axis=3)
+    nq = len(qids)
+    kk = max(k, rerank)
+
+    def run(batches):
+        from gelly_streaming_spark.blas import pin_blas_threads
+
+        pin_blas_threads()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy()
+            cm = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ad = np.zeros((nq, len(vids)))
+            for m in range(n_sub):
+                ad += lut[:, m, cm[:, m]]
+            outq, outv, outd = [], [], []
+            for qi in range(nq):
+                mask = vids != qids[qi]
+                v_, a_ = vids[mask], ad[qi][mask]
+                take = min(kk, len(v_))
+                if not take:
+                    continue
+                idx = np.lexsort((v_, a_))[:take]
+                outq.append(np.full(take, qids[qi], dtype=np.int64))
+                outv.append(v_[idx])
+                outd.append(a_[idx])
+            if outq:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(outq),
+                        "vec_id": np.concatenate(outv),
+                        "ad": np.concatenate(outd),
+                    }
+                )
+
+    scored = co.mapInPandas(run, "qid long, vec_id long, ad double")
+    sel = top_k_per_group(scored, ["qid"], [F.asc("ad"), F.asc("vec_id")], kk)
+    if rerank:
+        c = corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+        ).withColumn("vn", _norm(F.col("v")))
+        qdf = queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+        ).withColumn("qn", _norm(F.col("qv")))
+        # the candidate set is bounded (Q*rerank rows): broadcast it and
+        # stream the corpus through the join map-side
+        re = (
+            c.join(F.broadcast(sel.select("qid", "vec_id")), "vec_id")
+            .join(F.broadcast(qdf), "qid")
+            .select(
+                "qid",
+                "vec_id",
+                (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn"))).alias("sim"),
+            )
+        )
+        out = top_k_per_group(re, ["qid"], [F.desc("sim"), F.asc("vec_id")], k)
+        return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"))
+    return sel.select("qid", "vec_id", F.round("ad", 6).alias("adist"))

@@ -2278,6 +2278,82 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_lm_scores(docs).select("doc_id", "n_bigrams", "avg_logp", "ppl")
 
 
+# The oracle replicates the ENTIRE PQ/ADC pipeline: residue-class-mean
+# codebooks (the q45 fixed-quantizer convention applied per dimension),
+# per-(vector, subspace) argmin encoding (ties ORDER BY d2, k == numpy
+# first-win argmin), per-query lookup tables (the same dist CTE serves
+# codes AND LUTs), ADC sums, top-5 under (ad ASC, vec_id ASC). Distances
+# are direct SUM((x-c)^2) in both engines — no GEMM expansion, whose
+# cancellation error would eat the margins. Margins measured r12 at
+# sf0.001/0.01/0.1: encoding argmin gap >= 2.4e-8, rank-5-vs-6 ADC gap
+# >= 7.8e-6, min distance to a 0.5e-6 rounding boundary 4.5e-10 raw —
+# all >= 5 orders above cross-engine summation drift; zero duplicate
+# embeddings and zero full-code collisions at any SF.
+_Q54_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT vec_id, unnest(v) AS x, unnest(range(0, len(v))) AS d FROM e),
+cb AS (SELECT vec_id % 16 AS k, d, AVG(x) AS c FROM ex GROUP BY 1, 2),
+dist AS (SELECT ex.vec_id, cb.d // 8 AS m, cb.k,
+                SUM((ex.x - cb.c) * (ex.x - cb.c)) AS d2
+         FROM ex JOIN cb USING (d) GROUP BY 1, 2, 3),
+codes AS (SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+            FROM dist) WHERE rn = 1),
+adc AS (SELECT d.vec_id AS qid, c.vec_id, SUM(d.d2) AS ad
+        FROM codes c JOIN dist d ON d.m = c.m AND d.k = c.k
+        WHERE d.vec_id BETWEEN 1 AND 10 AND c.vec_id <> d.vec_id
+        GROUP BY 1, 2)
+SELECT qid, vec_id, ROUND(ad, 6) AS adist FROM (
+  SELECT qid, vec_id, ad, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn
+  FROM adc) WHERE rn <= 5
+"""
+
+
+def _pq_session_index(spark: SparkSession, sf_dir: str):
+    """Session-lifetime PQ index over the immutable embeddings table
+    (the _ivf_session_index doctrine): residue-class codebooks (one
+    bounded 1024-double collect) and the persisted code table are built
+    ONCE per (session, sf_dir); every q54 search serves from them —
+    steady state is the ADC probe path only. release_persisted drains
+    the memo; the code table is in the track_persist ledger."""
+    from gelly_streaming_spark.ext.embeddings import pq_codebooks, pq_index
+
+    memo = getattr(spark, "_gss_pq_index", None)
+    if memo is None:
+        memo = {}
+        spark._gss_pq_index = memo  # noqa: SLF001 — session memo
+    key = ("pq", sf_dir)
+    hit = memo.get(key)
+    if hit is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cb = pq_codebooks(emb)
+        hit = (cb, pq_index(emb, cb))
+        memo[key] = hit
+    return hit
+
+
+@_q("q54_knn_pq_adc", _Q54_SQL,
+    "product-quantization ADC kNN (the FAISS IVFPQ compressed-domain "
+    "search path): residue-class-mean codebooks (the q45/q48 "
+    "fixed-quantizer convention), 8-subspace x 16-codeword encoding, "
+    "per-query distance lookup tables closing over one Arrow map pass "
+    "across the CODE table with in-kernel per-partition top-k - the "
+    "corpus vectors are never read at search time; the whole "
+    "codebook->encode->LUT->ADC->top-5 path hash-certified; only "
+    "per-subspace k-means training stays property-tested")
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.embeddings import knn_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # steady state = LUT build (one bounded collect) + ADC scan of the
+    # persisted 8-byte code rows + top-k; run 1 carries the index build.
+    cb, codes = _pq_session_index(spark, sf_dir)
+    return knn_pq(
+        emb, emb.where(F.col("vec_id").between(1, 10)), k=5,
+        codebooks=cb, codes=codes,
+    ).select("qid", "vec_id", "adist")
+
+
 # Driver-certification export order. The correctness harness records the
 # FIRST 50 entries of queries() in iteration order (CORRECTNESS_r08: 62
 # registered, exactly the first 50 got rows). Since r10 the ordering is
@@ -2320,7 +2396,7 @@ _CERT_ORDER: list[str] = [
     "q44_simhash_pairs", "q45_centroid_assign", "q46_knn_lsh",
     "q47_embedding_near_dup_lsh", "q48_knn_ivf_search", "q49_url_curation",
     "q50_source_overlap", "q51_passage_dedup", "q52_semantic_dedup",
-    "q53_lm_perplexity",
+    "q53_lm_perplexity", "q54_knn_pq_adc",
 ]
 
 
