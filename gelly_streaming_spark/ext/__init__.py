@@ -24,6 +24,7 @@ from gelly_streaming_spark.ext.embeddings import (
     pq_codebooks_trained,
     pq_encode,
     pq_index,
+    semantic_decontaminate,
     semantic_dedup,
 )
 from gelly_streaming_spark.ext.similarity import (

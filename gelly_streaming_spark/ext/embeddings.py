@@ -1115,3 +1115,59 @@ def knn_pq(
         out = top_k_per_group(re, ["qid"], [F.desc("sim"), F.asc("vec_id")], k)
         return out.select("qid", "vec_id", F.round("sim", 6).alias("sim"))
     return sel.select("qid", "vec_id", F.round("ad", 6).alias("adist"))
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.38,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic sibling
+    of the n-gram overlap scan (ext/text.decontaminate / q36): flag
+    every corpus vector whose cosine similarity to ANY held-out eval
+    vector reaches ``threshold``. Rows (vec_id, max_sim, n_hits,
+    contaminated) with sims rounded HALF_UP to 6dp BEFORE the max/count
+    (the q23b/q52 thresholding contract).
+
+    100 TB shape: the eval set is bounded by contract (a benchmark, not
+    a corpus) and broadcasts; scoring is the JVM-side sequential-fold
+    cosine — bit-identical to the oracle's list_cosine_similarity, no
+    Python boundary, full codegen — and the per-vector max/count
+    aggregates map-side into ONE |corpus|-group shuffle. The corpus is
+    never reshuffled and never leaves the JVM.
+
+    Self-pairs are excluded by id (the eval set is held out FROM the
+    corpus id space, the q36 convention; external eval sets must carry
+    disjoint ids). Corner contract: with a 0/1-row eval set a corpus
+    vector can lack any non-self partner and emits no row; any eval set
+    with >= 2 rows covers every corpus vector."""
+    eid = eval_id_col or id_col
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("vn", _norm(F.col("v")))
+    q = eval_set.select(
+        F.col(eid).alias("eval_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("eval_id"))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("v"), F.col("qv")) / (F.col("vn") * F.col("qn")), 6
+            ).alias("sim"),
+        )
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max("sim").alias("max_sim"),
+            F.sum(F.when(F.col("sim") >= threshold, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )

@@ -2354,6 +2354,42 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", "adist")
 
 
+# The oracle replays the identical pipeline: held-out eval rows
+# (vec_id % 97 — the q36 decontamination convention), cross join against
+# the bounded eval side, list_cosine_similarity (bit-identical to the
+# engine's JVM fold cosine — the q23 contract), ROUND HALF_UP to 6dp
+# BEFORE the max/count (the q23b/q52 thresholding contract). Threshold
+# margins measured r12: min |sim - 0.38| = 3.3e-4 in rounded units at
+# sf0.1 (1.6e-2 / 4.6e-3 at sf0.001/0.01) — the verdicts cannot flip.
+_Q55_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ev AS (SELECT vec_id AS eid, v AS evv FROM e WHERE vec_id % 97 = 0),
+sc AS (SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, ev.evv), 6) AS sim
+       FROM e CROSS JOIN ev WHERE e.vec_id <> ev.eid)
+SELECT vec_id, MAX(sim) AS max_sim,
+       CAST(SUM(CASE WHEN sim >= 0.38 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       (SUM(CASE WHEN sim >= 0.38 THEN 1 ELSE 0 END) > 0) AS contaminated
+FROM sc GROUP BY vec_id
+"""
+
+
+@_q("q55_semantic_decontaminate", _Q55_SQL,
+    "embedding-level benchmark decontamination (the semantic sibling of "
+    "q36's n-gram scan): held-out eval vectors (vec_id % 97) broadcast "
+    "against the corpus, JVM fold-cosine scoring with round-6 HALF_UP "
+    "thresholding, per-vector max-sim + hit count in ONE map-side-"
+    "combined shuffle - the corpus never reshuffles and never leaves "
+    "the JVM")
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.embeddings import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.pmod(F.col("vec_id"), F.lit(97)) == 0)
+    return semantic_decontaminate(emb, ev, threshold=0.38).select(
+        "vec_id", "max_sim", "n_hits", "contaminated"
+    )
+
+
 # Driver-certification export order. The correctness harness records the
 # FIRST 50 entries of queries() in iteration order (CORRECTNESS_r08: 62
 # registered, exactly the first 50 got rows). Since r10 the ordering is
@@ -2396,7 +2432,7 @@ _CERT_ORDER: list[str] = [
     "q44_simhash_pairs", "q45_centroid_assign", "q46_knn_lsh",
     "q47_embedding_near_dup_lsh", "q48_knn_ivf_search", "q49_url_curation",
     "q50_source_overlap", "q51_passage_dedup", "q52_semantic_dedup",
-    "q53_lm_perplexity", "q54_knn_pq_adc",
+    "q53_lm_perplexity", "q54_knn_pq_adc", "q55_semantic_decontaminate",
 ]
 
 

@@ -1798,3 +1798,28 @@ def test_knn_pq_codes_require_codebooks(emb):
     codes = pq_encode(emb, pq_codebooks(emb))
     with pytest.raises(ValueError, match="codebooks"):
         knn_pq(emb, emb.limit(1), codes=codes)
+
+
+def test_semantic_decontaminate_hand_fixture(spark):
+    """3 corpus vectors, 2 eval vectors, cosines verifiable by hand —
+    covers the self-pair exclusion, the >= threshold count, and the
+    max over rounded sims."""
+    from gelly_streaming_spark.ext.embeddings import semantic_decontaminate
+
+    rows = [
+        (0, [1.0, 0.0]),   # eval member
+        (4, [0.0, 1.0]),   # eval member (ids chosen so 0 and 4 are eval)
+        (2, [1.0, 1.0]),   # cos 0.707107 to both eval vectors
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ev = emb.where(F.col("vec_id").isin(0, 4))
+    out = {r.vec_id: (r.max_sim, r.n_hits, r.contaminated)
+           for r in semantic_decontaminate(emb, ev, threshold=0.5).collect()}
+    # vec 0: only non-self eval partner is 4 -> cos 0.0
+    # vec 4: only non-self eval partner is 0 -> cos 0.0
+    # vec 2: cos 0.707107 to both -> 2 hits at theta 0.5
+    assert out == {
+        0: (0.0, 0, False),
+        4: (0.0, 0, False),
+        2: (0.707107, 2, True),
+    }
