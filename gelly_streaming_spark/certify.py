@@ -342,6 +342,19 @@ def self_stale_queries() -> set[str]:
     }
 
 
+def certified_rounds() -> dict[str, int]:
+    """Round number each query's manifest entry was stamped from (the
+    ``_rN`` in the CORRECTNESS filename). Entries stamped before the
+    field existed read as 0 — maximally old, first in line for a
+    re-certification slot. Used by queries._export_order to rotate the
+    FRESH band by evidence age: with more registered queries than
+    window slots, the rows whose green evidence is oldest re-certify
+    first, so no query's evidence trails by more than one skipped
+    round (VERDICT r11 item 3's 'fully-fresh base' made mechanical
+    instead of relying on static-tier luck)."""
+    return {n: int(e.get("round", 0)) for n, e in load_manifest().items()}
+
+
 def stamp_from_correctness(correctness_path: str) -> list[str]:
     """Stamp current fingerprints for every query the given driver
     CORRECTNESS_r*.json certified triple-green. Returns the stamped
@@ -371,11 +384,16 @@ def stamp_from_correctness(correctness_path: str) -> list[str]:
         and r.get("hash_match") is True
         and not r.get("err")
     }
+    # evidence age for fresh-band rotation: parse the round from the
+    # driver filename (CORRECTNESS_r11.json -> 11); an unrecognized
+    # name stamps round 0 (sorts maximally old — safe direction)
+    m = re.search(r"_r(\d+)", Path(correctness_path).name)
+    rnd = int(m.group(1)) if m else 0
     manifest = load_manifest()
     fps = fingerprints()
     stamped = sorted(green & set(fps))
     for name in stamped:
-        manifest[name] = dict(fps[name])
+        manifest[name] = {**fps[name], "round": rnd}
     MANIFEST_PATH.write_text(
         json.dumps(dict(sorted(manifest.items())), indent=1) + "\n"
     )

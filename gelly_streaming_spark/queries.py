@@ -2437,14 +2437,18 @@ _CERT_ORDER: list[str] = [
 
 
 def _export_order() -> list[str]:
-    from gelly_streaming_spark.certify import self_stale_queries, stale_queries
+    from gelly_streaming_spark.certify import (
+        certified_rounds,
+        self_stale_queries,
+        stale_queries,
+    )
 
     stale = stale_queries()
     urgent = self_stale_queries()
+    rounds = certified_rounds()
     pos = {n: i for i, n in enumerate(_CERT_ORDER)}
 
-    # three bands, static order breaking ties inside each (so stale §2
-    # rows outrank stale extension rows):
+    # three bands:
     #   0 — self-stale / never-certified: the query's own code or SQL
     #       changed; MUST re-certify this round;
     #   1 — owner-stale: a shared operator module changed underneath an
@@ -2452,12 +2456,21 @@ def _export_order() -> list[str]:
     #       (overflow keeps its old manifest entry and rotates in next
     #       round);
     #   2 — fresh: certified evidence matches shipped code.
-    def band(n: str) -> int:
+    # Bands 0/1 break ties by the static tier list (stale §2 rows
+    # outrank stale extension rows). Band 2 rotates by EVIDENCE AGE —
+    # oldest stamped round first (r12): with more registered queries
+    # than window slots, static tiers alone let the same fresh rows
+    # rotate out round after round (q20b/q22/q24/q30/q32/q34 would have
+    # carried r10 evidence through r12); age-first ordering guarantees
+    # whoever re-certified longest ago claims the next free slot.
+    def key(n: str):
         if n in urgent:
-            return 0
-        return 1 if n in stale else 2
+            return (0, 0, pos.get(n, -1), n)
+        if n in stale:
+            return (1, 0, pos.get(n, -1), n)
+        return (2, rounds.get(n, 0), pos.get(n, -1), n)
 
-    return sorted(REGISTRY, key=lambda n: (band(n), pos.get(n, -1), n))
+    return sorted(REGISTRY, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -280,13 +280,39 @@ def test_stamp_from_correctness_stamps_only_green_rows(monkeypatch, tmp_path):
         "q05_filter_vertices": {"rows_match": True, "schema_match": True,
                                 "hash_match": None, "err": None},  # ditto
     }
-    cp = tmp_path / "CORRECTNESS_rX.json"
+    cp = tmp_path / "CORRECTNESS_r42.json"
     cp.write_text(json.dumps(rows))
     stamped = certify.stamp_from_correctness(str(cp))
     manifest = json.loads(mp.read_text())
     assert stamped == ["q01_scan"]
     assert set(manifest) == {"q01_scan"}
-    assert manifest["q01_scan"] == certify.fingerprints()["q01_scan"]
+    fp = certify.fingerprints()["q01_scan"]
+    assert manifest["q01_scan"] == {**fp, "round": 42}
+
+
+def test_fresh_band_rotates_by_evidence_age(monkeypatch, tmp_path):
+    """With more registered queries than window slots, the FRESH band
+    must order by stamped round (oldest evidence first) — otherwise the
+    same static-tier tail rotates out round after round and its
+    evidence goes arbitrarily stale (the r10->r12 q20b/q22/q24/q30/
+    q32/q34 near-miss)."""
+    fps = {n: dict(v) for n, v in certify.fingerprints().items()}
+    manifest = {n: {**v, "round": 11} for n, v in fps.items()}
+    # one query stamped long ago, one stamped last round, both fresh;
+    # pick names the static list ranks LAST and FIRST respectively so
+    # age must override the static order to pass
+    old_name = Q._CERT_ORDER[-1]
+    manifest[old_name]["round"] = 9
+    mp = tmp_path / "m.json"
+    mp.write_text(json.dumps(manifest))
+    monkeypatch.setattr(certify, "MANIFEST_PATH", mp)
+    order = Q._export_order()
+    assert not certify.stale_queries(), "fixture must be all-fresh"
+    assert order[0] == old_name, "oldest evidence must head the fresh band"
+    # entries without a round field read as 0 (maximally old)
+    del manifest[old_name]["round"]
+    mp.write_text(json.dumps(manifest))
+    assert Q._export_order()[0] == old_name
 
 
 def test_oracle_and_query_key_sets_unchanged():
