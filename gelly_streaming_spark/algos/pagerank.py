@@ -1,0 +1,98 @@
+"""PageRank — extension algorithm (beyond the reference library).
+
+The reference's algorithm library is CC / bipartiteness / spanner plus
+triangle examples (SURVEY §2.9); it ships no PageRank. This extension
+rounds out the graph surface with the canonical damped power iteration,
+built on the same driver-loop machinery as the batch CC path (SURVEY
+§7.4.H2: Spark has no streaming/in-job iteration, so the fixpoint is a
+Pregel-style loop with lineage cut by localCheckpoint).
+
+Semantics (the certified q56 contract): directed DISTINCT edges (a
+multigraph's parallel edges collapse — unweighted PageRank), uniform
+init 1/n, fixed iteration count, per-step
+``r'(v) = (1-d)/n + d * SUM_{(u,v) in E} r(u)/outdeg(u)``.
+Dangling vertices (no out-edges) contribute nothing — the simplified
+convention, replicated verbatim in the DuckDB oracle; ranks therefore
+sum to < 1 on graphs with dangling mass, which is fine for the
+relative-ordering uses PageRank serves in curation (domain authority
+scoring over a link graph).
+
+100 TB shape: the loop-invariant (src, dst, outdeg) edge table is
+materialized ONCE (one agg + one co-keyed join, then localCheckpoint);
+each iteration is one src-keyed join against the |V|-row rank table,
+one dst-keyed partial/final sum, and one left join back to the vertex
+set — three keyed shuffles over monotonically |V|-bounded data, with
+the rank table checkpointed per round so the plan depth stays O(1)
+however many iterations run. Shuffle width is right-sized to the
+measured edge count exactly as the CC loop does (32-way exchanges on a
+1k-vertex snapshot are pure task overhead; the conf is restored in
+``finally``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gelly_streaming_spark.operators.graphstream import GraphStream
+from gelly_streaming_spark.plans.memory import free_checkpoint
+
+
+def pagerank(
+    stream: GraphStream,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Rows (id, pr) — damped PageRank after ``iters`` power-iteration
+    steps over the distinct directed edge set, pr rounded to 6dp (the
+    certified cross-engine contract; margins measured in the q56
+    docstring)."""
+    if iters < 1:
+        raise ValueError(f"pagerank: iters must be >= 1, got {iters}")
+    e = stream.edges.select("src", "dst").distinct().localCheckpoint()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = verts.count()
+    sess_conf = stream.edges.sparkSession.conf
+    old_parts = sess_conf.get("spark.sql.shuffle.partitions")
+    old_aqe = sess_conf.get("spark.sql.adaptive.enabled")
+    loop_parts = max(1, min(int(old_parts), e.count() // 500_000 + 1))
+    eo = None
+    ranks = None
+    try:
+        sess_conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        if loop_parts <= 4:
+            sess_conf.set("spark.sql.adaptive.enabled", "false")
+        od = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+        eo = e.join(od, "src").localCheckpoint()  # loop-invariant
+        base = (1.0 - damping) / n
+        ranks = verts.withColumn("r", F.lit(1.0 / n)).localCheckpoint()
+        for _ in range(iters):
+            contribs = eo.join(ranks, eo["src"] == ranks["id"]).select(
+                F.col("dst").alias("id"), (F.col("r") / F.col("deg")).alias("c")
+            )
+            sums = contribs.groupBy("id").agg(F.sum("c").alias("s"))
+            new = verts.join(sums, "id", "left").select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+            new = new.localCheckpoint()
+            free_checkpoint(ranks)
+            ranks = new
+    finally:
+        sess_conf.set("spark.sql.shuffle.partitions", old_parts)
+        sess_conf.set("spark.sql.adaptive.enabled", old_aqe)
+        free_checkpoint(e)
+        if eo is not None:
+            free_checkpoint(eo)
+    # verts stays referenced by nothing downstream; the returned plan
+    # reads only the final ranks checkpoint
+    free_checkpoint(verts)
+    return ranks.select("id", F.round("r", 6).alias("pr"))

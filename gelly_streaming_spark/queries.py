@@ -2390,6 +2390,53 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle unrolls the identical 3-step damped power iteration over
+# the q15 graph fixture (DISTINCT directed edges, uniform 1/n init,
+# dangling mass dropped — the convention pagerank() documents). Float
+# contract: per-vertex contribution sums diverge only by summation
+# order (~1e-15 relative, ~1e-13 after 3 damped steps); ranks cluster
+# at degree-pattern-discrete values, so the measured min distance to a
+# 0.5e-6 rounding boundary is 4.4e-9 raw (sf0.01; 5.0e-9 / 3.3e-8 at
+# sf0.001/0.1) — 4+ orders above drift.
+_Q56_SQL = """
+WITH
+sub AS (SELECT DISTINCT src, dst FROM (
+  SELECT o_custkey AS src, 1000000 + o_orderkey AS dst FROM orders WHERE o_orderkey < 200
+  UNION ALL
+  SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem WHERE l_orderkey < 200)),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM sub UNION ALL SELECT dst FROM sub)),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM sub GROUP BY src),
+p0 AS (SELECT id, 1.0/n.n AS r FROM verts CROSS JOIN n),
+p1 AS (SELECT v.id, 0.15/n.n + 0.85*COALESCE(SUM(p.r/od.deg), 0.0) AS r
+       FROM verts v CROSS JOIN n
+       LEFT JOIN sub e ON e.dst = v.id LEFT JOIN p0 p ON p.id = e.src
+       LEFT JOIN od ON od.src = e.src GROUP BY v.id, n.n),
+p2 AS (SELECT v.id, 0.15/n.n + 0.85*COALESCE(SUM(p.r/od.deg), 0.0) AS r
+       FROM verts v CROSS JOIN n
+       LEFT JOIN sub e ON e.dst = v.id LEFT JOIN p1 p ON p.id = e.src
+       LEFT JOIN od ON od.src = e.src GROUP BY v.id, n.n),
+p3 AS (SELECT v.id, 0.15/n.n + 0.85*COALESCE(SUM(p.r/od.deg), 0.0) AS r
+       FROM verts v CROSS JOIN n
+       LEFT JOIN sub e ON e.dst = v.id LEFT JOIN p2 p ON p.id = e.src
+       LEFT JOIN od ON od.src = e.src GROUP BY v.id, n.n)
+SELECT id, ROUND(r, 6) AS pr FROM p3
+"""
+
+
+@_q("q56_pagerank", _Q56_SQL,
+    "PageRank (extension algorithm - the reference library ships none): "
+    "3 damped power-iteration steps over the q15 graph fixture as a "
+    "Pregel-style driver loop - loop-invariant (src,dst,outdeg) table "
+    "materialized once, three keyed shuffles per round over |V|-bounded "
+    "data, rank table checkpointed per round so plan depth stays O(1) - "
+    "hash-certified against a DuckDB unrolled-iteration replica")
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.pagerank import pagerank
+
+    return pagerank(_q15_edges(spark, sf_dir), iters=3).select("id", "pr")
+
+
 # Driver-certification export order. The correctness harness records the
 # FIRST 50 entries of queries() in iteration order (CORRECTNESS_r08: 62
 # registered, exactly the first 50 got rows). Since r10 the ordering is
@@ -2433,6 +2480,7 @@ _CERT_ORDER: list[str] = [
     "q47_embedding_near_dup_lsh", "q48_knn_ivf_search", "q49_url_curation",
     "q50_source_overlap", "q51_passage_dedup", "q52_semantic_dedup",
     "q53_lm_perplexity", "q54_knn_pq_adc", "q55_semantic_decontaminate",
+    "q56_pagerank",
 ]
 
 

@@ -260,3 +260,36 @@ def test_global_triangle_strategies_agree(spark, sf_dir):
     }
     assert counts["joins"] == counts["broadcast_kernel"]
     assert counts["joins"] > 0
+
+
+# ---------------------------------------------------------------------------
+# PageRank (q56 extension)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_hand_fixture(spark):
+    """3 vertices, dangling vertex 3, d=0.85, every step verifiable by
+    hand; parallel edges collapse to distinct before iteration."""
+    from gelly_streaming_spark.algos.pagerank import pagerank
+
+    rows = [(1, 2), (1, 3), (2, 3), (1, 2)]  # 1->2 duplicated on purpose
+    gs = GraphStream(spark.createDataFrame(rows, "src long, dst long"))
+    out = {r.id: r.pr for r in pagerank(gs, iters=2).collect()}
+    # p1: r1=0.05; r2=0.05+0.85*(1/6)=0.191667; r3=0.05+0.85*(1/6+1/3)=0.475
+    # p2: r1=0.05; r2=0.05+0.85*(p1(1)/2)=0.07125
+    #     r3=0.05+0.85*(p1(1)/2 + p1(2))=0.234167
+    assert out == {1: 0.05, 2: 0.07125, 3: 0.234167}
+
+
+def test_pagerank_cycle_is_stationary(spark):
+    """A directed cycle's uniform distribution is the exact fixpoint:
+    every iteration count returns 1/3 — pins both the normalization
+    (base + damping * 1/n sums back to 1/n) and determinism."""
+    from gelly_streaming_spark.algos.pagerank import pagerank
+
+    gs = GraphStream(
+        spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    )
+    for iters in (1, 3):
+        out = {r.id: r.pr for r in pagerank(gs, iters=iters).collect()}
+        assert out == {1: 0.333333, 2: 0.333333, 3: 0.333333}

@@ -325,6 +325,8 @@ def test_all_batch_query_plans_no_cartesian(spark, sf_dir):
                                    # run builds the shared session index)
         "q53_lm_perplexity",       # 1-row vocabulary-size aggregate
                                    # crossJoin (the q35 convention)
+        "q55_semantic_decontaminate",  # bounded eval-set broadcast vs
+                                   # corpus (the q23 probe doctrine)
     }
     for name, q in sorted(REGISTRY.items()):
         if re.match(r"q\d+s_", name):
