@@ -2437,6 +2437,53 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_q15_edges(spark, sf_dir), iters=3).select("id", "pr")
 
 
+# The oracle enumerates every walk of length <= 6 from the source set
+# over the symmetrized distinct q15 edges (the q15 walk-CTE pattern,
+# depth-bounded so cycles terminate: UNION dedups (id, d) pairs and
+# d < 6 caps the recursion) and takes MIN(d) per vertex — exactly the
+# bounded-horizon BFS distance. All-integer arithmetic: no float
+# margins exist for this hash, unlike the cosine/PageRank families.
+_Q57_SQL = """
+WITH RECURSIVE
+sub AS (SELECT DISTINCT src, dst FROM (
+  SELECT o_custkey AS src, 1000000 + o_orderkey AS dst FROM orders WHERE o_orderkey < 200
+  UNION ALL
+  SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem WHERE l_orderkey < 200)
+  WHERE src <> dst),
+eu AS (SELECT DISTINCT u, v FROM (
+  SELECT src AS u, dst AS v FROM sub UNION ALL SELECT dst, src FROM sub)),
+verts AS (SELECT DISTINCT u AS id FROM eu),
+walk(id, d) AS (
+  SELECT id, 0 FROM verts WHERE id % 100 = 1
+  UNION
+  SELECT e.v, w.d + 1 FROM walk w JOIN eu e ON e.u = w.id WHERE w.d < 6
+)
+SELECT id, MIN(d) AS dist FROM walk GROUP BY id
+"""
+
+
+@_q("q57_bfs_khop", _Q57_SQL,
+    "bounded-horizon BFS / k-hop distance map (extension - the "
+    "reference exposes no shortest-path operator): frontier-parallel "
+    "Pregel loop, each round joins edges against ONLY last round's "
+    "frontier and anti-joins settled vertices, early exit the round "
+    "the frontier empties (observed on the checkpoint job) - "
+    "all-integer semantics, hash-certified against a depth-bounded "
+    "recursive-CTE walk oracle")
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.bfs import bfs_distances
+
+    gs = _q15_edges(spark, sf_dir)
+    e = gs.edges
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    sources = verts.where(F.pmod(F.col("id"), F.lit(100)) == 1)
+    return bfs_distances(gs, sources, max_hops=6).select("id", "dist")
+
+
 # Driver-certification export order. The correctness harness records the
 # FIRST 50 entries of queries() in iteration order (CORRECTNESS_r08: 62
 # registered, exactly the first 50 got rows). Since r10 the ordering is
@@ -2480,7 +2527,7 @@ _CERT_ORDER: list[str] = [
     "q47_embedding_near_dup_lsh", "q48_knn_ivf_search", "q49_url_curation",
     "q50_source_overlap", "q51_passage_dedup", "q52_semantic_dedup",
     "q53_lm_perplexity", "q54_knn_pq_adc", "q55_semantic_decontaminate",
-    "q56_pagerank",
+    "q56_pagerank", "q57_bfs_khop",
 ]
 
 

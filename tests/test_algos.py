@@ -293,3 +293,29 @@ def test_pagerank_cycle_is_stationary(spark):
     for iters in (1, 3):
         out = {r.id: r.pr for r in pagerank(gs, iters=iters).collect()}
         assert out == {1: 0.333333, 2: 0.333333, 3: 0.333333}
+
+
+def test_bfs_khop_hand_fixture(spark):
+    """Path 1-2-3-4-5 plus isolated 9: distances, the max_hops cap, and
+    the unreached-vertex omission all verifiable by hand."""
+    from gelly_streaming_spark.algos.bfs import bfs_distances
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (9, 9)]  # 9's self-loop drops
+    gs = GraphStream(spark.createDataFrame(edges, "src long, dst long"))
+    src = spark.createDataFrame([(1,)], "id long")
+    out = {r.id: r.dist for r in bfs_distances(gs, src, max_hops=2).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}  # 4,5 beyond horizon; 9 unreached
+    full = {r.id: r.dist for r in bfs_distances(gs, src, max_hops=10).collect()}
+    assert full == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}  # early exit after hop 4
+
+
+def test_bfs_khop_directions(spark):
+    """out follows edges, in follows reversals, all symmetrizes."""
+    from gelly_streaming_spark.algos.bfs import bfs_distances
+
+    gs = GraphStream(spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long"))
+    src = spark.createDataFrame([(1,)], "id long")
+    assert {r.id: r.dist for r in bfs_distances(gs, src, 3, "out").collect()} == {1: 0, 2: 1}
+    assert {r.id: r.dist for r in bfs_distances(gs, src, 3, "in").collect()} == {1: 0}
+    assert {r.id: r.dist for r in bfs_distances(gs, src, 3, "all").collect()} == {
+        1: 0, 2: 1, 3: 2}
