@@ -42,13 +42,27 @@ def pagerank(
     stream: GraphStream,
     iters: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Rows (id, pr) — damped PageRank after ``iters`` power-iteration
     steps over the distinct directed edge set, pr rounded to 6dp (the
     certified cross-engine contract; margins measured in the q56
-    docstring)."""
+    docstring).
+
+    ``checkpoint_every`` is the lineage-cut cadence: each uncheckpointed
+    round deepens the plan by two joins and one aggregate, which
+    Catalyst absorbs comfortably for a handful of rounds, while every
+    localCheckpoint is an eager materialization job — at the default
+    cadence a 3-iteration run pays ZERO mid-loop materializations (the
+    r12 bench decomposition: per-round checkpoints made job-floor
+    overhead ~60% of q56's cold cost at local[32]); a 100-round run
+    still cuts every 4th round so plan depth stays bounded. The final
+    rank table is always checkpointed — the returned plan must not
+    reference the loop-invariant checkpoints the ``finally`` releases."""
     if iters < 1:
         raise ValueError(f"pagerank: iters must be >= 1, got {iters}")
+    if checkpoint_every < 1:
+        raise ValueError(f"pagerank: checkpoint_every must be >= 1, got {checkpoint_every}")
     e = stream.edges.select("src", "dst").distinct().localCheckpoint()
     verts = (
         e.select(F.col("src").alias("id"))
@@ -70,8 +84,9 @@ def pagerank(
         od = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
         eo = e.join(od, "src").localCheckpoint()  # loop-invariant
         base = (1.0 - damping) / n
-        ranks = verts.withColumn("r", F.lit(1.0 / n)).localCheckpoint()
-        for _ in range(iters):
+        ranks = verts.withColumn("r", F.lit(1.0 / n))
+        prev_ckpt = None  # the superseded rank checkpoint, freed after its successor lands
+        for i in range(iters):
             contribs = eo.join(ranks, eo["src"] == ranks["id"]).select(
                 F.col("dst").alias("id"), (F.col("r") / F.col("deg")).alias("c")
             )
@@ -83,8 +98,12 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("r"),
             )
-            new = new.localCheckpoint()
-            free_checkpoint(ranks)
+            if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+                new = new.localCheckpoint()
+                if prev_ckpt is not None:
+                    # the fresh checkpoint no longer reads the old one
+                    free_checkpoint(prev_ckpt)
+                prev_ckpt = new
             ranks = new
     finally:
         sess_conf.set("spark.sql.shuffle.partitions", old_parts)

@@ -303,10 +303,15 @@ def test_bfs_khop_hand_fixture(spark):
     edges = [(1, 2), (2, 3), (3, 4), (4, 5), (9, 9)]  # 9's self-loop drops
     gs = GraphStream(spark.createDataFrame(edges, "src long, dst long"))
     src = spark.createDataFrame([(1,)], "id long")
-    out = {r.id: r.dist for r in bfs_distances(gs, src, max_hops=2).collect()}
-    assert out == {1: 0, 2: 1, 3: 2}  # 4,5 beyond horizon; 9 unreached
-    full = {r.id: r.dist for r in bfs_distances(gs, src, max_hops=10).collect()}
-    assert full == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}  # early exit after hop 4
+    # BOTH execution paths must agree: the driver-local fast path
+    # (default) and the distributed frontier loop (forced)
+    for small in (100_000, 0):
+        out = {r.id: r.dist
+               for r in bfs_distances(gs, src, 2, small_input_rows=small).collect()}
+        assert out == {1: 0, 2: 1, 3: 2}, small  # 4,5 beyond horizon; 9 unreached
+        full = {r.id: r.dist
+                for r in bfs_distances(gs, src, 10, small_input_rows=small).collect()}
+        assert full == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}, small  # early exit at hop 4
 
 
 def test_bfs_khop_directions(spark):
