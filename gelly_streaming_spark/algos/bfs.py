@@ -50,13 +50,19 @@ def _try_small_bfs(
     tbl = bounded_take(eu.select("src", "dst"), small_input_rows, as_arrow=True)
     if tbl.num_rows > small_input_rows:
         return None
+    # the source set rides the same bound: a huge seed set over a tiny
+    # graph must not flood the driver — spill over -> distributed path
+    stbl = bounded_take(
+        sources.select(sources.columns[0]).distinct(),
+        small_input_rows,
+        as_arrow=True,
+    )
+    if stbl.num_rows > small_input_rows:
+        return None
     adj: dict = {}
     for a, b in zip(tbl.column("src").to_pylist(), tbl.column("dst").to_pylist()):
         adj.setdefault(a, []).append(b)
-    dist = {
-        r[0]: 0
-        for r in sources.select(sources.columns[0]).distinct().collect()
-    }
+    dist = {v: 0 for v in stbl.column(0).to_pylist()}
     frontier = list(dist)
     for h in range(max_hops):
         nxt = []
