@@ -386,10 +386,42 @@ def _steal_pct(start: tuple[int, int] | None) -> float | None:
 _RECLAIM_INFLATION = 2.5  # recorded value vs the query's own in-run min
 _RECLAIM_STEAL_PCT = 4.0  # per-query /proc/stat steal marking a storm
 _RECLAIM_MIN_SEC = 0.3  # below this a recording cannot move the gate
+# Second weather eye (r12, the vCPU-migration storm class): recorded
+# value vs the query's timing in the COMMITTED bench_detail.json. A
+# hypervisor that migrates vCPUs instead of stealing them inflates the
+# 32-thread JVM + Python workers uniformly (med≈min, so the in-run
+# spread rule is blind) while /proc/stat steal stays ~1% (so the steal
+# rule is blind) and single-process DuckDB barely moves (so the gate
+# ratio explodes). Observed same-code, same-sf: engine 135 s vs its own
+# 63 s committed reference with steal 1.16%, q25s 19.8 s vs 1.97 s
+# reference, kernel migration threads hot. The committed detail is the
+# one baseline that sees this.
+_REF_INFLATION = 2.5  # recorded vs committed-detail reference -> reclaim flag
+_REF_STORM_ENTER = 2.5  # 3-of-5 ratios above -> coverage mode
+_REF_STORM_EXIT = 1.25  # 5 ratios below -> storm cleared
+
+
+def _load_reference() -> tuple[dict[str, float], dict[str, float]]:
+    """(engine, duckdb) per-query reference timings from the committed
+    bench_detail.json (full query names). Read at process start, before
+    this run overwrites the file; missing/unreadable -> empty maps (new
+    queries simply carry no reference signal)."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")) as f:
+            d = json.load(f)
+        eng = {k: float(v) for k, v in (d.get("queries") or {}).items()}
+        duk = {k: float(v) for k, v in (d.get("duckdb_queries") or {}).items()}
+        return eng, duk
+    except Exception:
+        return {}, {}
 
 
 def _reclaim_flags(
-    runs: list[float], recorded: float, steal_pct: float | None
+    runs: list[float],
+    recorded: float,
+    steal_pct: float | None,
+    ref: float | None = None,
 ) -> list[str]:
     """Reasons one side's recorded timing is untrustworthy and should be
     re-measured by the reclaim pass (empty list = trustworthy).
@@ -403,10 +435,16 @@ def _reclaim_flags(
     - ``storm``: /proc/stat steal during THIS query's run window
       exceeded 4% — catches the med=min=max case where EVERY run was
       inflated and the in-run spread shows nothing (the r11 q23b
-      signature, invisible to the other two rules).
-    Sub-0.3 s recordings are never flagged for inflation/storm: they
-    cannot move the gate ratio, and re-running them would burn reclaim
-    budget the heavy queries need."""
+      signature, invisible to the other two rules);
+    - ``ref-inflated``: the recorded value exceeds 2.5x the query's
+      timing in the COMMITTED bench_detail.json — catches the
+      vCPU-migration storm class that is med≈min AND low-steal (see
+      _REF_INFLATION). A genuine plan regression also trips this; the
+      re-run then simply re-measures and records the honest (still
+      slow) min, costing one reclaim slot.
+    Sub-0.3 s recordings are never flagged for inflation/storm/ref:
+    they cannot move the gate ratio, and re-running them would burn
+    reclaim budget the heavy queries need."""
     reasons: list[str] = []
     if len(runs) == 1:
         reasons.append("single-run")
@@ -422,7 +460,30 @@ def _reclaim_flags(
         and recorded >= _RECLAIM_MIN_SEC
     ):
         reasons.append(f"storm(steal={steal_pct:.1f}%)")
+    if (
+        ref is not None
+        and ref > 0
+        and recorded >= _RECLAIM_MIN_SEC
+        and recorded > _REF_INFLATION * ref
+    ):
+        reasons.append(f"ref-inflated(rec={recorded:.2f},ref={ref:.2f})")
     return reasons
+
+
+def _ref_storm_mode(recent_ratio: list[float], active: bool) -> bool:
+    """The reference eye's coverage-mode hysteresis — same 3-of-5 /
+    5-calm shape as _storm_mode but over recorded-vs-committed-reference
+    ratios, catching migration storms the steal counter cannot see
+    (observed r12: 53/69 partial at steal 1.16% with every engine
+    timing 2-10x its committed reference). Enter at 3 of the last 5
+    ratios over _REF_STORM_ENTER; leave only when the last 5 are all
+    under _REF_STORM_EXIT."""
+    window = recent_ratio[-5:]
+    if active:
+        return not (
+            len(window) == 5 and all(r < _REF_STORM_EXIT for r in window)
+        )
+    return len([r for r in window if r > _REF_STORM_ENTER]) >= 3
 
 
 def _storm_mode(recent_steal: list[float], active: bool) -> bool:
@@ -454,6 +515,8 @@ def _reclaim_candidates(
     deferred: dict[str, str],
     oracle_names: set[str],
     query_steal: dict[str, float],
+    eng_ref: dict[str, float] | None = None,
+    duck_ref: dict[str, float] | None = None,
 ) -> list[tuple[str, list[str], list[str]]]:
     """Work list for the reclaim pass: ``(name, engine_reasons,
     duck_reasons)`` tuples, ordered by recorded engine time DESCENDING
@@ -466,14 +529,20 @@ def _reclaim_candidates(
     fresh-process passes have their own min-of-two rule), as are
     errored or never-timed queries."""
     out: list[tuple[str, list[str], list[str]]] = []
+    eng_ref = eng_ref or {}
+    duck_ref = duck_ref or {}
     for name in names:
         if name in errors or name not in timings:
             continue
         steal = query_steal.get(name)
-        e = _reclaim_flags(all_runs.get(name, []), timings[name], steal)
+        e = _reclaim_flags(
+            all_runs.get(name, []), timings[name], steal, eng_ref.get(name)
+        )
         d: list[str] = []
         if name in oracle_names and name not in deferred and name in duck:
-            d = _reclaim_flags(all_druns.get(name, []), duck[name], steal)
+            d = _reclaim_flags(
+                all_druns.get(name, []), duck[name], steal, duck_ref.get(name)
+            )
         if e or d:
             out.append((name, e, d))
     out.sort(key=lambda c: timings[c[0]], reverse=True)
@@ -850,16 +919,24 @@ def main() -> None:
                 "every recording whose window was degraded: single-run "
                 "(the steady-state policy needs >=2 samples), recorded "
                 "value >2.5x the query's own in-run min (burst hit the "
-                "later runs), or >4% /proc/stat steal during the query's "
+                "later runs), >4% /proc/stat steal during the query's "
                 "own run window (the mid-loop storm detector - catches "
-                "med=min=max inflation the spread cannot show). Both "
+                "med=min=max inflation the spread cannot show), or "
+                ">2.5x the query's timing in the COMMITTED "
+                "bench_detail.json (the reference eye - catches "
+                "vCPU-migration storms that are med=min AND low-steal; "
+                "a genuine plan regression re-measures and records the "
+                "honest slow min). Both "
                 "sides re-run symmetrically, biggest engine recording "
                 "first, min across all runs recorded - the re-run is "
                 "minutes after the flagged window so weather between "
                 "them is uncorrelated; per-entry reasons and outcomes "
                 "are in `reclaimed`, per-query steal in "
                 "`query_steal_pct`. A SUSTAINED mid-loop storm (3 of "
-                "the last 5 per-query steal readings over 4%) switches "
+                "the last 5 per-query steal readings over 4%, OR 3 of "
+                "the last 5 committed-reference ratios over 2.5x - the "
+                "two eyes clear independently and coverage mode holds "
+                "until both say calm) switches "
                 "the loop to coverage mode - 1 run/query and "
                 "load_degraded:true - until 5 calm readings, "
                 "preserving budget for the reclaim pass and the "
@@ -1052,6 +1129,10 @@ def main() -> None:
     # and the coverage-mode flag; base_runs is what a cleared storm
     # restores (it honors the setup-probe degradation, if any)
     recent_steal: list[float] = []
+    # the reference eye's window: recorded/committed-reference ratios
+    # for queries that have a committed baseline (see _ref_storm_mode)
+    eng_ref, duck_ref = _load_reference()
+    recent_ref: list[float] = []
     storm = False
     base_runs = runs_per_query
     ordered = sorted(REGISTRY.items())
@@ -1171,15 +1252,6 @@ def main() -> None:
         if qs is not None:
             query_steal[name] = qs
             recent_steal.append(qs)
-            # Mid-loop storm escalation (VERDICT r11 item 1b, second
-            # half): the per-query steal telemetry drives the RUN
-            # LADDER, not just the reclaim flags. Sustained storm ->
-            # coverage mode (1 run/query, load_degraded flagged,
-            # sticky); storm clears -> restore the configured runs.
-            storm = _storm_mode(recent_steal, storm)
-            if storm:
-                meta["load_degraded"] = True
-            runs_per_query = 1 if storm else base_runs
         queries_done += 1
         # a query that errored on ANY run is excluded from timings
         # entirely (not a median of its lucky runs): `queries`,
@@ -1206,6 +1278,24 @@ def main() -> None:
                 duck_min[name] = round(min(druns), 3)
             all_runs[name] = runs
             all_druns[name] = druns
+            ref = eng_ref.get(name)
+            if ref is not None and ref >= 0.1 and timings[name] >= _RECLAIM_MIN_SEC:
+                recent_ref.append(timings[name] / ref)
+        # Mid-loop storm escalation (VERDICT r11 item 1b, second half):
+        # per-query telemetry drives the RUN LADDER, not just the
+        # reclaim flags — sustained storm -> coverage mode (1 run/query,
+        # load_degraded flagged, sticky); storm clears -> restore the
+        # configured runs. TWO eyes, OR'd while active so the storm only
+        # clears when both say calm: the steal counter (hypervisor
+        # preemption) and the committed-reference ratio (vCPU-migration
+        # storms, which are med≈min AND low-steal — the 53/69-partial
+        # r12 run at 1.16% steal was invisible to the steal eye).
+        storm = _storm_mode(recent_steal, storm) or _ref_storm_mode(
+            recent_ref, storm
+        )
+        if storm:
+            meta["load_degraded"] = True
+        runs_per_query = 1 if storm else base_runs
         emit()  # last-line-wins checkpoint after every query
     else:
         if not out_of_budget:
@@ -1247,6 +1337,7 @@ def main() -> None:
     for name, e_reasons, d_reasons in _reclaim_candidates(
         [n for n, _ in ordered], timings, duck, all_runs, all_druns,
         errors, duck_deferred, oracle_names, query_steal,
+        eng_ref, duck_ref,
     ):
         q = by_name[name]
         runs = all_runs[name]

@@ -421,3 +421,45 @@ def test_storm_mode_hysteresis():
     assert _storm_mode([0.1, 0.2], True) is True  # needs 5 calm readings
     # 5 consecutive calm readings clear it
     assert _storm_mode([0.3, 0.1, 0.2, 0.4, 0.0], True) is False
+
+
+def test_reclaim_flags_reference_eye():
+    """The committed-reference rule: recorded >2.5x the committed
+    bench_detail timing flags a reclaim even when the in-run spread is
+    flat and steal is low (the vCPU-migration storm signature); no
+    reference or a sub-0.3s recording stays unflagged."""
+    sys.path.insert(0, REPO)
+    from bench import _reclaim_flags
+
+    # med=min, steal 1% — the old rules see nothing; the reference does
+    fl = _reclaim_flags([6.5, 6.5], 6.5, 1.0, ref=1.9)
+    assert any(r.startswith("ref-inflated") for r in fl), fl
+    # within 2.5x of reference: clean
+    assert _reclaim_flags([4.0, 4.0], 4.0, 1.0, ref=1.9) == []
+    # no reference (new query): no signal
+    assert _reclaim_flags([6.5, 6.5], 6.5, 1.0, ref=None) == []
+    # sub-0.3s recordings never flag
+    assert _reclaim_flags([0.25, 0.25], 0.25, 1.0, ref=0.05) == []
+
+
+def test_ref_storm_mode_hysteresis():
+    """The reference eye's coverage-mode switch mirrors the steal eye:
+    3-of-5 ratios over 2.5x enters, leaves only on 5 ratios under
+    1.25x — and a migration storm (calm steal, inflated ratios) must
+    keep coverage mode on through the OR of the two eyes."""
+    sys.path.insert(0, REPO)
+    from bench import _ref_storm_mode, _storm_mode
+
+    assert _ref_storm_mode([1.0, 1.1, 0.9, 1.2, 1.0], False) is False
+    assert _ref_storm_mode([1.0, 9.0, 1.0, 1.1, 0.9], False) is False  # blip
+    assert _ref_storm_mode([3.0, 4.1, 1.0, 2.6, 1.1], False) is True
+    assert _ref_storm_mode([3.0, 2.9, 5.0], False) is True  # early-loop
+    # sticky while any recent ratio is warm
+    assert _ref_storm_mode([2.0, 1.1, 1.0, 1.1, 1.3], True) is True
+    assert _ref_storm_mode([1.1, 1.2, 1.0, 1.15, 1.24], True) is False
+    # migration storm: steal eye calm, ref eye hot -> OR keeps storm on
+    steal_calm = [0.5, 1.0, 0.8, 1.2, 0.9]
+    ratios_hot = [4.0, 3.5, 5.1, 2.8, 6.0]
+    active = True
+    assert (_storm_mode(steal_calm, active)
+            or _ref_storm_mode(ratios_hot, active)) is True
