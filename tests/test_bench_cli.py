@@ -453,6 +453,10 @@ def test_ref_storm_mode_hysteresis():
     assert _ref_storm_mode([1.0, 1.1, 0.9, 1.2, 1.0], False) is False
     assert _ref_storm_mode([1.0, 9.0, 1.0, 1.1, 0.9], False) is False  # blip
     assert _ref_storm_mode([3.0, 4.1, 1.0, 2.6, 1.1], False) is True
+    # 2-of-5 enters: migration bursts alternate hot/calm queries (the
+    # r12 run where q15e/q15f sat hot inside a ~1.6x window evaded a
+    # 3-of-5 trigger and the record landed at 4.2x)
+    assert _ref_storm_mode([1.6, 2.7, 3.4, 1.5, 1.8], False) is True
     assert _ref_storm_mode([3.0, 2.9, 5.0], False) is True  # early-loop
     # sticky while any recent ratio is warm
     assert _ref_storm_mode([2.0, 1.1, 1.0, 1.1, 1.3], True) is True
