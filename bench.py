@@ -410,14 +410,32 @@ _RECLAIM_RESERVE_SEC = 35.0
 
 
 def _load_reference() -> tuple[dict[str, float], dict[str, float]]:
-    """(engine, duckdb) per-query reference timings from the committed
-    bench_detail.json (full query names). Read at process start, before
-    this run overwrites the file; missing/unreadable -> empty maps (new
-    queries simply carry no reference signal)."""
+    """(engine, duckdb) per-query reference timings from the COMMITTED
+    bench_detail.json (full query names) — ``git show`` first, disk
+    fallback. The git read matters: every bench run overwrites the disk
+    file, so back-to-back runs would otherwise compare against the
+    PREVIOUS run's (possibly storm-inflated) record instead of the
+    curated baseline — observed r12: run 3 loaded run 2's 4.2x-inflated
+    output and its reference eye read every ratio as calm. Missing or
+    unreadable -> empty maps (new queries carry no reference signal)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    raw = None
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_detail.json")) as f:
-            d = json.load(f)
+        import subprocess
+
+        p = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:bench_detail.json"],
+            capture_output=True, text=True, timeout=10,
+        )
+        if p.returncode == 0 and p.stdout.strip():
+            raw = p.stdout
+    except Exception:
+        pass
+    try:
+        if raw is None:
+            with open(os.path.join(here, "bench_detail.json")) as f:
+                raw = f.read()
+        d = json.loads(raw)
         eng = {k: float(v) for k, v in (d.get("queries") or {}).items()}
         duk = {k: float(v) for k, v in (d.get("duckdb_queries") or {}).items()}
         return eng, duk
