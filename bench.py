@@ -17,7 +17,7 @@ Delivery hardening (BENCH_r05/r06 failure modes): the headline JSON line
 is re-printed after EVERY completed query (last-line-wins, <1900 chars),
 SIGTERM/SIGINT flush a final line before exiting, Spark console progress
 bars are disabled, and a wall-clock budget (BENCH_BUDGET_SEC, default
-300) degrades runs-per-query stepwise toward 1 and stops cleanly with
+420) degrades runs-per-query stepwise toward 1 and stops cleanly with
 "partial": true rather than being killed mid-stage.
 """
 
@@ -756,7 +756,20 @@ class _Budget:
     still leaves a parseable line in the output tail."""
 
     def __init__(self) -> None:
-        self.total = float(os.environ.get("BENCH_BUDGET_SEC", "300"))
+        # Default raised 300 -> 420 (r12): at 69 registered queries the
+        # warm+steady ladder plus the 80 s oracle reserve filled 300 s
+        # with ZERO slack, so in any degraded window the reclaim pass —
+        # the machinery that exists to repair degraded windows — logged
+        # skipped-no-budget for every candidate (observed in four
+        # consecutive runs). A calm run still finishes at ~270 s (the
+        # budget is a cap, not a target); the extra headroom only
+        # matters when the window is bad. The driver's own outer
+        # timeout is comfortably above this: its r6 SIGTERM landed past
+        # the 480 s q33 plan bug, and BENCH_BUDGET_SEC=900 local runs
+        # (BASELINE r7 row) completed unkilled; the per-query
+        # last-line-wins emit + SIGTERM flush keeps any kill point
+        # parseable regardless.
+        self.total = float(os.environ.get("BENCH_BUDGET_SEC", "420"))
         self.start = time.time()
 
     def remaining(self) -> float:
@@ -1374,8 +1387,23 @@ def main() -> None:
         runs = all_runs[name]
         druns = all_druns[name]
         flag_str = "+".join(e_reasons + d_reasons)
-        est = (timings[name] if e_reasons else 0.0) + (
-            duck.get(name, 0.0) if d_reasons else 0.0
+
+        def _exp_cost(recorded: float, ref: float | None) -> float:
+            # Admission estimates the RE-RUN's cost: in a recovered
+            # window that is near the committed reference, not the storm
+            # recording — a 6x-inflated entry would otherwise be
+            # inadmissible exactly when repairing it matters most. The
+            # per-entry watchdog bounds a re-run in a still-stormy
+            # window, and min-of-all-runs recording means an expensive
+            # failed repair never corrupts the books.
+            return min(recorded, 1.5 * ref) if ref else recorded
+
+        est = (
+            _exp_cost(timings[name], eng_ref.get(name)) if e_reasons else 0.0
+        ) + (
+            _exp_cost(duck.get(name, 0.0), duck_ref.get(name))
+            if d_reasons
+            else 0.0
         )
         if budget.remaining() - reclaim_reserve < 2.0 * est + 5:
             reclaim_log[name] = f"skipped-no-budget({flag_str})"
