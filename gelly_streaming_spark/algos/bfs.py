@@ -14,12 +14,17 @@ for sources. All arithmetic is integer — no float margins exist for
 the cross-engine hash, unlike the cosine/PageRank families.
 
 100 TB shape: each round joins the edge table against ONLY the current
-frontier (the rows discovered last round, broadcast when small —
-frontier-bounded work, never |V| per round), anti-joins out already-
-settled vertices, and appends to the checkpointed distance table; the
-loop exits early the round the frontier empties, detected as a side
-observation of the checkpoint job that runs anyway (the CC convergence
-trick — no extra count job)."""
+frontier (the rows discovered last round — frontier-bounded work,
+never |V| per round), anti-joins out already-settled vertices, and
+appends to the checkpointed distance table; the loop exits early the
+round the frontier empties, detected as a side observation of the
+checkpoint job that runs anyway (the CC convergence trick — no extra
+count job). The frontier reads off a localCheckpoint, so AQE sees its
+EXACT materialized size and picks broadcast-hash when it fits (no
+static hint: a blanket ``F.broadcast(frontier)`` would pin a
+billion-row mid-expansion frontier onto every executor at scale —
+ADVICE r12 asked the claim and the plan to agree, and the plan's
+adaptive choice is the right one)."""
 
 from __future__ import annotations
 
@@ -104,23 +109,58 @@ def bfs_distances(
     small = _try_small_bfs(eu, sources, max_hops, small_input_rows)
     if small is not None:
         return small
-    eu = eu.localCheckpoint()
 
     from pyspark.sql import Observation
 
+    # Edge-count observation rides the eu checkpoint job (no extra
+    # count job — the loop-floor doctrine below).
+    obs_e = Observation()
+    eu = eu.observe(obs_e, F.count(F.lit(1)).alias("n")).localCheckpoint()
+
+    # Floor decomposition (VERDICT r12 item 3, measured r13 at sf0.1 on
+    # the 66k-edge q57 fixture, small_input_rows=0, hash green vs the
+    # q57 oracle on every variant): the 2.0-2.1 s steady state is
+    # JOB-FLOOR-bound — ~1 eager localCheckpoint job per hop (which the
+    # emptiness observation and next round's frontier read ride) plus 2
+    # standalone count jobs. Measured levers, kept and rejected:
+    # - shuffle-width right-sizing (the pagerank/CC doctrine): ~neutral
+    #   here (the jobs are floor-bound, not task-bound) — kept anyway,
+    #   it can only help and matches the sibling loops;
+    # - folding the eu/initial-dist counts into checkpoint observations
+    #   (two fewer jobs): kept;
+    # - disabling AQE at tiny widths (the pagerank lever): measured
+    #   SLOWER here (1.9-2.1 s vs 1.7-1.9 s AQE-on A-B — the frontier
+    #   join wants AQE's empty/broadcast shortcuts) — REJECTED;
+    # - hop fusion (2 BFS levels per materialization round, next
+    #   frontier = the deepest level set): halves the checkpoint
+    #   barriers but measured NEUTRAL-to-worse (2.0-2.7 s vs 1.7-2.1 —
+    #   the fused round's deeper plan and extra distinct/anti exchanges
+    #   eat the barrier savings at this scale) — REJECTED; the simpler
+    #   per-hop loop also exits earlier on shallow graphs.
+    # Remaining steady state ~1.7-2.4 s across windows = max_hops sequential
+    # checkpoint jobs at the local[32] job floor — irreducible while
+    # each round's frontier depends on the last; small graphs where
+    # that floor dominates are exactly what the driver-local fast path
+    # above serves (0.8-0.9 s on the same fixture).
+    sess_conf = stream.edges.sparkSession.conf
+    old_parts = sess_conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(old_parts), int(obs_e.get["n"]) // 500_000 + 1))
+
+    # Initial settled count rides the dist checkpoint the same way.
+    obs0 = Observation()
     dist = (
         sources.select(F.col(sources.columns[0]).alias("id"))
         .distinct()
         .withColumn("dist", F.lit(0))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    # settled-row count, carried across rounds so frontier-emptiness
-    # detection costs ZERO extra jobs (each round's count rides the
-    # checkpoint job's observation; the previous round's value is the
-    # comparison baseline)
-    prev_n = dist.count()
+    if int(obs0.get["n"]) == 0:
+        free_checkpoint(eu)
+        return dist.select("id", "dist")
     frontier = dist
     try:
+        sess_conf.set("spark.sql.shuffle.partitions", str(loop_parts))
         for h in range(max_hops):
             msgs = (
                 eu.join(frontier, eu["src"] == frontier["id"])
@@ -133,19 +173,22 @@ def bfs_distances(
             obs = Observation()
             nxt = (
                 dist.unionByName(new)
-                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .observe(
+                    obs,
+                    F.count_if(F.col("dist") == h + 1).alias("added"),
+                )
                 .localCheckpoint()
             )
-            n = obs.get["n"]
+            added = int(obs.get["added"])
             free_checkpoint(dist)
             dist = nxt
-            if n == prev_n:
+            if added == 0:
                 break
-            prev_n = n
             # next round's frontier = exactly the rows discovered this
             # round; reading them off the fresh checkpoint costs no
             # recompute
             frontier = dist.where(F.col("dist") == h + 1)
     finally:
+        sess_conf.set("spark.sql.shuffle.partitions", old_parts)
         free_checkpoint(eu)
     return dist.select("id", "dist")

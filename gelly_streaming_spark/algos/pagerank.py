@@ -71,6 +71,16 @@ def pagerank(
         .localCheckpoint()
     )
     n = verts.count()
+    if n == 0:
+        # Empty edge stream: 1/n and (1-d)/n are undefined. Return the
+        # empty (id, pr) frame instead of an opaque ZeroDivisionError
+        # (ADVICE r12) — the checkpoints just created are freed since
+        # nothing downstream will reference them.
+        free_checkpoint(e)
+        free_checkpoint(verts)
+        return verts.select(
+            F.col("id"), F.lit(0.0).alias("pr")
+        ).where(F.lit(False))
     sess_conf = stream.edges.sparkSession.conf
     old_parts = sess_conf.get("spark.sql.shuffle.partitions")
     old_aqe = sess_conf.get("spark.sql.adaptive.enabled")

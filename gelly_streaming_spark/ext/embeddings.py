@@ -1004,6 +1004,7 @@ def knn_pq(
     codebooks: np.ndarray | None = None,
     codes: DataFrame | None = None,
     rerank: int = 0,
+    max_query_rows: int = 65_536,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over
     PQ codes — the compressed-domain ANN path next to knn_lsh (buckets)
@@ -1043,9 +1044,30 @@ def knn_pq(
     )
     n_sub, _k_codes, ds = cb.shape
     co = codes if codes is not None else pq_encode(corpus, cb, id_col, vec_col)
-    qrows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).collect()
+    # Bounded probe-batch collect (VERDICT r12 item 6): the |Q|xMxK
+    # double LUT and the per-partition top-k heaps are sized for a
+    # probe BATCH, not a corpus — a caller handing a corpus-sized
+    # query frame gets a loud contract error here instead of a silent
+    # driver OOM inside .collect() (the bounded_take doctrine every
+    # sibling trainer/probe follows). The default bound, 65536 queries
+    # x 16 codewords x 8 subspaces, is a ~64 MB double LUT —
+    # comfortably driver-side; batch the probe set above that.
+    from gelly_streaming_spark.plans.probe import bounded_take
+
+    qrows = bounded_take(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ),
+        max_query_rows,
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"knn_pq: query side exceeds the {max_query_rows}-row "
+            "probe-batch bound; split the probe set into batches (the "
+            "broadcast-probe convention) instead of collecting a "
+            "corpus-sized frame to the driver"
+        )
     spark = corpus.sparkSession
     if not qrows:
         return spark.createDataFrame(

@@ -148,7 +148,13 @@ def release_persisted(spark) -> int:
     # IVF index memo: entries are (labels, centroids ndarray, lists
     # frame) — the frame was unpersisted via the ledger above; clearing
     # drops the Python refs so nothing pins the plan or the array.
-    (getattr(spark, "_gss_ivf_index", None) or {}).clear()
+    # The PQ index memo is drained for the same reason AND one more
+    # (ADVICE r12): its codes frame's lineage can reference restaged
+    # table dirs that this release deletes below — a surviving memo
+    # entry would hand a later q54 call a frame whose scan fails
+    # instead of rebuilding from cold.
+    for attr in ("_gss_ivf_index", "_gss_pq_index"):
+        (getattr(spark, attr, None) or {}).clear()
     # Replay staging: remove the session's staged chunk dirs from disk.
     stage = getattr(spark, "_gss_replay_stage", None) or {}
     for d in stage.values():

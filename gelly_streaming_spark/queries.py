@@ -2474,7 +2474,13 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gelly_streaming_spark.algos.bfs import bfs_distances
 
     gs = _q15_edges(spark, sf_dir)
-    e = gs.edges
+    # Source-set vertices come from the SAME self-loop-filtered edge set
+    # bfs_distances walks (the oracle's `sub ... WHERE src <> dst` CTE):
+    # a vertex appearing only in self-loops would otherwise emit a
+    # dist-0 engine row with no oracle counterpart (ADVICE r12 — latent
+    # on the q15 fixture, whose offset id ranges cannot self-loop, but
+    # the contract must not depend on the fixture's accident).
+    e = gs.edges.where(F.col("src") != F.col("dst"))
     verts = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))

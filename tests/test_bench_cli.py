@@ -443,10 +443,12 @@ def test_reclaim_flags_reference_eye():
 
 
 def test_ref_storm_mode_hysteresis():
-    """The reference eye's coverage-mode switch mirrors the steal eye:
-    3-of-5 ratios over 2.5x enters, leaves only on 5 ratios under
-    1.25x — and a migration storm (calm steal, inflated ratios) must
-    keep coverage mode on through the OR of the two eyes."""
+    """The reference eye's coverage-mode switch mirrors the steal eye's
+    hysteresis shape but enters at 2-of-5 ratios over 2.5x (migration
+    bursts alternate hot and calm queries — see _ref_storm_mode),
+    leaves only on 5 ratios under 1.25x — and a migration storm (calm
+    steal, inflated ratios) must keep coverage mode on through the OR
+    of the two eyes."""
     sys.path.insert(0, REPO)
     from bench import _ref_storm_mode, _storm_mode
 

@@ -1800,6 +1800,25 @@ def test_knn_pq_codes_require_codebooks(emb):
         knn_pq(emb, emb.limit(1), codes=codes)
 
 
+def test_knn_pq_query_side_is_bounded(emb):
+    """VERDICT r12 item 6: a corpus-sized query frame must raise the
+    probe-batch contract error, never silently .collect() toward a
+    driver OOM — knn_pq was the one sibling without a bounded_take
+    guard. The bound is a parameter so the contract is testable
+    without a 65k-row frame."""
+    from gelly_streaming_spark.ext.embeddings import knn_pq, pq_codebooks
+
+    cb = pq_codebooks(emb)
+    with pytest.raises(ValueError, match="probe-batch"):
+        knn_pq(emb, emb, k=3, codebooks=cb, max_query_rows=5)
+    # at the bound (not over) the search still runs
+    out = knn_pq(
+        emb, emb.where(F.col("vec_id").between(1, 5)), k=3,
+        codebooks=cb, max_query_rows=5,
+    )
+    assert out.count() == 15
+
+
 def test_semantic_decontaminate_hand_fixture(spark):
     """3 corpus vectors, 2 eval vectors, cosines verifiable by hand —
     covers the self-pair exclusion, the >= threshold count, and the

@@ -222,6 +222,13 @@ def test_release_persisted_drains_all_session_state(spark, sf_dir):
     staged_dirs = list(getattr(spark, "_gss_replay_stage", {}).values())
     assert staged_dirs, "replay staging memo should be populated"
     tri_memo = dict(getattr(spark, "_gss_tri_prep", {}) or {})
+    # ANN index memos (ADVICE r12: release used to drain the IVF memo
+    # but not the PQ one, handing a later q54 call a stale codes frame
+    # whose lineage referenced the restaged dirs release deletes).
+    # Sentinel entries suffice: the contract under test is "release
+    # drains the memo", not the index build itself (covered by q48/q54).
+    spark._gss_ivf_index = {("sf", 8): object()}  # noqa: SLF001
+    spark._gss_pq_index = {("sf", 8, 5): object()}  # noqa: SLF001
 
     release_persisted(spark)
 
@@ -229,6 +236,8 @@ def test_release_persisted_drains_all_session_state(spark, sf_dir):
     assert getattr(spark, "_gss_tri_window_stats", {}) == {}
     assert getattr(spark, "_gss_replay_stage", {}) == {}
     assert getattr(spark, "_gss_table_df", {}) == {}
+    assert getattr(spark, "_gss_ivf_index", {}) == {}
+    assert getattr(spark, "_gss_pq_index", {}) == {}
     for d in staged_dirs:
         assert not os.path.exists(d), f"staged dir leaked: {d}"
     # kernel broadcasts destroyed: destroyed broadcasts raise on .value
