@@ -145,6 +145,10 @@ def test_bench_load_probe_degrades_runs(sf_dir):
         BENCH_RUNS="3",
         BENCH_DUCKDB="0",
         BENCH_EXPECTED_SETUP_SEC="1",
+        # this test asserts the PROBE path's verdict; the storm-retry
+        # pass would otherwise extend the budget, repair the books, and
+        # honestly clear load_degraded (its own test covers that)
+        BENCH_STORM_RETRY="0",
     )
     detail_path = os.path.join(REPO, "bench_detail.json")
     saved = None
@@ -187,6 +191,9 @@ def test_bench_budget_stop_emits_parseable_tail(sf_dir):
             BENCH_BUDGET_SEC=budget_sec,
             BENCH_RUNS="1",
             BENCH_DUCKDB="0",
+            # budget-truncation contract under test; the storm-retry
+            # pass would extend the budget and time the rest
+            BENCH_STORM_RETRY="0",
         )
         return subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
@@ -469,3 +476,96 @@ def test_ref_storm_mode_hysteresis():
     active = True
     assert (_storm_mode(steal_calm, active)
             or _ref_storm_mode(ratios_hot, active)) is True
+
+
+def test_load_reference_curated_file_with_floor_overlays(tmp_path, monkeypatch):
+    """The weather eye reads the CURATED bench_reference.json — a file
+    bench.py never writes — not the last committed bench_detail.json
+    (the r12 failure: the round driver commits the official run, so a
+    storm record landed at HEAD and became the baseline, blinding
+    ref-inflation detection). The curated file carries floor overlays,
+    so EVERY registered query has a reference row (VERDICT r12 item 2)."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    # the real curated artifact: full coverage, floors included
+    eng, duk = bench._load_reference()
+    from gelly_streaming_spark.queries import REGISTRY
+
+    assert set(REGISTRY) <= set(eng), sorted(set(REGISTRY) - set(eng))
+    assert eng["q57_bfs_khop"] > 0 and duk["q57_bfs_khop"] > 0
+    assert eng["q56_pagerank"] > 0 and duk["q56_pagerank"] > 0
+
+    # a curated file in an alternate dir wins over any committed detail
+    ref = {"queries": {"qx": 1.5}, "duckdb_queries": {"qx": 0.5}}
+    (tmp_path / "bench_reference.json").write_text(json.dumps(ref))
+    monkeypatch.setenv("BENCH_REF_DIR", str(tmp_path))
+    assert bench._load_reference() == ({"qx": 1.5}, {"qx": 0.5})
+
+    # env overrides (ADVICE r12: a uniformly slower host must be able
+    # to re-zero or drop the eye instead of sitting in permanent
+    # coverage mode)
+    monkeypatch.setenv("BENCH_REF_SCALE", "2.0")
+    eng2, duk2 = bench._load_reference()
+    assert eng2["qx"] == 3.0 and duk2["qx"] == 1.0
+    monkeypatch.setenv("BENCH_REF_DISABLE", "1")
+    assert bench._load_reference() == ({}, {})
+
+
+def test_load_reference_degraded_fallback_guard(tmp_path, monkeypatch):
+    """Without a curated file, the committed-detail fallback refuses a
+    record that says load_degraded or partial — a degraded record is
+    not a baseline (reading BENCH_r12's 6.7x storm record as the
+    reference would make every later storm ratio read calm)."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    monkeypatch.setenv("BENCH_REF_DIR", str(tmp_path))
+    # no curated file, no git repo at tmp_path: disk-fallback detail
+    bad = {
+        "queries": {"qy": 9.0},
+        "duckdb_queries": {"qy": 1.0},
+        "load_degraded": True,
+        "partial": False,
+    }
+    (tmp_path / "bench_detail.json").write_text(json.dumps(bad))
+    assert bench._load_reference() == ({}, {})
+    good = dict(bad, load_degraded=False)
+    (tmp_path / "bench_detail.json").write_text(json.dumps(good))
+    assert bench._load_reference() == ({"qy": 9.0}, {"qy": 1.0})
+    good["partial"] = True
+    (tmp_path / "bench_detail.json").write_text(json.dumps(good))
+    assert bench._load_reference() == ({}, {})
+
+
+def test_health_verdict_components():
+    """_health feeds the storm-retry work list and the final
+    partial/load_degraded recomputation: untimed (budget truncation),
+    flagged (single-run / inflated-vs-own-min / ref-inflated, recorded
+    time descending), starved (skipped-no-budget reclaims)."""
+    sys.path.insert(0, REPO)
+    from bench import _health
+
+    names = ["q1", "q2", "q3", "q4", "q5", "q6"]
+    timings = {"q1": 0.5, "q2": 6.0, "q3": 2.0, "q5": 1.0}
+    all_runs = {
+        "q1": [0.6, 0.5],        # healthy
+        "q2": [6.0],             # single-run
+        "q3": [0.5, 2.0],        # recorded 2.0 > 2.5x own min 0.5
+        "q5": [1.0, 1.0],        # ref-inflated (ref 0.2)
+    }
+    errors = {"q4": "boom"}      # errored: neither untimed nor flagged
+    ref = {"q1": 0.5, "q2": 5.0, "q5": 0.2}
+    reclaim_log = {"q2": "skipped-no-budget(single-run)", "q3": "x: done"}
+    untimed, flagged, starved = _health(
+        names, timings, all_runs, errors, ref, reclaim_log
+    )
+    assert untimed == ["q6"]
+    assert flagged == ["q2", "q3", "q5"]  # 6.0 > 2.0 > 1.0
+    assert starved == ["q2"]
+
+    # healthy books: all three empty (the load_degraded-clearing case)
+    untimed2, flagged2, starved2 = _health(
+        ["q1"], {"q1": 0.5}, {"q1": [0.6, 0.5]}, {}, ref, {"q1": "x: ok"}
+    )
+    assert (untimed2, flagged2, starved2) == ([], [], [])
