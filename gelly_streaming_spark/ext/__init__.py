@@ -56,6 +56,7 @@ from gelly_streaming_spark.ext.multimodal import (
     resize_media,
 )
 from gelly_streaming_spark.ext.text import (
+    classifier_score,
     ngram_lm_scores,
     decontaminate,
     doc_shingles,
@@ -83,6 +84,7 @@ __all__ = [
     "knn_ivf",
     "semantic_dedup",
     "ngram_lm_scores",
+    "classifier_score",
     "knn_lsh",
     "jaccard_pairs",
     "minhash_lsh_pairs",

@@ -670,3 +670,88 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    token_col: str = "token",
+    weight_col: str = "weight",
+    bias: float = 0.0,
+    broadcast_weights: bool | None = None,
+) -> DataFrame:
+    """Linear text-classifier INFERENCE, fastText-style (Joulin et al.
+    2016, public method): rows ``(doc_id, score)`` with
+    ``score = sigmoid(bias + SUM(w(token)) / n_tokens)`` — mean-pooled
+    token weights through a logistic link. Out-of-vocabulary tokens
+    contribute weight 0 but still count in the denominator (the
+    fastText mean-over-all-tokens convention); a zero-token document
+    scores ``sigmoid(bias)``. This pairs with ngram_lm_scores as the
+    second CCNet-pipeline quality signal: the perplexity scorer flags
+    atypical token TRANSITIONS, the linear classifier scores token
+    PRESENCE against trained per-token weights (in production, exported
+    from a trained fastText/logistic model into any (token, weight)
+    table; the certified q58 fixture derives deterministic weights from
+    the corpus vocabulary so the DuckDB oracle replicates them exactly).
+
+    Plan shape (the 100 TB one): ONE doc-keyed partial-agg shuffle and
+    one broadcast join, corpus never shuffled raw —
+    - the token count rides IN-ROW (``size``) before the explode, so
+      no second corpus pass and no count-distinct; the token array is
+      STAGED through its own projection before size/explode consume it
+      — referencing ``tokenize(text)`` directly from both expressions
+      let Catalyst re-inline the split through the Generate and
+      re-derive it per generated ROW (the token_doc_counts O(T²)
+      pathology, re-measured here r13 at sf0.1: 5.5-7.5 s inlined vs
+      0.93-1.0 s staged — a 6x plan-shape cliff, guarded in
+      tests/test_ext.py::test_classifier_score_plan_has_single_split);
+    - ``explode_outer`` guarantees every document emits at least one
+      row (NULL token for empty docs), so the per-doc aggregate needs
+      no join back against the document base — the r13 A/B measured
+      the base-join variant at 2 doc-keyed exchanges vs 1 here;
+    - the weight table joins LEFT against the exploded stream;
+      ``broadcast_weights=None`` (default) sets no hint — AQE converts
+      to broadcast when the materialized table is small and falls back
+      to a keyed join for a vocabulary that outgrows the broadcast
+      limit (the tfidf_keywords convention). True forces the hint.
+
+    Float contract: the sum is exact when the weight values are binary
+    rationals (the q58 fixture uses k/4096, so summation order cannot
+    drift across engines); the remaining cross-engine surface is one
+    division and one exp() — margins measured and pinned in the q58
+    oracle comment."""
+    toks = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        tokenize(F.col(text_col)).alias("_t"),
+    ).select(
+        "doc_id",
+        F.size("_t").alias("n"),
+        F.explode_outer("_t").alias(token_col),
+    )
+    w = weights.select(
+        F.col(token_col), F.col(weight_col).cast("double").alias("_w")
+    )
+    if broadcast_weights:
+        w = F.broadcast(w)
+    per = toks.join(w, token_col, "left").groupBy("doc_id").agg(
+        F.max("n").alias("n"),
+        F.sum(F.coalesce(F.col("_w"), F.lit(0.0))).alias("s"),
+    )
+    return per.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.lit(float(bias))
+                        + F.col("s") / F.greatest(F.col("n"), F.lit(1))
+                    )
+                )
+            ),
+            6,
+        ).alias("score"),
+    )

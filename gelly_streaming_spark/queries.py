@@ -2490,6 +2490,61 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(gs, sources, max_hops=6).select("id", "dist")
 
 
+# The oracle replicates the WHOLE inference pipeline: the q33-certified
+# vocabulary (top-500 by cf DESC, token ASC with row_number rank), the
+# deterministic weight derivation (split.py's multiplicative-congruential
+# constants on the rank, folded mod 4096 and centered — weights are
+# k/4096 binary rationals, so the per-doc SUM is EXACT in doubles and
+# summation order cannot drift across engines), the LEFT join that
+# gives OOV tokens weight 0 while keeping them in the token count, and
+# the logistic link. Float margins (measured r13, min over docs of
+# distance from score*1e6 to a 0.5 rounding boundary): 3.5e-4 at
+# sf0.001, 1.1e-3 at sf0.01, 1.0e-4 at sf0.1 — i.e. >=1.0e-10 on the
+# raw score, at least 5 orders above the ~1e-15-relative
+# one-division-one-exp libm drift surface (the sum itself is exact:
+# k/4096 binary-rational weights).
+_Q58_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+             FROM documents),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+vocab AS (SELECT token, COUNT(*) AS cf FROM tok2 GROUP BY 1),
+topv AS (SELECT token, ROW_NUMBER() OVER (ORDER BY cf DESC, token) AS rank
+         FROM vocab ORDER BY cf DESC, token LIMIT 500),
+w AS (SELECT token,
+             ((((rank * 40503 + 30029) % 99991) % 4096) - 2048) / 4096.0 AS weight
+      FROM topv),
+per AS (SELECT t.doc_id, COUNT(*) AS n, SUM(COALESCE(w.weight, 0.0)) AS s
+        FROM tok2 t LEFT JOIN w USING (token) GROUP BY 1)
+SELECT d.doc_id,
+       ROUND(1.0 / (1.0 + EXP(-(COALESCE(s, 0.0)
+                                / GREATEST(COALESCE(n, 1), 1)))), 6) AS score
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+@_q("q58_quality_classifier", _Q58_SQL,
+    "fastText-style linear quality-classifier inference (the second "
+    "CCNet quality signal, pairing q53's perplexity scorer): mean-pooled "
+    "per-token weights through a logistic link - in-row token count "
+    "before the explode, explode_outer so every doc emits, LEFT "
+    "broadcast join against the (token, weight) table (AQE-sized, no "
+    "hint), ONE doc-keyed partial-agg shuffle; the certified fixture "
+    "derives exact-binary-rational weights from the q33-certified "
+    "vocabulary so the whole pipeline is hash-certified")
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.text import classifier_score, vocabulary
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = vocabulary(docs, k=500).select(
+        "token",
+        (
+            ((F.col("rank") * 40503 + 30029) % 99991 % 4096 - 2048)
+            / F.lit(4096.0)
+        ).alias("weight"),
+    )
+    return classifier_score(docs, weights)
+
+
 # Driver-certification export order. The correctness harness records the
 # FIRST 50 entries of queries() in iteration order (CORRECTNESS_r08: 62
 # registered, exactly the first 50 got rows). Since r10 the ordering is
@@ -2533,7 +2588,7 @@ _CERT_ORDER: list[str] = [
     "q47_embedding_near_dup_lsh", "q48_knn_ivf_search", "q49_url_curation",
     "q50_source_overlap", "q51_passage_dedup", "q52_semantic_dedup",
     "q53_lm_perplexity", "q54_knn_pq_adc", "q55_semantic_decontaminate",
-    "q56_pagerank", "q57_bfs_khop",
+    "q56_pagerank", "q57_bfs_khop", "q58_quality_classifier",
 ]
 
 

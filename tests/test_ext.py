@@ -1842,3 +1842,62 @@ def test_semantic_decontaminate_hand_fixture(spark):
         4: (0.0, 0, False),
         2: (0.707107, 2, True),
     }
+
+
+def test_classifier_score_hand_fixture(spark):
+    """fastText-style mean-pooled logistic inference on 3 hand-checked
+    docs: in-vocab weights sum exactly (binary rationals), OOV tokens
+    weight 0 but count in the denominator, an empty doc still emits
+    (explode_outer) at sigmoid(bias)."""
+    import math
+
+    from gelly_streaming_spark.ext.text import classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a x"), (3, "")],
+        "doc_id long, text string",
+    )
+    weights = spark.createDataFrame(
+        [("a", 0.5), ("b", -0.25), ("c", 0.25)], "token string, weight double"
+    )
+    got = {r.doc_id: r.score for r in classifier_score(docs, weights).collect()}
+
+    def sig(x):
+        return round(1.0 / (1.0 + math.exp(-x)), 6)
+
+    assert got == {
+        1: sig((0.5 - 0.25 + 0.25) / 3),  # all in-vocab
+        2: sig((0.5 + 0.5 + 0.0) / 3),    # x is OOV: weight 0, counted
+        3: sig(0.0),                      # zero tokens -> sigmoid(bias)
+    }
+    # bias shifts every score through the link
+    got_b = {
+        r.doc_id: r.score
+        for r in classifier_score(docs, weights, bias=1.0).collect()
+    }
+    assert got_b[3] == sig(1.0)
+    # forced-broadcast variant is value-identical
+    got_bc = {
+        r.doc_id: r.score
+        for r in classifier_score(docs, weights, broadcast_weights=True).collect()
+    }
+    assert got_bc == got
+
+
+def test_classifier_score_plan_has_single_split(spark):
+    """Plan-shape guard (the q33 pathology, third sighting): size() and
+    explode() must consume a STAGED token array — referencing
+    tokenize(text) from both expressions lets Catalyst re-inline the
+    split through the Generate and re-derive it per generated row
+    (measured r13 at sf0.1: 5.5-7.5 s inlined vs 0.93-1.0 s staged).
+    The optimized plan must contain exactly ONE split of the text
+    column."""
+    from gelly_streaming_spark.ext.text import classifier_score
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    w = spark.createDataFrame([("a", 0.5)], "token string, weight double")
+    plan = (
+        classifier_score(docs, w)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("split(") == 1, plan
