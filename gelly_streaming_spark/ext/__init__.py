@@ -57,6 +57,7 @@ from gelly_streaming_spark.ext.multimodal import (
 )
 from gelly_streaming_spark.ext.text import (
     classifier_score,
+    pmi_collocations,
     ngram_lm_scores,
     decontaminate,
     doc_shingles,
@@ -85,6 +86,7 @@ __all__ = [
     "semantic_dedup",
     "ngram_lm_scores",
     "classifier_score",
+    "pmi_collocations",
     "knn_lsh",
     "jaccard_pairs",
     "minhash_lsh_pairs",

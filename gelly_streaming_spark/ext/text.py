@@ -755,3 +755,69 @@ def classifier_score(
             6,
         ).alias("score"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the corpus
+    phrase-discovery primitive (Church & Hanks 1990; the word2vec-style
+    phrase pass): rows ``(w1, w2, c2, pmi)`` for the top-``k`` adjacent
+    token pairs by ``pmi = ln(c2 * T / (cl(w1) * cr(w2)))``, where
+    ``c2`` is the pair count, ``T`` the total bigram count, ``cl``/
+    ``cr`` the pair's left-/right-position marginals, and pairs below
+    ``min_count`` are dropped (PMI's low-frequency blow-up — a pair
+    seen once between two rare words maxes the score; the min-count
+    floor is the standard fix). Total order (pmi DESC, w1, w2) with
+    pmi rounded to 6dp BEFORE ranking (the q35 convention — raw-double
+    ranking lets a 1-ulp libm difference flip a near-tie across
+    engines).
+
+    Plan shape (the 100 TB one, all q53-certified patterns): bigrams
+    form ROW-LOCALLY (arrays_zip of two token-array slices — no HOF
+    lambda, no positional self-join); ``c2`` via ONE (w1, w2)-keyed
+    partial-agg shuffle; both marginals and ``T`` derive from the
+    bigram-vocabulary-sized ``c2`` table (no second corpus pass — the
+    q53 C1-from-C2 trick, applied twice); the marginal joins are
+    vocabulary-sized and AQE-broadcast with keyed fallback; the top-k
+    is a TakeOrdered over the aggregated pair table (per-partition
+    heaps), never a global sort. All counts are integers (exact in
+    doubles); the float surface is one multiply/divide chain and one
+    ln — margins pinned in the q59 oracle comment."""
+    t = tokenize(F.col(text_col))
+    bi = (
+        docs.select(t.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg")["0"].alias("w1"), F.col("bg")["1"].alias("w2"))
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cl = c2.groupBy("w1").agg(F.sum("c2").alias("cl"))
+    cr = c2.groupBy("w2").agg(F.sum("c2").alias("cr"))
+    trow = c2.agg(F.sum("c2").cast("double").alias("_t"))
+    scored = (
+        c2.where(F.col("c2") >= min_count)
+        .join(cl, "w1")
+        .join(cr, "w2")
+        .crossJoin(trow)
+        .select(
+            "w1", "w2", "c2",
+            F.round(
+                F.log(F.col("c2") * F.col("_t") / (F.col("cl") * F.col("cr"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)

@@ -2545,6 +2545,49 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(docs, weights)
 
 
+# The oracle shares the q53 bigram CTE (positional index unnest over the
+# same list_filter tokenization) and replicates the marginal derivation
+# (cl/cr from c2, T from c2 — no second corpus pass), the min-count
+# floor, the PMI expression operand-for-operand (integer counts exact in
+# doubles, one multiply/divide chain, one ln), the round-6-BEFORE-rank
+# convention, and the (pmi DESC, w1, w2) total order. Float margins
+# (measured r13): min distance of raw pmi*1e6 to a 0.5 rounding boundary
+# 4.4e-4/1.1e-3/1.1e-3 at sf0.001/0.01/0.1 (i.e. >=4.4e-10 raw), and min
+# gap between ADJACENT DISTINCT rounded pmi values in the top 60
+# 2.1e-5 rounded units — both surfaces >=4 orders above the ~1e-14
+# ln/divide drift.
+_Q59_SQL = r"""
+WITH toks AS (SELECT list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+bi AS (SELECT t[i] AS w1, t[i+1] AS w2
+       FROM toks, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+cl AS (SELECT w1, SUM(c2) AS cl FROM c2 GROUP BY 1),
+cr AS (SELECT w2, SUM(c2) AS cr FROM c2 GROUP BY 1),
+tt AS (SELECT CAST(SUM(c2) AS DOUBLE) AS t FROM c2)
+SELECT w1, w2, c2, ROUND(LN(c2 * tt.t / (cl.cl * cr.cr)), 6) AS pmi
+FROM c2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN tt
+WHERE c2 >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 50
+"""
+
+
+@_q("q59_pmi_collocations", _Q59_SQL,
+    "PMI collocation mining (Church-Hanks / the word2vec phrase pass): "
+    "top-50 adjacent token pairs by pointwise mutual information with a "
+    "min-count-5 floor - row-local bigram formation (the q53 arrays_zip "
+    "kernel), ONE (w1,w2)-keyed count shuffle, BOTH marginals and the "
+    "total derived from the bigram-vocabulary-sized count table (no "
+    "second corpus pass), AQE-broadcast marginal joins, round-6-before-"
+    "rank, TakeOrdered top-k - never a global sort")
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.text import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs).select("w1", "w2", "c2", "pmi")
+
+
 # Driver-certification export order. The correctness harness records the
 # FIRST 50 entries of queries() in iteration order (CORRECTNESS_r08: 62
 # registered, exactly the first 50 got rows). Since r10 the ordering is
@@ -2589,6 +2632,7 @@ _CERT_ORDER: list[str] = [
     "q50_source_overlap", "q51_passage_dedup", "q52_semantic_dedup",
     "q53_lm_perplexity", "q54_knn_pq_adc", "q55_semantic_decontaminate",
     "q56_pagerank", "q57_bfs_khop", "q58_quality_classifier",
+    "q59_pmi_collocations",
 ]
 
 

@@ -1901,3 +1901,27 @@ def test_classifier_score_plan_has_single_split(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert plan.count("split(") == 1, plan
+
+
+def test_pmi_collocations_hand_fixture(spark):
+    """PMI on 2 hand-checked docs: bigram counts (a,b)=3 (b,a)=1 (b,c)=1,
+    T=5; min_count=2 keeps only (a,b) with pmi = ln(3*5/(cl(a)=3 *
+    cr(b)=3)) = ln(5/3); min_count=1 admits the singletons with their
+    own marginals; ordering is (pmi DESC, w1, w2)."""
+    import math
+
+    from gelly_streaming_spark.ext.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in pmi_collocations(docs, min_count=2, k=10).collect()]
+    assert got == [("a", "b", 3, round(math.log(5 / 3), 6))]
+    all_pairs = {
+        (r.w1, r.w2): (r.c2, r.pmi)
+        for r in pmi_collocations(docs, min_count=1, k=10).collect()
+    }
+    # (b,a): c2=1, cl(b)=2, cr(a)=1 -> ln(1*5/2); (b,c): ln(1*5/(2*1))
+    assert all_pairs[("b", "a")] == (1, round(math.log(5 / 2), 6))
+    assert all_pairs[("b", "c")] == (1, round(math.log(5 / 2), 6))
+    assert all_pairs[("a", "b")] == (3, round(math.log(5 / 3), 6))
