@@ -118,7 +118,7 @@ def bfs_distances(
     eu = eu.observe(obs_e, F.count(F.lit(1)).alias("n")).localCheckpoint()
 
     # Floor decomposition (VERDICT r12 item 3, measured r13 at sf0.1 on
-    # the 66k-edge q57 fixture, small_input_rows=0, hash green vs the
+    # the q57 fixture (1032 distinct edges, 1214 vertices), small_input_rows=0, hash green vs the
     # q57 oracle on every variant): the 2.0-2.1 s steady state is
     # JOB-FLOOR-bound — ~1 eager localCheckpoint job per hop (which the
     # emptiness observation and next round's frontier read ride) plus 2

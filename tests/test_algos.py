@@ -324,3 +324,44 @@ def test_bfs_khop_directions(spark):
     assert {r.id: r.dist for r in bfs_distances(gs, src, 3, "in").collect()} == {1: 0}
     assert {r.id: r.dist for r in bfs_distances(gs, src, 3, "all").collect()} == {
         1: 0, 2: 1, 3: 2}
+
+
+def test_lpa_hand_fixture_and_oscillation(spark):
+    """Synchronous LPA with min-label tie-break on a 3-path: round 1
+    gives (1->2, 2->1, 3->2) — v2's neighbors {1,3} tie at count 1 and
+    the SMALLEST label wins; round 2 swaps back (the classic sync-LPA
+    oscillation on near-bipartite graphs) — both rounds hand-checked,
+    and both driver-local and distributed paths must agree."""
+    from gelly_streaming_spark.algos.lpa import label_propagation
+    from gelly_streaming_spark.operators.graphstream import GraphStream
+
+    gs = GraphStream(
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    )
+    for small in (100_000, 0):
+        r1 = {r.id: r.lbl for r in label_propagation(gs, 1, small_input_rows=small).collect()}
+        assert r1 == {1: 2, 2: 1, 3: 2}, (small, r1)
+        r2 = {r.id: r.lbl for r in label_propagation(gs, 2, small_input_rows=small).collect()}
+        assert r2 == {1: 1, 2: 2, 3: 1}, (small, r2)
+
+
+def test_lpa_triangle_converges_and_early_exit(spark):
+    """A triangle collapses to community {1}: round 1 = (2,1,1) (v1's
+    neighbors {2,3} tie -> min 2), round 2 = all 1, then no label
+    changes — iters=10 must early-exit to the same answer on both
+    paths. Self-loops drop; a vertex appearing only in self-loops
+    emits no row (vertices derive from the filtered edge set)."""
+    from gelly_streaming_spark.algos.lpa import label_propagation
+    from gelly_streaming_spark.operators.graphstream import GraphStream
+
+    tri = GraphStream(
+        spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    )
+    for small in (100_000, 0):
+        out = {r.id: r.lbl for r in label_propagation(tri, 10, small_input_rows=small).collect()}
+        assert out == {1: 1, 2: 1, 3: 1}, (small, out)
+    loops = GraphStream(
+        spark.createDataFrame([(7, 7), (2, 3)], "src long, dst long")
+    )
+    out = {r.id: r.lbl for r in label_propagation(loops, 2).collect()}
+    assert set(out) == {2, 3}

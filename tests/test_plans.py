@@ -336,6 +336,8 @@ def test_all_batch_query_plans_no_cartesian(spark, sf_dir):
                                    # crossJoin (the q35 convention)
         "q55_semantic_decontaminate",  # bounded eval-set broadcast vs
                                    # corpus (the q23 probe doctrine)
+        "q59_pmi_collocations",    # 1-row bigram-total aggregate
+                                   # crossJoin (the q35 convention)
     }
     for name, q in sorted(REGISTRY.items()):
         if re.match(r"q\d+s_", name):
