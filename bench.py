@@ -451,11 +451,39 @@ def _load_reference() -> tuple[dict[str, float], dict[str, float]]:
     multiplies every reference timing (engine and duck alike) to
     re-zero the eye on uniformly different hardware; ``BENCH_REF_DIR``
     points at a different directory (tests)."""
-    if os.environ.get("BENCH_REF_DISABLE", "0") == "1":
+    d, scale = _load_reference_record()
+    if d is None:
         return {}, {}
+    try:
+        eng = {
+            k: float(v) * scale for k, v in (d.get("queries") or {}).items()
+        }
+        duk = {
+            k: float(v) * scale
+            for k, v in (d.get("duckdb_queries") or {}).items()
+        }
+        return eng, duk
+    except Exception:
+        return {}, {}
+
+
+def _load_reference_record() -> tuple[dict | None, float]:
+    """The raw reference record behind _load_reference, plus the
+    BENCH_REF_SCALE factor — shared so OTHER reference-eye consumers
+    (the copart-rebuild check) resolve through the SAME env overrides
+    (ADVICE r13: the copart check read the repo's bench_reference.json
+    directly, so BENCH_REF_DIR/SCALE/DISABLE redirections silently
+    didn't apply and a uniformly slower host tripped the rebuild every
+    retry run). Returns ``(record | None, scale)``."""
+    if os.environ.get("BENCH_REF_DISABLE", "0") == "1":
+        return None, 1.0
     here = os.environ.get(
         "BENCH_REF_DIR", os.path.dirname(os.path.abspath(__file__))
     )
+    try:
+        scale = float(os.environ.get("BENCH_REF_SCALE", "1.0"))
+    except Exception:
+        scale = 1.0
     d = None
     try:
         with open(os.path.join(here, "bench_reference.json")) as f:
@@ -481,21 +509,10 @@ def _load_reference() -> tuple[dict[str, float], dict[str, float]]:
                     raw = f.read()
             d = json.loads(raw)
             if d.get("load_degraded") or d.get("partial"):
-                return {}, {}  # a degraded record is not a baseline
+                return None, scale  # a degraded record is not a baseline
         except Exception:
-            return {}, {}
-    try:
-        scale = float(os.environ.get("BENCH_REF_SCALE", "1.0"))
-        eng = {
-            k: float(v) * scale for k, v in (d.get("queries") or {}).items()
-        }
-        duk = {
-            k: float(v) * scale
-            for k, v in (d.get("duckdb_queries") or {}).items()
-        }
-        return eng, duk
-    except Exception:
-        return {}, {}
+            return None, scale
+    return d, scale
 
 
 def _reclaim_flags(
@@ -503,6 +520,7 @@ def _reclaim_flags(
     recorded: float,
     steal_pct: float | None,
     ref: float | None = None,
+    intended_single: bool = False,
 ) -> list[str]:
     """Reasons one side's recorded timing is untrustworthy and should be
     re-measured by the reclaim pass (empty list = trustworthy).
@@ -525,9 +543,15 @@ def _reclaim_flags(
       slow) min, costing one reclaim slot.
     Sub-0.3 s recordings are never flagged for inflation/storm/ref:
     they cannot move the gate ratio, and re-running them would burn
-    reclaim budget the heavy queries need."""
+    reclaim budget the heavy queries need.
+
+    ``intended_single`` (ADVICE r13): under BENCH_RUNS=1 a single
+    sample is the CONFIGURED policy, not budget degradation — without
+    this every query was flagged, needs_retry was always true, and the
+    retry pass silently extended a calm run's budget by 300 s to re-run
+    the entire suite. The inflation/storm/ref eyes still apply."""
     reasons: list[str] = []
-    if len(runs) == 1:
+    if len(runs) == 1 and not intended_single:
         reasons.append("single-run")
     elif (
         runs
@@ -558,31 +582,61 @@ def _health(
     errors: dict[str, str],
     eng_ref: dict[str, float],
     reclaim_log: dict[str, str],
-) -> tuple[list[str], list[str], list[str]]:
+    duck: dict[str, float] | None = None,
+    all_druns: dict[str, list[float]] | None = None,
+    duck_ref: dict[str, float] | None = None,
+    inline_oracle_names: set[str] | None = None,
+    intended_single: bool = False,
+) -> tuple[list[str], list[str], list[str], list[str]]:
     """Record-health verdict shared by the storm-retry pass's work list
     and the final load_degraded/partial recomputation:
-    ``(untimed, flagged, starved)``. ``untimed`` = registered queries
-    with neither a timing nor an error (budget truncation); ``flagged``
-    = recordings still failing the health flags — single-run, >2.5x
-    their own in-run min, or >2.5x the curated reference — ordered by
-    recorded time DESCENDING (gate-dominant first); ``starved`` =
-    reclaim candidates that logged skipped-no-budget and were never
+    ``(untimed, flagged, duck_flagged, starved)``. ``untimed`` =
+    registered queries with neither a timing nor an error (budget
+    truncation); ``flagged`` = engine recordings still failing the
+    health flags — single-run, >2.5x their own in-run min, or >2.5x the
+    curated reference — ordered by recorded time DESCENDING
+    (gate-dominant first); ``duck_flagged`` = INLINE oracle recordings
+    failing the same flags (ADVICE r13: a duck reading inflated by the
+    same storm biased the gate ratio in the engine's favor if only the
+    engine side was re-measured — the reclaim pass's both-sides
+    symmetry, now carried into the retry pass; deferred oracles are
+    excluded, their fresh-process min-of-two rule stands); ``starved``
+    = reclaim candidates that logged skipped-no-budget and were never
     repaired. The steal eye is deliberately absent: a query's steal
     reading describes its ORIGINAL window, and min-of-runs from a calm
     re-run supersedes it."""
+    duck = duck or {}
+    all_druns = all_druns or {}
+    duck_ref = duck_ref or {}
+    inline_oracle_names = inline_oracle_names or set()
     untimed = [n for n in ordered_names if n not in timings and n not in errors]
     flagged = sorted(
         (
             n
             for n, t in timings.items()
             if n not in errors
-            and _reclaim_flags(all_runs.get(n, []), t, None, eng_ref.get(n))
+            and _reclaim_flags(
+                all_runs.get(n, []), t, None, eng_ref.get(n), intended_single
+            )
         ),
         key=lambda n: timings[n],
         reverse=True,
     )
+    duck_flagged = sorted(
+        (
+            n
+            for n, t in duck.items()
+            if n in inline_oracle_names
+            and n not in errors
+            and _reclaim_flags(
+                all_druns.get(n, []), t, None, duck_ref.get(n), intended_single
+            )
+        ),
+        key=lambda n: duck[n],
+        reverse=True,
+    )
     starved = [n for n, v in reclaim_log.items() if "skipped-no-budget" in v]
-    return untimed, flagged, starved
+    return untimed, flagged, duck_flagged, starved
 
 
 def _ref_storm_mode(recent_ratio: list[float], active: bool) -> bool:
@@ -636,6 +690,7 @@ def _reclaim_candidates(
     query_steal: dict[str, float],
     eng_ref: dict[str, float] | None = None,
     duck_ref: dict[str, float] | None = None,
+    intended_single: bool = False,
 ) -> list[tuple[str, list[str], list[str]]]:
     """Work list for the reclaim pass: ``(name, engine_reasons,
     duck_reasons)`` tuples, ordered by recorded engine time DESCENDING
@@ -655,12 +710,14 @@ def _reclaim_candidates(
             continue
         steal = query_steal.get(name)
         e = _reclaim_flags(
-            all_runs.get(name, []), timings[name], steal, eng_ref.get(name)
+            all_runs.get(name, []), timings[name], steal, eng_ref.get(name),
+            intended_single,
         )
         d: list[str] = []
         if name in oracle_names and name not in deferred and name in duck:
             d = _reclaim_flags(
-                all_druns.get(name, []), duck[name], steal, duck_ref.get(name)
+                all_druns.get(name, []), duck[name], steal,
+                duck_ref.get(name), intended_single,
             )
         if e or d:
             out.append((name, e, d))
@@ -959,6 +1016,12 @@ def main() -> None:
     # the very END of the bench (see the loop comment) — interleaving a
     # 30 s all-core burn heated the engine runs that followed it.
     runs_per_query = int(os.environ.get("BENCH_RUNS", "2"))
+    # BENCH_RUNS=1 is an intentional single-run config: the single-run
+    # health flag is suppressed everywhere (ADVICE r13 — it used to make
+    # needs_retry unconditionally true and re-run the whole suite on an
+    # extended budget even in a calm window). Captured HERE, before any
+    # weather-driven downgrade to 1 run — degraded windows still flag.
+    intended_single = runs_per_query == 1
     duck_con = None
     if os.environ.get("BENCH_DUCKDB", "1") != "0":
         import duckdb
@@ -1497,7 +1560,7 @@ def main() -> None:
     for name, e_reasons, d_reasons in _reclaim_candidates(
         [n for n, _ in ordered], timings, duck, all_runs, all_druns,
         errors, duck_deferred, oracle_names, query_steal,
-        eng_ref, duck_ref,
+        eng_ref, duck_ref, intended_single,
     ):
         q = by_name[name]
         runs = all_runs[name]
@@ -1746,22 +1809,26 @@ def main() -> None:
 
     names_in_order = [n for n, _ in ordered]
 
-    def _check_health() -> tuple[list[str], list[str], list[str]]:
+    inline_oracle_names = oracle_names - set(duck_deferred)
+
+    def _check_health() -> tuple[list[str], list[str], list[str], list[str]]:
         return _health(
-            names_in_order, timings, all_runs, errors, eng_ref, reclaim_log
+            names_in_order, timings, all_runs, errors, eng_ref, reclaim_log,
+            duck, all_druns, duck_ref, inline_oracle_names, intended_single,
         )
 
-    untimed0, flagged0, starved0 = _check_health()
+    untimed0, flagged0, dflagged0, starved0 = _check_health()
     needs_retry = bool(
-        partial["v"] or meta["load_degraded"] or untimed0 or flagged0 or starved0
+        partial["v"] or meta["load_degraded"] or untimed0 or flagged0
+        or dflagged0 or starved0
     )
     retry_ran = retry_on and retry_budget > 0 and needs_retry
     if retry_ran:
         budget.total += retry_budget
         for attempt in range(_RETRY_ATTEMPTS):
-            untimed_now, flagged_now, _ = _check_health()
+            untimed_now, flagged_now, dflagged_now, _ = _check_health()
             work = untimed_now + flagged_now
-            if not work:
+            if not work and not dflagged_now:
                 break
             if attempt and budget.remaining() > _RETRY_SLEEP_SEC + 60:
                 retry_log[f"_sleep_{attempt}"] = (
@@ -1829,17 +1896,9 @@ def main() -> None:
                     retry_log.get(name, "")
                     + f" a{attempt + 1}={fresh:.2f}->rec={timings[name]:.2f}"
                 ).strip()
-                if "skipped-no-budget" in reclaim_log.get(name, ""):
-                    # the reclaim pass ran dry on this entry; the retry
-                    # re-run IS its repair — rewrite the outcome so the
-                    # artifact's reclaim ledger carries no unrepaired
-                    # starvation markers (the history stays in `retry`)
-                    reclaim_log[name] = reclaim_log[name].replace(
-                        "skipped-no-budget", "reclaim-starved"
-                    ) + (
-                        f" -> repaired-by-retry-pass "
-                        f"rerun={fresh:.2f}->rec={timings[name]:.2f}"
-                    )
+                # (starved-reclaim ledger rewrites happen AFTER the duck
+                # re-run loop below, once BOTH sides of the entry are
+                # verifiably clean — ADVICE r13)
                 # a first-ever timing may still need its oracle: reuse
                 # is impossible for a query the oracle loop never saw
                 if (
@@ -1877,6 +1936,38 @@ def main() -> None:
                         break
                 else:
                     hot_streak = 0
+            # Duck-side repairs (ADVICE r13): inline-oracle readings
+            # inflated by the same storm must be re-measured too — an
+            # inflated DuckDB denominator surviving into a "healthy"
+            # record biases the gate ratio in the engine's favor,
+            # violating the reclaim pass's both-sides symmetry. Same
+            # min-of-runs rule; failures/interrupts keep the books.
+            if duck_con is not None:
+                for name in dflagged_now:
+                    if budget.remaining() < 15:
+                        retry_log.setdefault(name, "skipped-retry-budget")
+                        break
+                    q = by_name[name]
+                    if q.sql is None or name not in duck:
+                        continue
+                    elapsed, _ = _timed_duck_run(
+                        duck_con, duck_lock, q.sql, duck_slow_cap
+                    )
+                    if elapsed is not None:
+                        druns = all_druns.setdefault(name, [])
+                        druns.append(elapsed)
+                        duck[name] = round(min(druns), 3)
+                        duck_min[name] = round(min(druns), 3)
+                        retry_log[name] = (
+                            retry_log.get(name, "")
+                            + f" duck-a{attempt + 1}={elapsed:.2f}"
+                            f"->rec={duck[name]:.2f}"
+                        ).strip()
+                    else:
+                        retry_log[name] = (
+                            retry_log.get(name, "") + " duck-rerun-interrupted"
+                        ).strip()
+                    emit()
             if budget.remaining() < 60:
                 break
 
@@ -1919,17 +2010,17 @@ def main() -> None:
         # uncorrelated-windows argument). Runs LAST among retry repairs
         # — releasing the cache earlier would charge rebuilds into any
         # later engine re-run that consumes the copart view.
-        try:
-            cop_ref = None
-            with open(
-                os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "bench_reference.json",
-                )
-            ) as fh:
-                cop_ref = json.load(fh).get("copart_build_sec")
-        except Exception:
-            cop_ref = None
+        # env-aware reference resolution (ADVICE r13): same
+        # BENCH_REF_DIR/SCALE/DISABLE handling as _load_reference, so a
+        # uniformly slower host re-zeroes this eye too instead of
+        # burning ~30 s of retry budget on a rebuild that never clears
+        ref_rec, ref_scale = _load_reference_record()
+        cop_ref = None
+        if ref_rec is not None:
+            try:
+                cop_ref = float(ref_rec.get("copart_build_sec")) * ref_scale
+            except Exception:
+                cop_ref = None
         if (
             cop_ref
             and meta["copart_build_sec"] > _REF_INFLATION * float(cop_ref)
@@ -1954,6 +2045,40 @@ def main() -> None:
             except Exception as ex:
                 retry_log["_copart_rebuild"] = f"failed: {ex}"[:120]
 
+        # Starved-reclaim ledger rewrites, moved AFTER the duck re-run
+        # loop (ADVICE r13): an entry whose starvation included
+        # duck-side flags is only "repaired" once BOTH sides pass the
+        # health flags on the final books — rewriting on the engine
+        # re-run alone cleared load_degraded over an inflated oracle
+        # denominator. History stays in `retry`.
+        for name, entry in list(reclaim_log.items()):
+            if "skipped-no-budget" not in entry:
+                continue
+            if name in errors or name not in timings:
+                continue
+            e_clean = not _reclaim_flags(
+                all_runs.get(name, []), timings[name], None,
+                eng_ref.get(name), intended_single,
+            )
+            d_clean = True
+            if name in inline_oracle_names and name in duck:
+                d_clean = not _reclaim_flags(
+                    all_druns.get(name, []), duck[name], None,
+                    duck_ref.get(name), intended_single,
+                )
+            if e_clean and d_clean:
+                reclaim_log[name] = entry.replace(
+                    "skipped-no-budget", "reclaim-starved"
+                ) + (
+                    f" -> repaired-by-retry-pass "
+                    f"rec={timings[name]:.2f}"
+                    + (
+                        f" duck-rec={duck[name]:.2f}"
+                        if name in inline_oracle_names and name in duck
+                        else ""
+                    )
+                )
+
     # Final health verdict: the flags describe the FINAL books. A storm
     # that was fully repaired leaves load_degraded false (the gate reads
     # the record, and the record's values are now clean-window minima);
@@ -1962,10 +2087,10 @@ def main() -> None:
     # off for the same reason — the record covers every registered
     # query.
     if retry_ran:
-        untimed_f, flagged_f, starved_f = _check_health()
+        untimed_f, flagged_f, dflagged_f, starved_f = _check_health()
         if not untimed_f:
             partial["v"] = False
-        if not untimed_f and not flagged_f and not starved_f:
+        if not untimed_f and not flagged_f and not dflagged_f and not starved_f:
             meta["load_degraded"] = False
 
     emit()

@@ -125,7 +125,10 @@ def label_propagation(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint()
     )
-    prev_ckpt = None
+    # start the free chain at the initial checkpoint so round 1 releases
+    # it once `nxt` lands (ADVICE r13: it leaked one |V|-row storage
+    # block per call until GC; BFS already frees its initial dist)
+    prev_ckpt = labels
     try:
         sess_conf.set("spark.sql.shuffle.partitions", str(loop_parts))
         for i in range(iters):

@@ -557,15 +557,43 @@ def test_health_verdict_components():
     errors = {"q4": "boom"}      # errored: neither untimed nor flagged
     ref = {"q1": 0.5, "q2": 5.0, "q5": 0.2}
     reclaim_log = {"q2": "skipped-no-budget(single-run)", "q3": "x: done"}
-    untimed, flagged, starved = _health(
+    untimed, flagged, dflagged, starved = _health(
         names, timings, all_runs, errors, ref, reclaim_log
     )
     assert untimed == ["q6"]
     assert flagged == ["q2", "q3", "q5"]  # 6.0 > 2.0 > 1.0
+    assert dflagged == []  # no duck books passed
     assert starved == ["q2"]
 
-    # healthy books: all three empty (the load_degraded-clearing case)
-    untimed2, flagged2, starved2 = _health(
+    # healthy books: all four empty (the load_degraded-clearing case)
+    untimed2, flagged2, dflagged2, starved2 = _health(
         ["q1"], {"q1": 0.5}, {"q1": [0.6, 0.5]}, {}, ref, {"q1": "x: ok"}
     )
-    assert (untimed2, flagged2, starved2) == ([], [], [])
+    assert (untimed2, flagged2, dflagged2, starved2) == ([], [], [], [])
+
+    # duck-side eye (ADVICE r13): an inline-oracle reading failing the
+    # same flags lands in dflagged even when the engine side is clean;
+    # deferred oracles (not in inline_oracle_names) are exempt
+    untimed3, flagged3, dflagged3, _ = _health(
+        ["q1", "q2"],
+        {"q1": 0.5, "q2": 0.5},
+        {"q1": [0.6, 0.5], "q2": [0.6, 0.5]},
+        {},
+        {},
+        {},
+        duck={"q1": 2.0, "q2": 2.0},
+        all_druns={"q1": [0.5, 2.0], "q2": [0.5, 2.0]},  # rec > 2.5x own min
+        duck_ref={},
+        inline_oracle_names={"q1"},
+    )
+    assert (untimed3, flagged3) == ([], [])
+    assert dflagged3 == ["q1"]  # q2 deferred -> exempt
+
+    # intended_single (BENCH_RUNS=1): single-sample books are the
+    # configured policy, not degradation — nothing flags
+    untimed4, flagged4, dflagged4, _ = _health(
+        ["q1"], {"q1": 2.0}, {"q1": [2.0]}, {}, {}, {},
+        duck={"q1": 1.0}, all_druns={"q1": [1.0]},
+        inline_oracle_names={"q1"}, intended_single=True,
+    )
+    assert (untimed4, flagged4, dflagged4) == ([], [], [])
