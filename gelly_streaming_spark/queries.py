@@ -2637,6 +2637,278 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(_q15_edges(spark, sf_dir), iters=3).select("id", "lbl")
 
 
+# ---------------------------------------------------------------------------
+# Q61–Q64: adversarial-skew certification (VERDICT r13 item 1). Every
+# scale claim in the CC/dedup/LSH family was proven only on benign
+# distributions; these four derive a SKEWED input deterministically from
+# the base tables INSIDE both the Spark query and the oracle SQL — same
+# rows on both sides, so the standard hash gate certifies the skew path
+# itself. The skew knobs are fixed-size (hub degree = |customer|/10, hot
+# passage in half the corpus, one 200x mega-doc), chosen so the hot key
+# is 2–3 orders of magnitude over the average key at sf0.1 while the
+# recursive/quadratic ORACLE formulations stay tractable.
+# ---------------------------------------------------------------------------
+# Giant-component caution: the recursive label walk materializes
+# O(V_comp^2) (id, comp) pairs for the hub component (every vertex
+# accumulates every component label — the q15e lesson), so the hub fan
+# is c_custkey % 10 (1.5k vertices at sf0.1, ~2.6M walk pairs), not the
+# full customer table.
+_Q61_SQL = """
+WITH RECURSIVE
+sub AS (
+  SELECT o_custkey AS src, 1000000 + o_orderkey AS dst FROM orders WHERE o_orderkey < 200
+  UNION ALL
+  SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem WHERE l_orderkey < 200
+  UNION ALL
+  SELECT 0, c_custkey FROM customer WHERE c_custkey % 10 = 0
+),
+eu AS (SELECT src AS u, dst AS v FROM sub UNION ALL SELECT dst, src FROM sub),
+verts AS (SELECT DISTINCT u AS id FROM eu),
+walk(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN eu e ON e.u = w.id
+)
+SELECT id, MIN(comp) AS component FROM walk GROUP BY id
+"""
+
+
+@_q("q61_cc_skew_hub", _Q61_SQL,
+    "adversarial-skew CC certification: the q15 fixture plus a hub "
+    "vertex 0 fanned to every 10th customer (degree 1,500 at sf0.1 vs "
+    "average ~2 — one shuffle key holding ~60% of the graph's edges), "
+    "run with the small-graph fast path DISABLED and skew_safe=True "
+    "FORCED, so the hash gate certifies the partial-agg groupBy-min + "
+    "AQE-splittable sort-merge star-op form — the exact plan a 100 TB "
+    "giant component's root key executes (SURVEY §2.9 L1 skew claim)")
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.connected_components import (
+        connected_components_alternating,
+    )
+
+    hub = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.lit(0).cast("long").alias("src"),
+            F.col("c_custkey").cast("long").alias("dst"),
+        )
+    )
+    edges = _q15_edges(spark, sf_dir).edges.unionByName(hub)
+    stats: dict = {}
+    out = connected_components_alternating(
+        GraphStream(edges), stats=stats, small_input_rows=0, skew_safe=True
+    )
+    # explicit raises (q15d convention): the certification is OF the
+    # distributed skew-safe path — silently falling back would void it
+    if stats["rounds"] <= 0:
+        raise RuntimeError("fast path taken despite small_input_rows=0")
+    if not stats.get("skew_safe"):
+        raise RuntimeError("skew-safe star-op form not taken despite skew_safe=True")
+    return out
+
+
+# 16-token boilerplate SUFFIX on every even doc: each internal trigram
+# lands in ~half the corpus (df 2,500 at sf0.1 — 125x the max_df=20
+# guard), so the df-cap must drop the hot shingles BEFORE the self-join
+# or the pair fan-out is C(2500,2) ~ 3.1M junk pairs. Organic pairs and
+# low-df boundary shingles (last two original tokens + boilerplate
+# head) survive and are counted identically by both engines.
+_Q62_HOT = (
+    "cookie consent banner accept all manage preferences terms "
+    "of service privacy policy all rights reserved today"
+)
+
+_Q62_SQL = f"""
+WITH inj AS (SELECT doc_id,
+                    CASE WHEN doc_id % 2 = 0 THEN text || ' {_Q62_HOT}'
+                         ELSE text END AS text
+             FROM documents),
+tok AS (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM inj),
+sh AS (SELECT doc_id, array_to_string(t[p:p+{_SHINGLE_N - 1}], ' ') AS shingle
+       FROM tok, UNNEST(generate_series(1, greatest(len(t) - {_SHINGLE_N - 1}, 0))) AS u(p)),
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+dfh AS (SELECT shingle, COUNT(*) AS df FROM d GROUP BY 1),
+k AS (SELECT d.doc_id, d.shingle FROM d JOIN dfh USING (shingle) WHERE df <= 20),
+p AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+      FROM k x JOIN k y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)
+SELECT a, b, shared FROM p WHERE shared >= 3
+"""
+
+
+@_q("q62_hot_shingle_passages", _Q62_SQL,
+    "adversarial-skew q38 certification: a 16-token boilerplate suffix "
+    "injected into HALF the corpus puts ~14 shingles at df 2,500 "
+    "(sf0.1) against the max_df=20 guard — the hash gate proves the "
+    "df-cap drops the hot keys before the shingle self-join (no "
+    "C(2500,2) pair blow-up) while every organic pair still matches")
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.text import duplicate_passages
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    corpus = docs.select(
+        "doc_id",
+        F.when(d % 2 == 0, F.concat(F.col("text"), F.lit(" " + _Q62_HOT)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return duplicate_passages(corpus, n=_SHINGLE_N, min_shared=3, max_df=20)
+
+
+# Half the q43 sample collapses onto ONE boilerplate template (20
+# tokens, 17 distinct) plus a 5-way variant token: same-variant docs
+# share identical signatures (one LSH bucket holding 50 docs at sf0.1
+# vs the organic 1–2), cross-variant Jaccard = 17/19 = 0.894737 >= 0.8,
+# so the hot cluster emits C(250,2) = 31,125 TRUE pairs through the
+# bucket self-join + verify path. Margins: jaccard values here are
+# single IEEE divisions of exact ints (bit-identical cross-engine;
+# 17/19*1e6 sits 3.4e-1 ulp-equivalents from its round-6 boundary —
+# measured 0.342 distance at 1e-6 scale, and identical inputs make the
+# margin moot); organic pairs are the q43-certified path.
+_Q63_BOIL = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "sat on the mat watching birds fly south"
+)
+
+_Q63_SQL = f"""
+WITH base AS (SELECT doc_id,
+                     CASE WHEN doc_id % 20 = 0
+                          THEN '{_Q63_BOIL} v' || CAST((doc_id % 100) // 20 AS VARCHAR)
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 10 = 0),
+tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM base),
+hx AS (SELECT doc_id, t.i,
+              MIN(CAST(('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT)) AS h
+       FROM tok CROSS JOIN range(16) t(i) GROUP BY doc_id, t.i),
+band AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
+         FROM hx GROUP BY doc_id, i // 4),
+cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+                                AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (SELECT c.a, c.b, COUNT(*) AS i
+          FROM cand c JOIN tok ta ON ta.doc_id = c.a
+                      JOIN tok tb ON tb.doc_id = c.b AND tb.token = ta.token
+          GROUP BY c.a, c.b)
+SELECT a, b, ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+"""
+
+
+@_q("q63_lsh_hot_bucket", _Q63_SQL,
+    "adversarial-skew q43 certification: half the sampled corpus "
+    "rewritten onto one boilerplate template (5 variant groups of "
+    "identical signatures) so single LSH buckets hold 50 docs at sf0.1 "
+    "instead of 1–2 — the hash gate certifies the band self-join and "
+    "the candidateXtoken verify join through a hot bucket emitting "
+    "31k true pairs, the boilerplate-corpus worst case LSH dedup "
+    "actually meets")
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.similarity import md5_hash64, minhash_lsh_pairs
+
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").where(d % 10 == 0)
+    base = docs.select(
+        "doc_id",
+        F.when(
+            d % 20 == 0,
+            F.concat(
+                F.lit(_Q63_BOIL + " v"),
+                F.floor((d % 100) / 20).cast("long").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return minhash_lsh_pairs(
+        base, "doc_id", F.split(F.col("text"), " "), threshold=0.8,
+        num_hashes=16, bands=4, hash_fn=md5_hash64, portable_buckets=True,
+    ).select("a", "b", "jaccard")
+
+
+# One 8-token header (so pid 0 IS the hot passage, aligned by
+# construction) on every even doc -> one passage key with ~2,540 rows
+# at sf0.1 (2,500 docs + 40 aligned copies inside the mega-doc); doc 8
+# additionally repeats its whole headered text 200x -> ONE document
+# whose rebuild group holds ~1.6k passages vs the average ~7. Certifies
+# the dup-detection shuffle's map-side combine on the hot passage key
+# and the per-doc rebuild aggregation under row-count skew.
+_Q64_HDR = "cookie consent accept decline manage settings privacy terms"
+
+_Q64_SQL = f"""
+WITH b0 AS (SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN '{_Q64_HDR} ' || text
+                        ELSE text END AS text
+            FROM documents),
+base AS (SELECT doc_id,
+                CASE WHEN doc_id = 8 THEN rtrim(repeat(text || ' ', 200))
+                     ELSE text END AS text
+         FROM b0),
+lst AS (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+        FROM base),
+tok AS (SELECT doc_id, unnest(l) AS token,
+               unnest(range(len(l))) AS pos
+        FROM lst),
+p AS (SELECT doc_id, pos // 8 AS pid,
+             string_agg(token, ' ' ORDER BY pos) AS passage
+      FROM tok GROUP BY 1, 2),
+dup AS (SELECT passage FROM p GROUP BY 1
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+f AS (SELECT p.doc_id, p.pid, p.passage,
+             p.passage IN (SELECT passage FROM dup) AS is_dup
+      FROM p)
+SELECT doc_id,
+       md5(COALESCE(string_agg(passage, ' ' ORDER BY pid)
+                    FILTER (WHERE NOT is_dup), '')) AS dedup_md5,
+       CAST(COUNT(*) FILTER (WHERE NOT is_dup) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dropped
+FROM f GROUP BY doc_id
+"""
+
+
+@_q("q64_passage_dedup_skew", _Q64_SQL,
+    "adversarial-skew q51 certification: ONE aligned 8-token header on "
+    "half the corpus (a single passage key holding ~2,540 rows at "
+    "sf0.1) plus a 200x repeated mega-doc (~1.6k passages in one "
+    "rebuild group vs average ~7) — the hash gate certifies the "
+    "passage-keyed dup-detection shuffle and the doc-keyed rebuild "
+    "under hot-key AND hot-group skew, including the dup-set AQE "
+    "broadcast probe")
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.dedup import dedup_passages
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    b0 = docs.select(
+        "doc_id",
+        F.when(d % 2 == 0, F.concat(F.lit(_Q64_HDR + " "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corpus = b0.withColumn(
+        "text",
+        F.when(
+            d == 8, F.concat_ws(" ", F.array_repeat(F.col("text"), 200))
+        ).otherwise(F.col("text")),
+    )
+    out = dedup_passages(corpus, n=8)
+    return out.select(
+        "doc_id",
+        F.md5("text_dedup").alias("dedup_md5"),
+        "n_kept",
+        "n_dropped",
+    )
+
+
 # Driver-certification export order. The correctness harness records the
 # FIRST 50 entries of queries() in iteration order (CORRECTNESS_r08: 62
 # registered, exactly the first 50 got rows). Since r10 the ordering is
@@ -2682,6 +2954,9 @@ _CERT_ORDER: list[str] = [
     "q53_lm_perplexity", "q54_knn_pq_adc", "q55_semantic_decontaminate",
     "q56_pagerank", "q57_bfs_khop", "q58_quality_classifier",
     "q59_pmi_collocations", "q60_label_propagation",
+    # -- r14 adversarial-skew certifications --
+    "q61_cc_skew_hub", "q62_hot_shingle_passages", "q63_lsh_hot_bucket",
+    "q64_passage_dedup_skew",
 ]
 
 
