@@ -63,16 +63,28 @@ def curate_corpus(
     duplicate fraction is vacuously zero). ``blocklist=None`` skips the
     decontamination stage.
 
-    Shared-work plan notes: the dedup-survivor set feeds three
-    consumers (the row stream and both shingle kernels), so it is
-    pinned with one lazy localCheckpoint (release via
-    ``plans.memory.free_checkpoint``); the repetition stats AND the
-    decontamination hits then derive from ONE shingle window over the
-    survivors rather than one each. Computing hits before the
-    repetition filter instead of after is set-equivalent — the filters
-    are conjunctive (final = quality ∧ dedup ∧ ¬repetitive ∧ ¬hit), so
-    a hit row the repetition filter would also have dropped is removed
-    either way — and saves a full corpus window pass.
+    Shared-work plan notes: the dedup-survivor set feeds two consumers
+    (the shingle rollup and the output row stream) and is deliberately
+    NOT pinned (r14 — it was a lazy localCheckpoint): each consumer's
+    branch column-prunes its own scan (the shingle branch reads only
+    (doc_id, text); the row branch carries the full row), so the
+    "duplicated" quality+dedup subtree is two NARROW passes, each
+    fused into its scan — measured 2.4 s vs 2.9 s per call at sf0.1
+    against the pinned form, because the pin cost a full survivor-set
+    materialization PLUS ~1.1 s of per-call physical planning that
+    ``localCheckpoint`` forces at build time (toRdd). At 100 TB the
+    same argument holds: a checkpoint writes the whole survivor set to
+    executor storage, while the re-run is two column-pruned scans that
+    Catalyst prunes independently. No pin also makes the whole
+    pipeline purely declarative — re-executing the returned frame
+    re-runs everything, which is what lets q42 ride the registry's
+    analyzed-plan memo. The repetition stats AND the decontamination
+    hits still derive from ONE shingle window over the survivors
+    rather than one each. Computing hits before the repetition filter
+    instead of after is set-equivalent — the filters are conjunctive
+    (final = quality ∧ dedup ∧ ¬repetitive ∧ ¬hit), so a hit row the
+    repetition filter would also have dropped is removed either way —
+    and saves a full corpus window pass.
     """
     t = F.col(text_col)
     key = F.col(doc_id_col)
@@ -90,7 +102,6 @@ def curate_corpus(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    d = d.localCheckpoint(eager=False)
 
     sh = doc_shingles(d, n, text_col, doc_id_col, hashed=True)
 

@@ -168,12 +168,15 @@ def release_persisted(spark) -> int:
         if d is not None:
             shutil.rmtree(d, ignore_errors=True)
     tstage.clear()
-    # Table-plan memo: plain logical plans (no storage), but the entries
-    # pin restaged-scan refs — drop them with the rest of the session
-    # caches so a release really returns the session to a cold state.
-    memo = getattr(spark, "_gss_table_df", None)
-    if memo is not None:
-        memo.clear()
+    # Table-plan and query-plan memos: plain logical plans (no storage),
+    # but the entries pin restaged-scan refs — drop them with the rest
+    # of the session caches so a release really returns the session to
+    # a cold state (a surviving query-plan entry could hand a later
+    # call a frame whose restaged scan was deleted above).
+    for attr in ("_gss_table_df", "_gss_query_plan"):
+        memo = getattr(spark, attr, None)
+        if memo is not None:
+            memo.clear()
     return freed
 
 

@@ -229,6 +229,9 @@ def test_release_persisted_drains_all_session_state(spark, sf_dir):
     # drains the memo", not the index build itself (covered by q48/q54).
     spark._gss_ivf_index = {("sf", 8): object()}  # noqa: SLF001
     spark._gss_pq_index = {("sf", 8, 5): object()}  # noqa: SLF001
+    # query-plan memo (r14): entries pin restaged-scan refs like the
+    # table-plan memo — a sentinel proves release drains it
+    spark._gss_query_plan = {("q99", "sf"): object()}  # noqa: SLF001
 
     release_persisted(spark)
 
@@ -238,6 +241,7 @@ def test_release_persisted_drains_all_session_state(spark, sf_dir):
     assert getattr(spark, "_gss_table_df", {}) == {}
     assert getattr(spark, "_gss_ivf_index", {}) == {}
     assert getattr(spark, "_gss_pq_index", {}) == {}
+    assert getattr(spark, "_gss_query_plan", {}) == {}
     for d in staged_dirs:
         assert not os.path.exists(d), f"staged dir leaked: {d}"
     # kernel broadcasts destroyed: destroyed broadcasts raise on .value
@@ -255,6 +259,40 @@ def test_release_persisted_drains_all_session_state(spark, sf_dir):
     # (tolerate blocks that predate this test; nothing NEW may remain)
     leaked = persistent_ids() - before_ids
     assert not leaked, f"leaked persistent RDDs: {leaked}"
+
+
+def test_query_plan_memo_identity_and_scope(spark, sf_dir):
+    """The per-session analyzed-plan memo (VERDICT r13 item 2): a
+    memo_plan query returns the SAME DataFrame object on repeat calls
+    (skipping builder + Catalyst analysis), keys by (name, sf_dir), and
+    is drained by release_persisted. Iterative/checkpointing queries
+    are NOT memoized — re-executing their returned frame would skip
+    the measured work."""
+    from gelly_streaming_spark.plans.memory import release_persisted
+    from gelly_streaming_spark.queries import REGISTRY
+
+    q = REGISTRY["q44_simhash_pairs"]
+    a = q.fn(spark, sf_dir)
+    b = q.fn(spark, sf_dir)
+    assert a is b, "memoized query must return the identical frame"
+    # the memo is a real plan: executing it still runs the pipeline
+    assert a.limit(1).count() >= 0
+
+    release_persisted(spark)
+    c = q.fn(spark, sf_dir)
+    assert c is not a, "release_persisted must drop the plan memo"
+
+    # the iterative / checkpointing / index-building queries stay
+    # unmemoized (their fn EXECUTES work; a memo would skip it on
+    # re-run) — functools.wraps marks the memo wrapper with __wrapped__
+    for name in (
+        "q15d_cc_distributed", "q40_pack_sequences", "q41_mixture_sample",
+        "q31_near_dup_collapse", "q54_knn_pq_adc", "q61_cc_skew_hub",
+    ):
+        assert not hasattr(REGISTRY[name].fn, "__wrapped__"), (
+            f"{name} must not be plan-memoized"
+        )
+    assert hasattr(q.fn, "__wrapped__")
 
 
 def test_bounded_take_one_pass_and_conf_restore(spark):
