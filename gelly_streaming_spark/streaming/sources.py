@@ -153,6 +153,26 @@ def edges_from_kafka(raw: DataFrame, value_format: str = "json") -> DataFrame:
     (``timestamp``), so watermarked operators keep working on sources
     that don't embed one. Works identically on batch ``format("kafka")``
     reads — the adapter is just column expressions.
+
+    Malformed-payload contract (ADVICE/VERDICT r13 item 5 — each class
+    is pinned by tests/test_streaming.py::test_kafka_payload_contract_*;
+    both parsers run Spark's default PERMISSIVE mode, so a bad payload
+    can NEVER fail the stream — it either drops or degrades per field):
+
+    ========================  =========================================
+    payload class             behavior
+    ========================  =========================================
+    broken JSON / non-UTF8    whole record NULL → row DROPPED
+    JSON wrong field type     that field NULL → dropped iff src/dst
+    JSON missing src or dst   row DROPPED (poison-pill convention)
+    JSON missing val          kept, ``val`` = 0.0
+    JSON missing/bad ts       kept, ``ts`` = broker append time
+    JSON extra fields         ignored (schema projection)
+    NULL/empty value bytes    row DROPPED
+    CSV too few fields        missing fields NULL → same rules as JSON
+    CSV non-numeric src/dst   that field NULL → row DROPPED
+    CSV extra fields          trailing fields ignored
+    ========================  =========================================
     """
     v = F.col("value").cast("string")
     if value_format == "json":

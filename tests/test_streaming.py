@@ -376,6 +376,128 @@ def test_kafka_shaped_source_adapts_to_edge_operators(spark, tmp_path):
     assert _sorted_rows(got) == want
 
 
+def _kafka_shaped(spark, values: list, broker_ts: str = "2026-01-02 03:04:05"):
+    """Golden-bytes Kafka frame: each element of ``values`` is raw value
+    bytes (or None), wrapped in the exact format('kafka') column set."""
+    import pyspark.sql.functions as F
+
+    return spark.createDataFrame(
+        [
+            (
+                None,
+                bytearray(v) if v is not None else None,
+                "edges",
+                i % 3,
+                i,
+                broker_ts,
+                0,
+            )
+            for i, v in enumerate(values)
+        ],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp string, timestampType int",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+
+
+def test_kafka_payload_contract_json(spark):
+    """Malformed-JSON contract (VERDICT r13 item 5): every malformed
+    class either drops the row or degrades the field per the
+    edges_from_kafka docstring table — never fails the query. Golden
+    bytes, no broker."""
+    import datetime
+
+    from gelly_streaming_spark.streaming import edges_from_kafka
+
+    broker = datetime.datetime(2026, 1, 2, 3, 4, 5)
+    values = [
+        b'{"src": 1, "dst": 2, "val": 3.5, "ts": "2026-01-01 00:00:01"}',  # clean
+        b'{"src": 3, "dst": 4}',                    # missing val+ts -> 0.0 + broker ts
+        b'{"src": 5, "dst": 6, "val": null, "ts": "not a time"}',  # bad ts -> broker
+        b'{"src": 7, "dst": 8, "val": 1.0, "extra": "ignored", "ts": "2026-01-01 00:00:02"}',
+        b'{"src": 9}',                              # missing dst -> dropped
+        b'{"dst": 10}',                             # missing src -> dropped
+        b'{"src": "abc", "dst": 11}',               # wrong type -> NULL src -> dropped
+        b'{"src": 12, "dst": 13',                   # truncated JSON -> dropped
+        b"not json at all",                         # garbage -> dropped
+        b"\xff\xfe\x00\x9c",                        # non-UTF8 -> dropped
+        b"",                                        # empty bytes -> dropped
+        None,                                       # NULL value -> dropped
+    ]
+    out = {
+        (r.src, r.dst): r
+        for r in edges_from_kafka(_kafka_shaped(spark, values)).collect()
+    }
+    assert set(out) == {(1, 2), (3, 4), (5, 6), (7, 8)}, out
+    assert out[(1, 2)].val == 3.5
+    assert out[(1, 2)].ts == datetime.datetime(2026, 1, 1, 0, 0, 1)
+    assert out[(3, 4)].val == 0.0          # missing val defaults
+    assert out[(3, 4)].ts == broker        # missing ts -> broker append time
+    assert out[(5, 6)].val == 0.0          # explicit null val defaults
+    assert out[(5, 6)].ts == broker        # unparseable ts -> broker fallback
+    assert out[(7, 8)].val == 1.0          # extra fields ignored
+
+
+def test_kafka_payload_contract_csv(spark):
+    """Malformed-CSV contract: short rows, non-numeric keys, and extra
+    trailing fields follow the documented drop/degrade rules."""
+    import datetime
+
+    from gelly_streaming_spark.streaming import edges_from_kafka
+
+    broker = datetime.datetime(2026, 1, 2, 3, 4, 5)
+    values = [
+        b"1,2,3.5,2026-01-01 00:00:01",   # clean
+        b"3,4",                           # too few fields -> val/ts degrade
+        b"5,6,oops,also-not-a-time",      # bad val+ts -> 0.0 + broker
+        b"7,8,1.0,2026-01-01 00:00:02,surplus,fields",  # extras ignored
+        b"abc,9,1.0,2026-01-01 00:00:03",  # non-numeric src -> dropped
+        b"10",                            # dst missing -> dropped
+        b"",                              # empty -> dropped
+        None,                             # NULL value -> dropped
+    ]
+    out = {
+        (r.src, r.dst): r
+        for r in edges_from_kafka(
+            _kafka_shaped(spark, values), value_format="csv"
+        ).collect()
+    }
+    assert set(out) == {(1, 2), (3, 4), (5, 6), (7, 8)}, out
+    assert out[(1, 2)].val == 3.5
+    assert out[(3, 4)].val == 0.0 and out[(3, 4)].ts == broker
+    assert out[(5, 6)].val == 0.0 and out[(5, 6)].ts == broker
+    assert out[(7, 8)].val == 1.0
+    assert out[(7, 8)].ts == datetime.datetime(2026, 1, 1, 0, 0, 2)
+
+
+def test_kafka_payload_contract_streaming_partial_batch(spark, tmp_path):
+    """A batch mixing poison pills with clean records must emit the
+    clean records' answer — the malformed rows vanish without failing
+    or stalling the micro-batch (the day-one production-ingest path)."""
+    import json
+
+    from gelly_streaming_spark.streaming import edges_from_kafka
+
+    good = [
+        json.dumps(
+            {"src": i % 5, "dst": (i + 1) % 5, "val": 1.0,
+             "ts": f"2026-01-01 00:00:{i:02d}"}
+        ).encode()
+        for i in range(20)
+    ]
+    poison = [b"{broken", b"\xff\xfe", None, b'{"src": null, "dst": 1}']
+    # interleave so every micro-batch carries at least one poison pill
+    values = [v for pair in zip(good, (poison * 5)[:20]) for v in pair]
+    frame = _kafka_shaped(spark, values)
+
+    want = _sorted_rows(GraphStream(edges_from_kafka(frame)).degrees())
+    stream = replay(frame, str(tmp_path / "kafka_poison"), num_batches=4)
+    got = run_to_memory(
+        GraphStream(edges_from_kafka(stream)).degrees(), "complete"
+    )
+    assert _sorted_rows(got) == want
+    assert want, "clean records must survive"
+
+
 def test_replay_clears_stale_chunks(spark, tmp_path):
     """Reusing a stage dir must replay ONLY the new frame — stale chunk
     files from a previous call must not be unioned in."""
