@@ -279,8 +279,31 @@ def fingerprints() -> dict[str, dict[str, str]]:
 
     out: dict[str, dict[str, str]] = {}
     for name, q in Q.REGISTRY.items():
-        src = inspect.getsource(q.fn)
-        helpers = _referenced_helpers(src, q.fn.__name__)
+        # unwrap the plan-memo decorator (r14): fingerprinting the
+        # wrapper would collapse every memoized query onto ONE shared
+        # source — edits to the real fn body would never stale, a
+        # certification hole
+        fn = inspect.unwrap(q.fn)
+        # The SELF hash covers the query's semantic content: fn BODY +
+        # oracle SQL + referenced helpers. The @_q decorator line is
+        # STRIPPED first (r14): it carries only the name (the manifest
+        # key), the SQL (hashed directly from q.sql — a _VIEW_SQL or
+        # _QNN_SQL edit still flips the hash through the generated
+        # string), the doc (cosmetic), and the memo_plan flag
+        # (registration plumbing). Hashing the decorator staled the
+        # ENTIRE registry on any registration-mechanics change — 77 >
+        # the 50-slot window, defeating the triage this split exists
+        # for (observed r14: adding the memo_plan flag). It also pulled
+        # _q/Query/_memo_plan into every query's helper graph, with the
+        # same whole-registry blast radius.
+        src = inspect.getsource(fn)
+        body_lines = src.splitlines(keepends=True)
+        first_def = next(
+            (i for i, ln in enumerate(body_lines) if ln.lstrip().startswith("def ")),
+            0,
+        )
+        src = "".join(body_lines[first_def:])
+        helpers = _referenced_helpers(src, fn.__name__)
         hs = hashlib.sha256()
         hs.update(src.encode())
         hs.update((q.sql or "").encode())
@@ -289,6 +312,16 @@ def fingerprints() -> dict[str, dict[str, str]]:
             hs.update(htext.encode())
         self_fp = hs.hexdigest()
         hf = hashlib.sha256(self_fp.encode())
+        # memo_plan flips change execution plumbing without touching
+        # the body — record the wrapper marker (and, for memoized
+        # queries, the wrapper's own source) in the FULL hash so a flag
+        # flip or a _memo_plan logic edit makes the query owner-stale
+        # (band 1), never invisible.
+        if hasattr(q.fn, "__wrapped__"):
+            hf.update(b"memo")
+            hf.update(inspect.getsource(Q._memo_plan).encode())
+        else:
+            hf.update(b"raw")
         # owner derivation scans the fn source AND every referenced
         # CODE helper's source: a helper like _q15_edges builds the
         # query's input from sources/edges.py, so a module referenced

@@ -16,6 +16,7 @@ from gelly_streaming_spark.ext.dedup import (
 from gelly_streaming_spark.ext.embeddings import (
     embedding_near_dup_pairs,
     ivf_index,
+    kmeans_refine_distributed,
     knn_bruteforce,
     knn_ivf,
     knn_lsh,
@@ -24,6 +25,7 @@ from gelly_streaming_spark.ext.embeddings import (
     pq_codebooks_trained,
     pq_encode,
     pq_index,
+    residue_centroids,
     semantic_decontaminate,
     semantic_dedup,
 )
@@ -82,6 +84,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "ivf_index",
     "knn_bruteforce",
+    "kmeans_refine_distributed",
     "knn_ivf",
     "semantic_dedup",
     "ngram_lm_scores",

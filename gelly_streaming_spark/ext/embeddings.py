@@ -564,6 +564,90 @@ def _kmeans_centroids(
     return cents
 
 
+def residue_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """FIXED deterministic quantizer init: per-(``id % n_clusters``)
+    elementwise means — the residue-class convention that makes trainer
+    certification portable (same family as ``label_centroids`` /
+    ``pq_codebooks``, but keyed on the id so it needs no label column).
+    ONE (k, dim) partial-agg mean shuffle + a bounded
+    ``n_clusters x dim`` collect. Raises if any residue class is empty
+    (a zero centroid would make cosine against it undefined — dense
+    integer id spaces, the intended input, cannot trigger this)."""
+    ex = corpus.select(
+        F.pmod(F.col(id_col), F.lit(n_clusters)).alias("k"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+    )
+    rows = ex.groupBy("k", "d").agg(F.avg("x").alias("m")).collect()
+    if not rows:
+        raise ValueError("residue_centroids: empty corpus")
+    dim = 1 + max(r["d"] for r in rows)
+    seen = {r["k"] for r in rows}
+    missing = set(range(n_clusters)) - seen
+    if missing:
+        raise ValueError(
+            f"residue_centroids: empty residue classes {sorted(missing)} "
+            f"(corpus has no ids ≡ those values mod {n_clusters})"
+        )
+    cents = np.zeros((n_clusters, dim))
+    for r in rows:
+        cents[r["k"]][r["d"]] = r["m"]
+    return cents
+
+
+def kmeans_refine_distributed(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """DISTRIBUTED Lloyd's refinement (VERDICT r13 item 3): full-batch
+    k-means iterations expressed as DataFrame operations, so quantizer
+    training no longer requires the corpus sample to fit on the driver.
+
+    Per iteration:
+      1. assignment — the existing GEMM Arrow map pass
+         (``_assign_clusters``, nprobe=1): no shuffle, vectors scored
+         where they were scanned;
+      2. re-estimation — posexplode to (cluster, dim, x) rows into ONE
+         map-side-combining (cluster, dim) average shuffle (the q45
+         ``label_centroids`` kernel shape);
+      3. a bounded ``n_clusters x dim`` collect carries the new
+         centroids to the driver for the next round's broadcast —
+         O(k·d) doubles, never corpus-sized.
+
+    Empty clusters keep their previous centroid (deterministic — no
+    RNG reseed, unlike the sample trainer, so the whole refinement is
+    replayable in SQL and hash-certifiable: q65). 100 TB shape: M
+    iterations = M corpus map passes + M tiny shuffles; at that scale
+    prefer few iterations over a good init (e.g. ``residue_centroids``
+    or a ``_kmeans_centroids`` sample run) — the standard
+    MLlib/FAISS-style train recipe with the assign pass reused as is."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cents = np.array(centroids, dtype=float, copy=True)
+    for _ in range(int(iters)):
+        a = _assign_clusters(c, cents, "vec_id", "v", nprobe=1)
+        rows = (
+            a.select("cluster", F.posexplode("v").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        nxt = cents.copy()
+        for r in rows:
+            nxt[r["cluster"]][r["d"]] = r["m"]
+        cents = nxt
+    return cents
+
+
 def _assign_clusters(
     df: DataFrame, cents: np.ndarray, id_alias: str, vec_alias: str, nprobe: int
 ) -> DataFrame:

@@ -2947,6 +2947,82 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle unrolls the WHOLE distributed training pipeline (VERDICT
+# r13 item 3): residue-class-mean init (vec_id % 16 — the q45/q48/q54
+# fixed-quantizer convention, id-keyed so no label column is involved),
+# ONE full-batch Lloyd's iteration (argmax-cosine assignment with the
+# smallest-cluster tie-break, then per-(cluster, dim) AVG), then the
+# q48 IVF search against the REFINED centroids. Engine assignment runs
+# the GEMM Arrow kernel, duck runs list_cosine_similarity — the q23
+# fold-cosine contract plus measured argmax margins make membership
+# sets identical, after which both engines' AVGs see the same rows.
+# Margins (measured r14, min over the corpus): init-assignment top1-
+# top2 cosine gap 3.1e-4 / 2.0e-4 / 1.8e-6 at sf0.001/0.01/0.1;
+# refined-assignment gap 3.9e-4 / 8.4e-5 / 6.1e-5; k=5 rank-boundary
+# gap ≥4.8e-4; distance to the round-6 boundary ≥2.5e-3 (1e-6 units) —
+# the tightest (1.8e-6 raw) sits ~9 orders above the ~1e-15-relative
+# cross-engine drift of one fold-cosine + AVG chain.
+_Q65_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex0 AS (SELECT vec_id % 16 AS k, unnest(v) AS x,
+               unnest(range(1, len(v)+1)) AS d FROM e),
+c0 AS (SELECT k, list(m ORDER BY d) AS c
+       FROM (SELECT k, d, AVG(x) AS m FROM ex0 GROUP BY k, d) GROUP BY k),
+a0 AS (SELECT vec_id, k AS cluster FROM (
+         SELECT e.vec_id, c0.k,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                   ORDER BY list_cosine_similarity(e.v, c0.c) DESC, c0.k) AS rn
+         FROM e CROSS JOIN c0) WHERE rn = 1),
+ex1 AS (SELECT a0.cluster, unnest(e.v) AS x,
+               unnest(range(1, len(e.v)+1)) AS d
+        FROM e JOIN a0 USING (vec_id)),
+c1 AS (SELECT cluster AS clabel, list(m ORDER BY d) AS c
+       FROM (SELECT cluster, d, AVG(x) AS m FROM ex1 GROUP BY cluster, d)
+       GROUP BY cluster),
+ca AS (SELECT vec_id, clabel AS cluster FROM (
+         SELECT e.vec_id, c1.clabel,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                   ORDER BY list_cosine_similarity(e.v, c1.c) DESC, c1.clabel) AS rn
+         FROM e CROSS JOIN c1) WHERE rn = 1),
+qa AS (SELECT vec_id AS qid, clabel AS cluster FROM (
+         SELECT e.vec_id, c1.clabel,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                   ORDER BY list_cosine_similarity(e.v, c1.c) DESC, c1.clabel) AS rn
+         FROM e CROSS JOIN c1 WHERE e.vec_id BETWEEN 1 AND 10) WHERE rn <= 2),
+scored AS (SELECT qa.qid, ca.vec_id, list_cosine_similarity(eq.v, ec.v) AS sim
+           FROM qa JOIN ca ON ca.cluster = qa.cluster AND ca.vec_id != qa.qid
+           JOIN e eq ON eq.vec_id = qa.qid JOIN e ec ON ec.vec_id = ca.vec_id),
+ranked AS (SELECT qid, vec_id, sim,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+           FROM scored)
+SELECT qid, vec_id, ROUND(sim, 6) AS sim FROM ranked WHERE rn <= 5
+"""
+
+
+@_q("q65_ivf_train_distributed", _Q65_SQL,
+    "distributed IVF quantizer training certification (VERDICT r13 "
+    "item 3): residue-class-mean init -> ONE full-batch Lloyd's "
+    "iteration as DataFrame ops (GEMM assign map pass, (cluster,dim) "
+    "partial-agg mean shuffle, bounded k*d collect) -> q48-shaped "
+    "nprobe-2 IVF search against the REFINED centroids — promotes "
+    "quantizer training from driver-sample-only (property-tested) to "
+    "a hash-certified distributed path")
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.embeddings import (
+        kmeans_refine_distributed,
+        knn_ivf,
+        residue_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = residue_centroids(emb, n_clusters=16)
+    cents = kmeans_refine_distributed(emb, init, iters=1)
+    qs = emb.where(F.col("vec_id").between(1, 10))
+    return knn_ivf(
+        emb, qs, k=5, n_clusters=16, nprobe=2, centroids=cents
+    ).select("qid", "vec_id", "sim")
+
+
 # Driver-certification export order. The correctness harness records the
 # FIRST 50 entries of queries() in iteration order (CORRECTNESS_r08: 62
 # registered, exactly the first 50 got rows). Since r10 the ordering is
@@ -2992,9 +3068,9 @@ _CERT_ORDER: list[str] = [
     "q53_lm_perplexity", "q54_knn_pq_adc", "q55_semantic_decontaminate",
     "q56_pagerank", "q57_bfs_khop", "q58_quality_classifier",
     "q59_pmi_collocations", "q60_label_propagation",
-    # -- r14 adversarial-skew certifications --
+    # -- r14 adversarial-skew certifications + distributed ANN training --
     "q61_cc_skew_hub", "q62_hot_shingle_passages", "q63_lsh_hot_bucket",
-    "q64_passage_dedup_skew",
+    "q64_passage_dedup_skew", "q65_ivf_train_distributed",
 ]
 
 
@@ -3013,23 +3089,29 @@ def _export_order() -> list[str]:
     # three bands:
     #   0 — self-stale / never-certified: the query's own code or SQL
     #       changed; MUST re-certify this round;
-    #   1 — owner-stale: a shared operator module changed underneath an
-    #       otherwise-untouched query; re-certify while slots allow
-    #       (overflow keeps its old manifest entry and rotates in next
-    #       round);
-    #   2 — fresh: certified evidence matches shipped code.
-    # Bands 0/1 break ties by the static tier list (stale §2 rows
-    # outrank stale extension rows). Band 2 rotates by EVIDENCE AGE —
-    # oldest stamped round first (r12): with more registered queries
-    # than window slots, static tiers alone let the same fresh rows
-    # rotate out round after round (q20b/q22/q24/q30/q32/q34 would have
-    # carried r10 evidence through r12); age-first ordering guarantees
-    # whoever re-certified longest ago claims the next free slot.
+    #   1 — needs-recert: owner-stale rows (a shared operator module
+    #       changed underneath an otherwise-untouched query) AND fresh
+    #       rows whose evidence is ≥2 rounds old — both re-certify
+    #       while slots allow (overflow keeps its old manifest entry
+    #       and rotates in next round);
+    #   2 — fresh with recent evidence.
+    # Band 1 sorts by EVIDENCE AGE first, then the static tier list
+    # (r14: a wide owner-module change — e.g. registration plumbing
+    # touching all memoized queries — used to fill the whole band with
+    # round-(N-1) owner-stale rows and starve the oldest-evidence fresh
+    # rows, so q22/q30 would have ridden r12 evidence through r14,
+    # breaking the no-row-older-than-2-rounds freshness contract;
+    # age-first ordering gives the oldest evidence the first claim
+    # regardless of which band membership put it there). Band 2 keeps
+    # the same age-first rotation (r12): whoever re-certified longest
+    # ago claims the next free slot.
+    max_round = max(rounds.values(), default=0)
+
     def key(n: str):
         if n in urgent:
             return (0, 0, pos.get(n, -1), n)
-        if n in stale:
-            return (1, 0, pos.get(n, -1), n)
+        if n in stale or rounds.get(n, 0) <= max_round - 1:
+            return (1, rounds.get(n, 0), pos.get(n, -1), n)
         return (2, rounds.get(n, 0), pos.get(n, -1), n)
 
     return sorted(REGISTRY, key=key)

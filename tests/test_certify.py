@@ -51,7 +51,14 @@ def test_owner_derivation_through_helper_bodies(monkeypatch):
     HELPER body must still own the helper's callers — q15b's input is
     built by _q15_edges from sources/edges.py (via the E. name mapping),
     and an edges.py edit previously staled nothing for it."""
-    src = inspect.getsource(Q.REGISTRY["q15b_cc_summary"].fn)
+    # fingerprints() hashes the decorator-STRIPPED source (r14), so the
+    # wiring check below must look for the same def-onward text
+    full = inspect.getsource(Q.REGISTRY["q15b_cc_summary"].fn)
+    lines = full.splitlines(keepends=True)
+    src = "".join(
+        lines[next(i for i, ln in enumerate(lines)
+                   if ln.lstrip().startswith("def ")):]
+    )
     helpers = certify._referenced_helpers(src, "q15b")
     scan = "\n".join([src, *(t for _, k, t in helpers if k == "src")])
     assert "sources/edges.py" in rel(certify._owner_modules(scan))
@@ -260,6 +267,34 @@ def test_ship_invariant_self_stale_within_window():
     urgent = certify.self_stale_queries()
     window = set(Q._export_order()[: certify.WINDOW])
     assert urgent <= window, f"self-stale outside window: {sorted(urgent - window)}"
+
+
+def test_export_order_age_beats_owner_staleness(monkeypatch):
+    """Freshness contract (VERDICT r13 item 6): a FRESH query whose
+    evidence is ≥2 rounds old joins the needs-recert band and outranks
+    owner-stale rows with newer evidence — a wide owner-module change
+    must not starve the oldest-evidence rows out of the window (the
+    r14 registration-plumbing change would have ridden q22/q30 on r12
+    evidence through r14 otherwise)."""
+    names = list(Q.REGISTRY)
+    old_fresh, newer_owner_stale = names[0], names[1]
+    rounds = {n: 13 for n in names}
+    rounds[old_fresh] = 12          # fresh, but 2 rounds old at r14
+    monkeypatch.setattr(
+        "gelly_streaming_spark.certify.self_stale_queries", lambda: set()
+    )
+    monkeypatch.setattr(
+        "gelly_streaming_spark.certify.stale_queries",
+        lambda: {newer_owner_stale},
+    )
+    monkeypatch.setattr(
+        "gelly_streaming_spark.certify.certified_rounds", lambda: rounds
+    )
+    order = Q._export_order()
+    assert order.index(old_fresh) < order.index(newer_owner_stale), (
+        "round-12 fresh evidence must claim a slot before round-13 "
+        "owner-stale rows"
+    )
 
 
 def test_stamp_from_correctness_stamps_only_green_rows(monkeypatch, tmp_path):

@@ -311,6 +311,57 @@ def test_knn_ivf_recall_and_determinism(emb):
     assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
 
 
+def test_kmeans_refine_distributed_converges_and_handles_empty(spark):
+    """Distributed Lloyd's refinement (VERDICT r13 item 3): on a fixture
+    with two tight, well-separated direction clusters, one iteration
+    from a deliberately-bad init moves each centroid to the exact mean
+    of its (cosine-)assigned members; a cluster that captures no members
+    keeps its previous centroid verbatim (deterministic, no RNG)."""
+    import numpy as np
+
+    from gelly_streaming_spark.ext.embeddings import kmeans_refine_distributed
+
+    # cluster A hugs +x, cluster B hugs +y
+    vecs = [
+        (0, [10.0, 1.0]), (1, [12.0, 0.5]), (2, [9.0, -0.5]),
+        (3, [1.0, 10.0]), (4, [0.5, 12.0]), (5, [-0.5, 9.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs], "vec_id long, embedding array<double>"
+    )
+    # bad-but-separating init: one centroid toward +x, one toward +y,
+    # and a third pointing at -x that captures nothing
+    init = np.array([[1.0, 0.0], [0.0, 1.0], [-1.0, -1.0]])
+    out = kmeans_refine_distributed(emb, init, iters=1)
+    a = np.mean([v for _, v in vecs[:3]], axis=0)
+    b = np.mean([v for _, v in vecs[3:]], axis=0)
+    assert np.allclose(out[0], a), out[0]
+    assert np.allclose(out[1], b), out[1]
+    assert np.allclose(out[2], init[2]), "empty cluster must keep its centroid"
+    # idempotence at the fixpoint: assignments cannot change, so a
+    # second iteration reproduces the same centroids exactly
+    again = kmeans_refine_distributed(emb, out, iters=1)
+    assert np.allclose(again, out)
+
+
+def test_residue_centroids_means_and_empty_class_guard(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from gelly_streaming_spark.ext.embeddings import residue_centroids
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    c = residue_centroids(emb, n_clusters=2)
+    assert np.allclose(c[0], [3.0, 1.0])  # mean of ids 0,2,4,6
+    assert np.allclose(c[1], [4.0, 1.0])  # mean of ids 1,3,5,7
+    only_even = emb.where(F.col("vec_id") % 2 == 0)
+    with _pytest.raises(ValueError, match="empty residue"):
+        residue_centroids(only_even, n_clusters=2)
+
+
 def test_multimodal_plumbing(docs):
     media = synthetic_media(docs)
     feats = extract_features(media)
