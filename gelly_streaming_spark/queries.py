@@ -3023,6 +3023,124 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id", "sim")
 
 
+# ---------------------------------------------------------------------------
+# Q66s/Q67s: streaming late-data certification (VERDICT r13 item 4).
+# Three micro-batches with deliberately OUT-OF-ORDER arrival: rows with
+# ts before the cutoff are re-sequenced to arrive LAST (batch 3), by
+# which point the watermark — advanced by the two preceding on-time
+# batches to ~day 20 — has closed their windows, so Structured
+# Streaming must DROP them (the withWatermark late-row contract). The
+# oracle computes the post-drop answer, so the hash gate fails if late
+# rows leak in OR if on-time rows are over-dropped. The cutoff sits
+# mid-window (00:30) so the first surviving window's COUNT (not just
+# row presence) proves the drop. Drop margins are ~18 days of watermark
+# vs a 1-hour window — batch-boundary placement (ceil splits of the
+# arrival-ordered table) cannot flip an outcome at any SF, because the
+# late cohort is <4% of rows (always inside the final batch) and the
+# on-time 1/3-quantile timestamp is ≥ day 9 at every SF.
+# ---------------------------------------------------------------------------
+_Q66S_CUTOFF = "2024-01-02 00:30:00"
+
+_Q66S_SQL = _with(
+    f"""
+SELECT date_trunc('hour', ts) AS bucket, src AS id, COUNT(*) AS cnt
+FROM edges_events
+WHERE src < 120 AND ts >= TIMESTAMP '{_Q66S_CUTOFF}'
+  AND date_trunc('hour', ts) < (SELECT date_trunc('hour', MAX(ts))
+                                FROM edges_events WHERE src < 120)
+GROUP BY 1, 2
+""",
+    "edges_events",
+)
+
+
+def _late_replay(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
+    """3-batch out-of-order feed: on-time rows stream in event-time
+    order, rows before the cutoff arrive LAST (their +1e12 arrival key
+    sorts them after every on-time row)."""
+    # vertex set bounded (src < 120, pushed into the scan) — the q15e
+    # convention: the late-drop semantics are user-count-invariant, and
+    # the unbounded fixture made the 3-batch stateful replay pay for
+    # 92k output windows (7.4 s at sf0.1 vs ~2 s bounded)
+    ev = (
+        E.edges_events(spark, sf_dir)
+        .where(F.col("src") < 120)
+        .select("src", "dst", "val", "ts")
+    )
+    late = F.col("ts") < F.lit(_Q66S_CUTOFF).cast("timestamp")
+    feed = ev.withColumn(
+        "arrival",
+        F.when(late, F.lit(10**12) + F.unix_timestamp("ts"))
+        .otherwise(F.unix_timestamp("ts"))
+        .cast("long"),
+    )
+    stream = _replay_tmp(
+        feed, num_batches=3, order_by="arrival", key=f"{key}:{sf_dir}"
+    )
+    return stream.select("src", "dst", "val", "ts")
+
+
+@_q("q66s_streaming_late_drop", _Q66S_SQL,
+    "watermark late-row DROP certification, append mode (VERDICT r13 "
+    "item 4): 3 micro-batches, pre-cutoff rows re-sequenced to arrive "
+    "after the watermark closed their windows — final append output ≡ "
+    "the batch answer over ON-TIME rows only, under the q27s final-"
+    "watermark emission cutoff; the 00:30 mid-window cutoff makes the "
+    "first surviving window a COUNT-level proof of the drop")
+def q66s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.streaming.runner import run_to_memory
+
+    with _parity_stream_confs(spark):
+        stream = _late_replay(spark, sf_dir, "q66s")
+        agg = (
+            GraphStream(stream)
+            .with_watermark("0 seconds")
+            .slice("1 hour", "out")
+            .reduce_on_edges(F.count(F.lit(1)).alias("cnt"))
+        )
+        return run_to_memory(agg, "append")
+
+
+# Update-mode sibling: no emission cutoff — update mode emits every
+# changed window each batch and run_update_merge keeps the LAST upsert
+# per (bucket, id), so the final state covers ALL surviving windows
+# including the ones the watermark never closed. The oracle is the same
+# on-time aggregation WITHOUT the max-ts clause; a late row leaking
+# into batch 3 would re-emit its window with an inflated count and
+# corrupt the upserted state — the hash gate certifies the merge AND
+# the drop together.
+_Q67S_SQL = _with(
+    f"""
+SELECT date_trunc('hour', ts) AS bucket, src AS id, COUNT(*) AS cnt
+FROM edges_events
+WHERE src < 120 AND ts >= TIMESTAMP '{_Q66S_CUTOFF}'
+GROUP BY 1, 2
+""",
+    "edges_events",
+)
+
+
+@_q("q67s_streaming_late_drop_update", _Q67S_SQL,
+    "watermark late-row DROP certification, update-merge mode (VERDICT "
+    "r13 item 4): the same 3-batch out-of-order feed through an "
+    "UPDATE-mode windowed aggregation with keyed upserts "
+    "(run_update_merge) — final upserted state ≡ batch answer over "
+    "on-time rows across every window, proving cross-batch upsert "
+    "merging and late-row dropping compose")
+def q67s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.streaming.runner import run_update_merge
+
+    with _parity_stream_confs(spark):
+        stream = _late_replay(spark, sf_dir, "q67s")
+        agg = (
+            GraphStream(stream)
+            .with_watermark("0 seconds")
+            .slice("1 hour", "out")
+            .reduce_on_edges(F.count(F.lit(1)).alias("cnt"))
+        )
+        return run_update_merge(agg, ["bucket", "id"])
+
+
 # Driver-certification export order. The correctness harness records the
 # FIRST 50 entries of queries() in iteration order (CORRECTNESS_r08: 62
 # registered, exactly the first 50 got rows). Since r10 the ordering is
@@ -3071,6 +3189,7 @@ _CERT_ORDER: list[str] = [
     # -- r14 adversarial-skew certifications + distributed ANN training --
     "q61_cc_skew_hub", "q62_hot_shingle_passages", "q63_lsh_hot_bucket",
     "q64_passage_dedup_skew", "q65_ivf_train_distributed",
+    "q66s_streaming_late_drop", "q67s_streaming_late_drop_update",
 ]
 
 
