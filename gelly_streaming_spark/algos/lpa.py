@@ -85,6 +85,146 @@ def _try_small_lpa(
     return eu.sparkSession.createDataFrame(pdf, "id long, lbl long")
 
 
+def _try_small_weighted_lpa(
+    eu: DataFrame, iters: int, small_input_rows: int
+) -> DataFrame | None:
+    """Weighted sibling of _try_small_lpa: the collected weights are
+    exact decimals (python Decimal), so driver-side score sums and
+    comparisons are exact — identical to the distributed decimal path
+    and the oracle's DECIMAL arithmetic."""
+    if small_input_rows <= 0:
+        return None
+    import pandas as pd
+
+    from gelly_streaming_spark.plans.probe import bounded_take
+
+    tbl = bounded_take(eu.select("src", "dst", "w"), small_input_rows, as_arrow=True)
+    if tbl.num_rows > small_input_rows:
+        return None
+    adj: dict = {}
+    for a, b, w in zip(
+        tbl.column("src").to_pylist(),
+        tbl.column("dst").to_pylist(),
+        tbl.column("w").to_pylist(),
+    ):
+        adj.setdefault(a, []).append((b, w))
+    lbl = {v: v for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        changed = False
+        for v, neigh in adj.items():
+            scores: dict = {}
+            for u, w in neigh:
+                scores[lbl[u]] = scores.get(lbl[u], 0) + w
+            best = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            nxt[v] = best
+            changed = changed or best != lbl[v]
+        lbl = nxt
+        if not changed:
+            break
+    pdf = pd.DataFrame(sorted(lbl.items()), columns=["id", "lbl"])
+    return eu.sparkSession.createDataFrame(pdf, "id long, lbl long")
+
+
+def weighted_label_propagation(
+    stream: GraphStream,
+    iters: int = 3,
+    weight_col: str = "val",
+    small_input_rows: int = 100_000,
+) -> DataFrame:
+    """Rows (id, lbl): weighted synchronous LPA — each vertex adopts the
+    label with the LARGEST summed incident edge weight among its
+    neighbors' previous-round labels, ties broken by the smallest label.
+
+    Weight contract (exact, certifiable): weights go through
+    DECIMAL(18,2) and every score is a decimal SUM — aggregation order
+    cannot flip a comparison, so the cross-engine hash needs no float
+    margins (the q60 integer-exactness property, kept under weighting).
+    Parallel edges and both directions of an unordered pair SUM into
+    one symmetric weight before the loop (one (src, dst) partial-agg
+    shuffle); self-loops are dropped.
+
+    Same 100 TB loop shape as ``label_propagation``: per round ONE
+    (vertex, label)-keyed partial-agg SUM shuffle, the windowless
+    ``max(struct(score, -lbl))`` argmax fold, one left join back to the
+    |V|-row label table, per-round checkpoint carrying the changed-label
+    observation."""
+    if iters < 1:
+        raise ValueError(
+            f"weighted_label_propagation: iters must be >= 1, got {iters}"
+        )
+    w = F.col(weight_col).cast("decimal(18,2)").alias("w")
+    e = stream.edges.select("src", "dst", w).where(F.col("src") != F.col("dst"))
+    eu = (
+        e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    small = _try_small_weighted_lpa(eu, iters, small_input_rows)
+    if small is not None:
+        return small
+
+    from pyspark.sql import Observation
+
+    obs_e = Observation()
+    eu = eu.observe(obs_e, F.count(F.lit(1)).alias("n")).localCheckpoint()
+
+    sess_conf = stream.edges.sparkSession.conf
+    old_parts = sess_conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(old_parts), int(obs_e.get["n"]) // 500_000 + 1))
+
+    labels = (
+        eu.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_ckpt = labels
+    try:
+        sess_conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        for i in range(iters):
+            cnt = (
+                eu.join(labels, eu["src"] == labels["id"])
+                .select(F.col("dst").alias("vid"), "lbl", "w")
+                .groupBy("vid", "lbl")
+                .agg(F.sum("w").alias("c"))
+            )
+            pick = cnt.groupBy("vid").agg(
+                (-F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl")))["nl"])
+                .alias("new_lbl")
+            )
+            obs = Observation()
+            nxt = (
+                labels.join(pick, labels["id"] == pick["vid"], "left")
+                .select(
+                    "id",
+                    F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
+                    (
+                        F.coalesce(F.col("new_lbl"), F.col("lbl"))
+                        != F.col("lbl")
+                    ).alias("_chg"),
+                )
+                .observe(obs, F.count_if(F.col("_chg")).alias("chg"))
+                .select("id", "lbl")
+                .localCheckpoint()
+            )
+            changed = int(obs.get["chg"])
+            if prev_ckpt is not None:
+                free_checkpoint(prev_ckpt)
+            prev_ckpt = nxt
+            labels = nxt
+            if changed == 0:
+                break
+    finally:
+        sess_conf.set("spark.sql.shuffle.partitions", old_parts)
+        free_checkpoint(eu)
+    return labels.select("id", "lbl")
+
+
 def label_propagation(
     stream: GraphStream,
     iters: int = 3,

@@ -43,6 +43,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 4,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """Rows (id, pr) — damped PageRank after ``iters`` power-iteration
     steps over the distinct directed edge set, pr rounded to 6dp (the
@@ -58,7 +59,19 @@ def pagerank(
     overhead ~60% of q56's cold cost at local[32]); a 100-round run
     still cuts every 4th round so plan depth stays bounded. The final
     rank table is always checkpointed — the returned plan must not
-    reference the loop-invariant checkpoints the ``finally`` releases."""
+    reference the loop-invariant checkpoints the ``finally`` releases.
+
+    ``sources`` (r14, VERDICT r13 item 7): PERSONALIZED PageRank — the
+    teleport mass concentrates uniformly on the given source vertex set
+    (first column, intersected with the graph's vertices) instead of
+    all vertices: init r0 = tele, per step
+    ``r'(v) = (1-d)·tele(v) + d·Σ r(u)/outdeg(u)`` with ``tele(v) =
+    1/|S|`` on sources, 0 elsewhere — the random-walk-with-restart
+    similarity underlying seed-based curation (find pages 'near' a
+    trusted seed set). One extra |V|-row teleport column carried on the
+    checkpointed vertex table; the loop shape is unchanged. With
+    ``sources=None`` the original uniform path (and its certified q56
+    plan) runs verbatim."""
     if iters < 1:
         raise ValueError(f"pagerank: iters must be >= 1, got {iters}")
     if checkpoint_every < 1:
@@ -93,19 +106,52 @@ def pagerank(
             sess_conf.set("spark.sql.adaptive.enabled", "false")
         od = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
         eo = e.join(od, "src").localCheckpoint()  # loop-invariant
+        vt = verts
+        if sources is not None:
+            s = (
+                sources.select(F.col(sources.columns[0]).alias("id"))
+                .distinct()
+                .join(verts, "id", "left_semi")
+            )
+            ns = s.count()
+            if ns == 0:
+                raise ValueError(
+                    "pagerank: sources is empty (or disjoint from the graph) "
+                    "— personalized teleport mass is undefined"
+                )
+            # teleport column rides the checkpointed vertex table; the
+            # per-round left join below reads vt either way, so the
+            # personalized loop costs no extra shuffle
+            vt = verts.join(
+                s.withColumn("_s", F.lit(True)), "id", "left"
+            ).select(
+                "id",
+                F.when(F.col("_s"), F.lit(1.0 / ns))
+                .otherwise(F.lit(0.0))
+                .alias("tele"),
+            ).localCheckpoint()
         base = (1.0 - damping) / n
-        ranks = verts.withColumn("r", F.lit(1.0 / n))
+        ranks = (
+            verts.withColumn("r", F.lit(1.0 / n))
+            if sources is None
+            else vt.select("id", F.col("tele").alias("r"))
+        )
         prev_ckpt = None  # the superseded rank checkpoint, freed after its successor lands
         for i in range(iters):
             contribs = eo.join(ranks, eo["src"] == ranks["id"]).select(
                 F.col("dst").alias("id"), (F.col("r") / F.col("deg")).alias("c")
             )
             sums = contribs.groupBy("id").agg(F.sum("c").alias("s"))
-            new = verts.join(sums, "id", "left").select(
+            propagated = F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            new = vt.join(sums, "id", "left").select(
                 "id",
                 (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                    (
+                        F.lit(base)
+                        if sources is None
+                        else F.lit(1.0 - damping) * F.col("tele")
+                    )
+                    + propagated
                 ).alias("r"),
             )
             if (i + 1) % checkpoint_every == 0 or i == iters - 1:
@@ -121,7 +167,21 @@ def pagerank(
         free_checkpoint(e)
         if eo is not None:
             free_checkpoint(eo)
-    # verts stays referenced by nothing downstream; the returned plan
-    # reads only the final ranks checkpoint
+    # verts (and the personalized teleport table) stay referenced by
+    # nothing downstream; the returned plan reads only the final ranks
+    # checkpoint
     free_checkpoint(verts)
-    return ranks.select("id", F.round("r", 6).alias("pr"))
+    if sources is not None:
+        free_checkpoint(vt)
+    # Double-round (9dp then 6dp), matched verbatim in the oracles: a
+    # concentrated teleport produces near-dyadic ranks landing EXACTLY
+    # on 6dp boundaries (0.0053125 at q68/sf0.001), where a ~1-ulp
+    # cross-engine drift flips the digit. Both engines' 9dp margins are
+    # ≥4.5e-11 raw (measured, q68 docstring), so ROUND(r, 9) yields
+    # bit-identical doubles and the 6dp decision — including the exact
+    # .5 halves, which both engines round HALF-UP on identical inputs —
+    # can no longer diverge. For the uniform path this is a no-op: the
+    # q56 margin (4.4e-9 raw) exceeds the ≤0.5e-9 9dp perturbation.
+    return ranks.select(
+        "id", F.round(F.round("r", 9), 6).alias("pr")
+    )

@@ -3141,6 +3141,141 @@ def q67s(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_update_merge(agg, ["bucket", "id"])
 
 
+# The oracle unrolls 3 personalized power-iteration steps (the q56
+# convention) with the teleport vector concentrated uniformly on the
+# q57 source set (id % 100 = 1): r0 = tele, r' = 0.15·tele + 0.85·Σ.
+# The engine literal (1-0.85) = 0.15000000000000002 vs the SQL 0.15
+# would differ by ~1.4e-17 relatively — fatal here, unlike q56: the
+# concentrated teleport produces near-dyadic rank values landing
+# EXACTLY on 6dp rounding boundaries (0.0053125 at sf0.001), where any
+# ~1-ulp skew flips the digit. Two defenses, both matched engine-side:
+# the base factor is spelled (1.0 - 0.85) so both engines evaluate the
+# identical IEEE double, and the output double-rounds (9dp then 6dp) —
+# measured 9dp margins 5.6e-11/1.7e-10/4.5e-11 raw at sf0.001/0.01/0.1
+# (>= 500x the residual cross-engine drift), so ROUND(r, 9) is
+# bit-identical cross-engine and the 6dp decision — including exact .5
+# halves, which both engines round HALF-UP on identical inputs —
+# cannot diverge. Post-9dp 6dp margins for non-boundary rows:
+# 0.125/0.136 (1e-6 units) at sf0.01/0.1.
+_Q68_SQL = """
+WITH
+sub AS (SELECT DISTINCT src, dst FROM (
+  SELECT o_custkey AS src, 1000000 + o_orderkey AS dst FROM orders WHERE o_orderkey < 200
+  UNION ALL
+  SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem WHERE l_orderkey < 200)),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM sub UNION ALL SELECT dst FROM sub)),
+s AS (SELECT id FROM verts WHERE id % 100 = 1),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM s),
+t0 AS (SELECT v.id, CASE WHEN s.id IS NOT NULL THEN 1.0/ns.ns ELSE 0.0 END AS t
+       FROM verts v CROSS JOIN ns LEFT JOIN s ON s.id = v.id),
+od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM sub GROUP BY src),
+p0 AS (SELECT id, t AS r FROM t0),
+p1 AS (SELECT v.id, (1.0 - 0.85)*t0.t + 0.85*COALESCE(SUM(p.r/od.deg), 0.0) AS r
+       FROM verts v JOIN t0 ON t0.id = v.id
+       LEFT JOIN sub e ON e.dst = v.id LEFT JOIN p0 p ON p.id = e.src
+       LEFT JOIN od ON od.src = e.src GROUP BY v.id, t0.t),
+p2 AS (SELECT v.id, (1.0 - 0.85)*t0.t + 0.85*COALESCE(SUM(p.r/od.deg), 0.0) AS r
+       FROM verts v JOIN t0 ON t0.id = v.id
+       LEFT JOIN sub e ON e.dst = v.id LEFT JOIN p1 p ON p.id = e.src
+       LEFT JOIN od ON od.src = e.src GROUP BY v.id, t0.t),
+p3 AS (SELECT v.id, (1.0 - 0.85)*t0.t + 0.85*COALESCE(SUM(p.r/od.deg), 0.0) AS r
+       FROM verts v JOIN t0 ON t0.id = v.id
+       LEFT JOIN sub e ON e.dst = v.id LEFT JOIN p2 p ON p.id = e.src
+       LEFT JOIN od ON od.src = e.src GROUP BY v.id, t0.t)
+SELECT id, ROUND(ROUND(r, 9), 6) AS pr FROM p3
+"""
+
+
+@_q("q68_personalized_pagerank", _Q68_SQL,
+    "personalized PageRank / random-walk-with-restart (VERDICT r13 "
+    "item 7): teleport mass concentrated uniformly on the q57 source "
+    "set (id % 100 = 1) — the seed-based curation primitive (pages "
+    "'near' a trusted seed set). Same 3-shuffle Pregel loop as q56 "
+    "with one extra |V|-row teleport column on the checkpointed vertex "
+    "table; hash-certified against a DuckDB unrolled-iteration replica")
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.pagerank import pagerank
+
+    gs = _q15_edges(spark, sf_dir)
+    e = gs.edges
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    sources = verts.where(F.pmod(F.col("id"), F.lit(100)) == 1)
+    return pagerank(gs, iters=3, sources=sources).select("id", "pr")
+
+
+# Weighted LPA oracle: the q60 3-round unroll with COUNT(*) replaced by
+# SUM(DECIMAL weight) — weights go through DECIMAL(18,2) on both sides,
+# so every score is exact and the hash needs no float margins (the q60
+# integer-exactness property preserved under weighting). Parallel edges
+# and both directions of a pair SUM into one symmetric weight first.
+_Q69_SQL = """
+WITH
+sub AS (SELECT src, dst, w FROM (
+  SELECT o_custkey AS src, 1000000 + o_orderkey AS dst,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS w
+  FROM orders WHERE o_orderkey < 200
+  UNION ALL
+  SELECT 1000000 + l_orderkey, 2000000 + l_partkey,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+  FROM lineitem WHERE l_orderkey < 200)
+  WHERE src <> dst),
+eu AS (SELECT u, v, SUM(w) AS w FROM (
+  SELECT src AS u, dst AS v, w FROM sub UNION ALL SELECT dst, src, w FROM sub)
+  GROUP BY u, v),
+l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM eu),
+c1 AS (SELECT e.v AS id, l.lbl, SUM(e.w) AS c FROM eu e JOIN l0 l ON l.id = e.u GROUP BY 1, 2),
+p1 AS (SELECT id, lbl FROM (SELECT id, lbl,
+        ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1),
+l1 AS (SELECT l0.id, COALESCE(p1.lbl, l0.lbl) AS lbl FROM l0 LEFT JOIN p1 USING (id)),
+c2 AS (SELECT e.v AS id, l.lbl, SUM(e.w) AS c FROM eu e JOIN l1 l ON l.id = e.u GROUP BY 1, 2),
+p2 AS (SELECT id, lbl FROM (SELECT id, lbl,
+        ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1),
+l2 AS (SELECT l1.id, COALESCE(p2.lbl, l1.lbl) AS lbl FROM l1 LEFT JOIN p2 USING (id)),
+c3 AS (SELECT e.v AS id, l.lbl, SUM(e.w) AS c FROM eu e JOIN l2 l ON l.id = e.u GROUP BY 1, 2),
+p3 AS (SELECT id, lbl FROM (SELECT id, lbl,
+        ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM c3) WHERE rn = 1),
+l3 AS (SELECT l2.id, COALESCE(p3.lbl, l2.lbl) AS lbl FROM l2 LEFT JOIN p3 USING (id))
+SELECT id, lbl FROM l3
+"""
+
+
+@_q("q69_weighted_lpa", _Q69_SQL,
+    "weighted label propagation (VERDICT r13 item 7): each vertex "
+    "adopts the label with the LARGEST summed incident edge weight, "
+    "ties to the smallest label — weights ride DECIMAL(18,2) sums so "
+    "every score comparison is exact cross-engine (q60's no-float-"
+    "margins property preserved under weighting); certified on BOTH "
+    "the driver fast path and the distributed loop via the q15d "
+    "convention in tests")
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.lpa import weighted_label_propagation
+
+    a = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 200)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(E.ORDER_OFFSET) + F.col("o_orderkey")).alias("dst"),
+            F.col("o_totalprice").alias("val"),
+        )
+    )
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 200)
+        .select(
+            (F.lit(E.ORDER_OFFSET) + F.col("l_orderkey")).alias("src"),
+            (F.lit(E.PART_OFFSET) + F.col("l_partkey")).alias("dst"),
+            F.col("l_extendedprice").alias("val"),
+        )
+    )
+    gs = GraphStream(a.unionByName(b))
+    return weighted_label_propagation(gs, iters=3).select("id", "lbl")
+
+
 # Driver-certification export order. The correctness harness records the
 # FIRST 50 entries of queries() in iteration order (CORRECTNESS_r08: 62
 # registered, exactly the first 50 got rows). Since r10 the ordering is
@@ -3190,6 +3325,7 @@ _CERT_ORDER: list[str] = [
     "q61_cc_skew_hub", "q62_hot_shingle_passages", "q63_lsh_hot_bucket",
     "q64_passage_dedup_skew", "q65_ivf_train_distributed",
     "q66s_streaming_late_drop", "q67s_streaming_late_drop_update",
+    "q68_personalized_pagerank", "q69_weighted_lpa",
 ]
 
 

@@ -295,6 +295,74 @@ def test_pagerank_cycle_is_stationary(spark):
         assert out == {1: 0.333333, 2: 0.333333, 3: 0.333333}
 
 
+def test_personalized_pagerank_hand_fixture(spark):
+    """Teleport concentrated on source {1} over 1->2, 2->3 (3 dangling):
+    r0 = (1,0,0); p1: r1=0.15·1=0.15, r2=0.85·1=0.85, r3=0;
+    p2: r1=0.15, r2=0.85·0.15=0.1275, r3=0.85·0.85=0.7225 — every step
+    hand-verifiable. A non-source vertex gets teleport 0, so its rank
+    is pure propagated mass; sources disjoint from the graph raise."""
+    import pytest as _pytest
+
+    from gelly_streaming_spark.algos.pagerank import pagerank
+
+    gs = GraphStream(
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    out = {r.id: r.pr for r in pagerank(gs, iters=2, sources=src).collect()}
+    assert out == {1: 0.15, 2: 0.1275, 3: 0.7225}
+    # sources outside the vertex set -> undefined teleport -> raise
+    ghost = spark.createDataFrame([(99,)], "id long")
+    with _pytest.raises(ValueError, match="sources is empty"):
+        pagerank(gs, iters=1, sources=ghost)
+    # uniform path is untouched by the sources plumbing
+    uni = {r.id: r.pr for r in pagerank(gs, iters=1).collect()}
+    assert uni == {1: 0.05, 2: 0.333333, 3: 0.333333}
+
+
+def test_weighted_lpa_weight_beats_count(spark):
+    """Weighted LPA must disagree with unweighted exactly where weight
+    says so: star 2-1-3 plus heavy edge (1,4,w=10) — v1's neighbor
+    labels {2,3,4} each appear once (count ties -> min 2 unweighted),
+    but weight 10 on label 4 wins weighted. Parallel edges SUM: two
+    (5,6) edges at w=1.5 each act as w=3.0. Both driver and distributed
+    paths must agree (q15d convention)."""
+    from gelly_streaming_spark.algos.lpa import weighted_label_propagation
+
+    rows = [
+        (2, 1, 1.0), (3, 1, 1.0), (1, 4, 10.0),
+        (5, 6, 1.5), (5, 6, 1.5),
+    ]
+    gs = GraphStream(
+        spark.createDataFrame(rows, "src long, dst long, val double")
+    )
+    for small in (100_000, 0):
+        out = {
+            r.id: r.lbl
+            for r in weighted_label_propagation(
+                gs, 1, small_input_rows=small
+            ).collect()
+        }
+        # v1 -> 4 (weight 10 beats the count-2 tie at labels 2,3);
+        # v4 -> 1; v2/v3 -> 1 (only neighbor); v5 <-> v6 swap labels
+        assert out == {1: 4, 2: 1, 3: 1, 4: 1, 5: 6, 6: 5}, (small, out)
+    # exact-decimal tie: two labels at identical summed weight ->
+    # smallest label wins, deterministically on both paths
+    tie = GraphStream(
+        spark.createDataFrame(
+            [(7, 5, 2.0), (8, 5, 2.0)], "src long, dst long, val double"
+        )
+    )
+    for small in (100_000, 0):
+        out = {
+            r.id: r.lbl
+            for r in weighted_label_propagation(
+                tie, 1, small_input_rows=small
+            ).collect()
+        }
+        assert out[5] == 7, (small, out)
+
+
 def test_bfs_khop_hand_fixture(spark):
     """Path 1-2-3-4-5 plus isolated 9: distances, the max_hops cap, and
     the unreached-vertex omission all verifiable by hand."""
