@@ -3276,6 +3276,69 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_label_propagation(gs, iters=3).select("id", "lbl")
 
 
+# The oracle unrolls 4 BPE merge rounds: pair counts via the q59
+# UNNEST(range) bigram kernel, winner by (count DESC, a, b), and the
+# merge APPLICATION as a DuckDB list_reduce replaying the engine's
+# exact greedy fold (string accumulator with a chr(31) separator —
+# symbols are whitespace tokens and learned merges are space-joined, so
+# neither contains the separator). All-integer + string semantics — no
+# float margins; round N's winning count transitively certifies round
+# N-1's merge application across every document.
+def _q70_sql(rounds: int = 4) -> str:
+    # the 1-row winner CROSS JOINs into the merge scan: DuckDB lambdas
+    # reject subqueries, but capture sibling columns fine
+    merge = (
+        "CASE WHEN len(l) < 2 THEN l ELSE string_split(list_reduce(l, "
+        "(acc, x) -> CASE WHEN list_last(string_split(acc, chr(31))) = "
+        "w{r}.a AND x = w{r}.b "
+        "THEN left(acc, len(acc) - len(list_last(string_split(acc, chr(31))))) "
+        "|| w{r}.a || ' ' || w{r}.b "
+        "ELSE acc || chr(31) || x END), chr(31)) END"
+    )
+    parts = [
+        "WITH t0 AS (SELECT doc_id, "
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l "
+        "FROM documents)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", p{r} AS (SELECT l[i] AS a, l[i+1] AS b, COUNT(*) AS c "
+            f"FROM t{r - 1}, UNNEST(range(1, len(l))) AS u(i) "
+            f"WHERE len(l) >= 2 GROUP BY 1, 2)"
+        )
+        parts.append(
+            f", w{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1)"
+        )
+        if r < rounds:
+            parts.append(
+                f", t{r} AS (SELECT doc_id, "
+                + merge.replace("{r}", str(r))
+                + f" AS l FROM t{r - 1}, w{r})"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS round, a || ' ' || b AS sym, "
+        f"CAST(c AS BIGINT) AS cnt FROM w{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + " " + sel
+
+
+@_q("q70_bpe_merges", _q70_sql(),
+    "BPE-style merge-rule induction, 4 bounded rounds (VERDICT r13 "
+    "item 7): per round ONE (a,b)-keyed partial-agg count shuffle over "
+    "row-locally formed adjacent pairs, a 1-row bounded winner take, "
+    "and a shuffle-free array-fold map pass applying the merge "
+    "greedily left-to-right — learned merges are space-joined symbols, "
+    "so later rounds merge merged symbols (true BPE recursion). "
+    "All-integer semantics; the DuckDB oracle replays the exact fold "
+    "via list_reduce")
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.text import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges(docs, rounds=4).select("round", "sym", "cnt")
+
+
 # Driver-certification export order. The correctness harness records the
 # FIRST 50 entries of queries() in iteration order (CORRECTNESS_r08: 62
 # registered, exactly the first 50 got rows). Since r10 the ordering is
@@ -3325,7 +3388,7 @@ _CERT_ORDER: list[str] = [
     "q61_cc_skew_hub", "q62_hot_shingle_passages", "q63_lsh_hot_bucket",
     "q64_passage_dedup_skew", "q65_ivf_train_distributed",
     "q66s_streaming_late_drop", "q67s_streaming_late_drop_update",
-    "q68_personalized_pagerank", "q69_weighted_lpa",
+    "q68_personalized_pagerank", "q69_weighted_lpa", "q70_bpe_merges",
 ]
 
 

@@ -311,6 +311,36 @@ def test_knn_ivf_recall_and_determinism(emb):
     assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
 
 
+def test_bpe_merges_greedy_and_recursive(spark):
+    """BPE induction hand fixture: greedy non-overlapping application
+    ('a a a a' merges to two 'a a' symbols, never chains through a
+    consumed symbol) and true recursion (round 2 can merge a round-1
+    merged symbol with its neighbor). Winner ties break to the
+    smallest (a, b)."""
+    from gelly_streaming_spark.ext.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a b"),
+            (2, "a a b c"),
+            (3, "a a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.round: (r.sym, r.cnt) for r in bpe_merges(docs, rounds=3).collect()}
+    # round 1: (a,a) count 5 (3 in doc1 overlapping, 1 each in 2/3)
+    assert out[1] == ("a a", 5)
+    # after greedy merge: doc1 = [aa, aa, b], doc2/3 = [aa, b, c]
+    # round 2 pairs: (aa,aa):1, (aa,b):3, (b,c):2 -> winner ('a a', b)
+    assert out[2] == ("a a b", 3)
+    # doc1 = [aa, 'aa b'], doc2/3 = ['aa b', c]
+    # round 3: ('aa','aa b'):1, ('aa b',c):2 -> winner ('a a b', 'c')
+    assert out[3] == ("a a b c", 2)
+    # early stop: a corpus with no adjacent pairs emits no rows
+    single = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert bpe_merges(single, rounds=2).count() == 0
+
+
 def test_kmeans_refine_distributed_converges_and_handles_empty(spark):
     """Distributed Lloyd's refinement (VERDICT r13 item 3): on a fixture
     with two tight, well-separated direction clusters, one iteration
