@@ -818,14 +818,19 @@ def compact_line(result: dict) -> str:
                 n.split("_", 1)[0] for n in compact[names_key]
             )
     compact["detail"] = "bench_detail.json"
-    line = json.dumps(compact)
+    # compact separators (r14): json.dumps' default ", "/": " padding
+    # cost 2 chars per element — ~220 chars at the 82-query registry,
+    # which alone pushed the line from ~1620 to ~1840 against the 1900
+    # tail window. Still standard JSON.
+    _dumps = lambda d: json.dumps(d, separators=(",", ":"))  # noqa: E731
+    line = _dumps(compact)
     # Degrade gracefully if the query set ever grows the line past
     # the tail window (queries dict is the only O(n) part).
     if len(line) > 1900:
         compact["queries"] = {
             k: round(v, 2) for k, v in compact["queries"].items()
         }
-        line = json.dumps(compact)
+        line = _dumps(compact)
     # `queries` is part of the driver contract — shed optional
     # fields instead if the line is still too long.
     for opt in ("value_max_runs", "errored_queries", "session_setup_sec",
@@ -835,7 +840,7 @@ def compact_line(result: dict) -> str:
         if len(line) <= 1900:
             break
         compact.pop(opt, None)
-        line = json.dumps(compact)
+        line = _dumps(compact)
     return line
 
 
