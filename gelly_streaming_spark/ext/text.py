@@ -823,6 +823,64 @@ def pmi_collocations(
     ).limit(k)
 
 
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 256,
+    stride: int = 128,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG-indexing /
+    fixed-context pretraining splitter: each document's token stream
+    becomes chunks of ``window`` tokens starting every ``stride``
+    tokens (``stride < window`` = overlap; the final chunk is the
+    shorter tail). Rows ``(doc_id, chunk_id, chunk, n_tokens)``;
+    token-free documents are absent by contract (the dedup_passages
+    convention). Chunk count is ``1`` for docs at or under ``window``
+    tokens, else ``ceil((len - window)/stride) + 1`` — so every token
+    lands in at least one chunk and the last window always reaches the
+    document's end.
+
+    Scale shape: ZERO shuffles — tokenize, chunk-index sequence, and
+    window slicing are all row-local column expressions (sequence +
+    transform over array slices); the expansion factor is bounded by
+    ~len/stride per document. All-integer + string semantics."""
+    if window < 1 or stride < 1:
+        raise ValueError(
+            f"chunk_documents: window/stride must be >= 1, got {window}/{stride}"
+        )
+    l = tokenize(F.col(text_col))
+    n = F.size("l")
+    nchunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.ceil((n - window) / F.lit(float(stride))).cast("long") + 1
+    )
+    return (
+        docs.select(F.col(doc_id_col).alias("doc_id"), l.alias("l"))
+        .where(F.size("l") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), nchunks - 1)).alias(
+                "chunk_id"
+            ),
+            F.col("l"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "l", (F.col("chunk_id") * stride + 1).cast("int"), window
+                ),
+            ).alias("chunk"),
+            F.least(
+                F.lit(window).cast("long"),
+                F.size("l") - F.col("chunk_id") * stride,
+            ).alias("n_tokens"),
+        )
+    )
+
+
 def _merge_adjacent(arr: Column, a: str, b: str) -> Column:
     """Greedy left-to-right non-overlapping merge of every adjacent
     symbol pair (``a``, ``b``) into the single symbol ``"a b"`` — the

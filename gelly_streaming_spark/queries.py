@@ -3339,6 +3339,99 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(docs, rounds=4).select("round", "sym", "cnt")
 
 
+# Window 24 / stride 16 over ~54-token docs → 2-4 chunks each; the
+# oracle mirrors the closed-form chunk count and 1-based list slicing.
+# All-integer + string semantics — no float margins (ceil over an exact
+# small-int division cannot straddle engines).
+_Q71_SQL = r"""
+WITH tok AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+             FROM documents),
+t AS (SELECT doc_id, l FROM tok WHERE len(l) > 0),
+ch AS (SELECT doc_id, CAST(s.i AS BIGINT) AS chunk_id,
+              array_to_string(l[(s.i*16)+1 : (s.i*16)+24], ' ') AS chunk,
+              LEAST(24, len(l) - s.i*16) AS n_tokens
+       FROM t, UNNEST(range(0, CASE WHEN len(l) <= 24 THEN 1
+                                    ELSE CAST(ceil((len(l) - 24) / 16.0) AS BIGINT) + 1 END)) AS s(i))
+SELECT doc_id, chunk_id, chunk, CAST(n_tokens AS BIGINT) AS n_tokens FROM ch
+"""
+
+
+@_q("q71_chunk_documents", _Q71_SQL,
+    "overlapping token-window chunking (RAG indexing / fixed-context "
+    "pretraining splitter): window 24, stride 16 — ZERO shuffles, the "
+    "chunk index and window slices are row-local sequence/slice column "
+    "expressions with expansion bounded by ~len/stride per doc; "
+    "all-integer semantics, hash-certified against a closed-form "
+    "DuckDB replica", memo_plan=True)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=24, stride=16).select(
+        "doc_id", "chunk_id", "chunk", "n_tokens"
+    )
+
+
+# The oracle unrolls 3 synchronous 2-core peel steps over the enlarged
+# (o_orderkey < 2000) fixture: per step a degree count, a keep set
+# (degree >= k), and an endpoint restriction — then the surviving
+# degrees. All-integer; the engine's early exit is idempotence-safe
+# (fixed-round convention shared with q56/q60). Fixture measured at
+# sf0.01: 5040 -> 4339 -> 4289 -> 4286 vertices across the 3 peels —
+# every step does real work, none converges early.
+_Q72_SQL = """
+WITH sub AS (SELECT DISTINCT src, dst FROM (
+  SELECT o_custkey AS src, 1000000 + o_orderkey AS dst FROM orders WHERE o_orderkey < 2000
+  UNION ALL
+  SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem WHERE l_orderkey < 2000)
+  WHERE src <> dst),
+eu0 AS (SELECT u, v FROM (SELECT src AS u, dst AS v FROM sub UNION ALL SELECT dst, src FROM sub)),
+d0 AS (SELECT u, COUNT(*) AS c FROM eu0 GROUP BY u),
+k0 AS (SELECT u FROM d0 WHERE c >= 2),
+e1 AS (SELECT eu0.u, eu0.v FROM eu0 JOIN k0 a ON a.u = eu0.u JOIN k0 b ON b.u = eu0.v),
+d1 AS (SELECT u, COUNT(*) AS c FROM e1 GROUP BY u),
+k1 AS (SELECT u FROM d1 WHERE c >= 2),
+e2 AS (SELECT e1.u, e1.v FROM e1 JOIN k1 a ON a.u = e1.u JOIN k1 b ON b.u = e1.v),
+d2 AS (SELECT u, COUNT(*) AS c FROM e2 GROUP BY u),
+k2 AS (SELECT u FROM d2 WHERE c >= 2),
+e3 AS (SELECT e2.u, e2.v FROM e2 JOIN k2 a ON a.u = e2.u JOIN k2 b ON b.u = e2.v)
+SELECT u AS id, COUNT(*) AS degree FROM e3 GROUP BY u
+"""
+
+
+@_q("q72_k_core", _Q72_SQL,
+    "k-core peeling, k=2 x 3 synchronous steps (extension — graph-side "
+    "curation: spam farms and orphan pages peel away): per step ONE "
+    "vertex-keyed partial-agg degree count and two AQE-splittable "
+    "semi-join endpoint restrictions, edge list checkpointed per step "
+    "with the surviving-edge count riding the checkpoint Observation "
+    "(free early exit) — all-integer, hash-certified against a DuckDB "
+    "unrolled-peel replica")
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.kcore import k_core
+
+    a = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(E.ORDER_OFFSET) + F.col("o_orderkey")).alias("dst"),
+        )
+    )
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 2000)
+        .select(
+            (F.lit(E.ORDER_OFFSET) + F.col("l_orderkey")).alias("src"),
+            (F.lit(E.PART_OFFSET) + F.col("l_partkey")).alias("dst"),
+        )
+    )
+    return k_core(
+        GraphStream(a.unionByName(b)), k=2, rounds=3
+    ).select("id", "degree")
+
+
 # Driver-certification export order. The correctness harness records the
 # FIRST 50 entries of queries() in iteration order (CORRECTNESS_r08: 62
 # registered, exactly the first 50 got rows). Since r10 the ordering is
@@ -3389,6 +3482,7 @@ _CERT_ORDER: list[str] = [
     "q64_passage_dedup_skew", "q65_ivf_train_distributed",
     "q66s_streaming_late_drop", "q67s_streaming_late_drop_update",
     "q68_personalized_pagerank", "q69_weighted_lpa", "q70_bpe_merges",
+    "q71_chunk_documents", "q72_k_core",
 ]
 
 

@@ -363,6 +363,31 @@ def test_weighted_lpa_weight_beats_count(spark):
         assert out[5] == 7, (small, out)
 
 
+def test_k_core_hand_fixture_and_convergence(spark):
+    """2-core peeling on a triangle with two pendant tails
+    (1-2-3 triangle, 3-4, 4-5): step 1 removes 5 (deg 1), step 2
+    removes 4 (its degree FELL to 1 — the iterative part), leaving the
+    triangle; synchronous semantics remove simultaneously per step.
+    converged=True must reach the same fixpoint with rounds ignored;
+    a graph below k everywhere peels to empty."""
+    from gelly_streaming_spark.algos.kcore import k_core
+
+    gs = GraphStream(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+        )
+    )
+    one = {r.id: r.degree for r in k_core(gs, k=2, rounds=1).collect()}
+    assert one == {1: 2, 2: 2, 3: 3, 4: 1}, one  # only 5 gone; 4's deg fell
+    two = {r.id: r.degree for r in k_core(gs, k=2, rounds=2).collect()}
+    assert two == {1: 2, 2: 2, 3: 2}, two
+    conv = {r.id: r.degree for r in k_core(gs, k=2, rounds=1, converged=True).collect()}
+    assert conv == two
+    # everything below k: peels to empty (and the loop terminates)
+    path = GraphStream(spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"))
+    assert k_core(path, k=2, rounds=5).count() == 0
+
+
 def test_bfs_khop_hand_fixture(spark):
     """Path 1-2-3-4-5 plus isolated 9: distances, the max_hops cap, and
     the unreached-vertex omission all verifiable by hand."""

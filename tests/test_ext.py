@@ -311,6 +311,37 @@ def test_knn_ivf_recall_and_determinism(emb):
     assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
 
 
+def test_chunk_documents_windows_and_edges(spark):
+    """Chunking hand fixture: 9 tokens at window 5 / stride 3 gives
+    chunks at offsets 0/3/6 with the short tail; docs at or under the
+    window give ONE chunk; token-free docs are absent; every token is
+    covered by at least one chunk."""
+    import pytest as _pytest
+
+    from gelly_streaming_spark.ext.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i"),
+            (2, "x y"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_id): (r.chunk, r.n_tokens)
+        for r in chunk_documents(docs, window=5, stride=3).collect()
+    }
+    assert rows == {
+        (1, 0): ("a b c d e", 5),
+        (1, 1): ("d e f g h", 5),
+        (1, 2): ("g h i", 3),
+        (2, 0): ("x y", 2),
+    }, rows
+    with _pytest.raises(ValueError, match="window/stride"):
+        chunk_documents(docs, window=0, stride=3)
+
+
 def test_bpe_merges_greedy_and_recursive(spark):
     """BPE induction hand fixture: greedy non-overlapping application
     ('a a a a' merges to two 'a a' symbols, never chains through a
