@@ -3432,6 +3432,47 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", "degree")
 
 
+# The oracle unrolls 2 unnormalized HITS rounds over the q15 fixture:
+# auth_t = in-sum of hub_{t-1}, hub_t = out-sum of auth_t, hub_0 = 1.
+# All-integer (the unnormalized contract exists exactly so this hash
+# needs no float margins — see algos/hits.py).
+_Q73_SQL = """
+WITH
+sub AS (SELECT DISTINCT src, dst FROM (
+  SELECT o_custkey AS src, 1000000 + o_orderkey AS dst FROM orders WHERE o_orderkey < 200
+  UNION ALL
+  SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem WHERE l_orderkey < 200)
+  WHERE src <> dst),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM sub UNION ALL SELECT dst FROM sub)),
+a1 AS (SELECT v.id, COALESCE(x.a, 0) AS a FROM verts v LEFT JOIN
+       (SELECT dst AS id, COUNT(*) AS a FROM sub GROUP BY dst) x USING (id)),
+h1 AS (SELECT v.id, COALESCE(s.h, 0) AS h FROM verts v LEFT JOIN
+       (SELECT e.src AS id, SUM(a1.a) AS h FROM sub e JOIN a1 ON a1.id = e.dst GROUP BY e.src) s
+       USING (id)),
+a2 AS (SELECT v.id, COALESCE(s.a, 0) AS a FROM verts v LEFT JOIN
+       (SELECT e.dst AS id, SUM(h1.h) AS a FROM sub e JOIN h1 ON h1.id = e.src GROUP BY e.dst) s
+       USING (id)),
+h2 AS (SELECT v.id, COALESCE(s.h, 0) AS h FROM verts v LEFT JOIN
+       (SELECT e.src AS id, SUM(a2.a) AS h FROM sub e JOIN a2 ON a2.id = e.dst GROUP BY e.src) s
+       USING (id))
+SELECT h2.id, CAST(h2.h AS BIGINT) AS hub, CAST(a2.a AS BIGINT) AS auth
+FROM h2 JOIN a2 ON a2.id = h2.id
+"""
+
+
+@_q("q73_hits", _Q73_SQL,
+    "HITS hubs & authorities, 2 unnormalized rounds (extension — the "
+    "query-dependent link-analysis signal next to PageRank): per round "
+    "two keyed shuffles (edge join vs the |V|-row score table + "
+    "partial-agg sum, then the mirror) — UNNORMALIZED by contract so "
+    "every score is an exact integer and the hash needs no float "
+    "margins; hash-certified against a DuckDB unrolled replica")
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.hits import hits
+
+    return hits(_q15_edges(spark, sf_dir), iters=2).select("id", "hub", "auth")
+
+
 # Driver-certification export order. The correctness harness records the
 # FIRST 50 entries of queries() in iteration order (CORRECTNESS_r08: 62
 # registered, exactly the first 50 got rows). Since r10 the ordering is
@@ -3482,7 +3523,7 @@ _CERT_ORDER: list[str] = [
     "q64_passage_dedup_skew", "q65_ivf_train_distributed",
     "q66s_streaming_late_drop", "q67s_streaming_late_drop_update",
     "q68_personalized_pagerank", "q69_weighted_lpa", "q70_bpe_merges",
-    "q71_chunk_documents", "q72_k_core",
+    "q71_chunk_documents", "q72_k_core", "q73_hits",
 ]
 
 

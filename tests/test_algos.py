@@ -363,6 +363,24 @@ def test_weighted_lpa_weight_beats_count(spark):
         assert out[5] == 7, (small, out)
 
 
+def test_hits_hand_fixture(spark):
+    """2 unnormalized HITS rounds on 1->3, 2->3, 3->4 — every sum
+    hand-checkable: a1 = indegree (1,1 have 0; 3 has 2; 4 has 1);
+    h1(1)=h1(2)=a1(3)=2, h1(3)=a1(4)=1, h1(4)=0;
+    a2(3)=h1(1)+h1(2)=4, a2(4)=h1(3)=1, a2(1)=a2(2)=0;
+    h2(1)=h2(2)=a2(3)=4, h2(3)=a2(4)=1, h2(4)=0.
+    Self-loops drop; parallel edges collapse."""
+    from gelly_streaming_spark.algos.hits import hits
+
+    gs = GraphStream(
+        spark.createDataFrame(
+            [(1, 3), (2, 3), (3, 4), (1, 3), (4, 4)], "src long, dst long"
+        )
+    )
+    out = {r.id: (r.hub, r.auth) for r in hits(gs, iters=2).collect()}
+    assert out == {1: (4, 0), 2: (4, 0), 3: (1, 4), 4: (0, 1)}, out
+
+
 def test_k_core_hand_fixture_and_convergence(spark):
     """2-core peeling on a triangle with two pendant tails
     (1-2-3 triangle, 3-4, 4-5): step 1 removes 5 (deg 1), step 2
