@@ -849,6 +849,16 @@ def chunk_documents(
         raise ValueError(
             f"chunk_documents: window/stride must be >= 1, got {window}/{stride}"
         )
+    if stride > window:
+        # gaps-sampling (stride > window) is a different operator: the
+        # closed-form chunk count assumes the last window reaches the
+        # document's end, and a gapped layout would emit empty trailing
+        # chunks with negative token counts (caught by the r14 property
+        # test at window=1, stride=3)
+        raise ValueError(
+            f"chunk_documents: stride ({stride}) must be <= window "
+            f"({window}) — every token must land in at least one chunk"
+        )
     l = tokenize(F.col(text_col))
     n = F.size("l")
     nchunks = F.when(n <= window, F.lit(1)).otherwise(

@@ -340,6 +340,8 @@ def test_chunk_documents_windows_and_edges(spark):
     }, rows
     with _pytest.raises(ValueError, match="window/stride"):
         chunk_documents(docs, window=0, stride=3)
+    with _pytest.raises(ValueError, match="stride .* must be <= window"):
+        chunk_documents(docs, window=2, stride=3)
 
 
 def test_bpe_merges_greedy_and_recursive(spark):

@@ -408,3 +408,198 @@ def test_psl_lookup_fuzz_matches_reference(spark, data, n_hosts):
     }
     for h in set(hosts):
         assert got[h] == ref_regdomain(h), (h, got[h], ref_regdomain(h))
+
+
+# ---------------------------------------------------------------------------
+# r14 operators vs pure-Python oracles
+# ---------------------------------------------------------------------------
+def _py_kcore(edges, k, rounds):
+    """Synchronous peel reference: adjacency over undirected distinct
+    self-loop-free edges; each step removes every vertex with current
+    degree < k simultaneously."""
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    for _ in range(rounds):
+        deg = collections.Counter()
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {v for v, d in deg.items() if d >= k}
+        nes = {(a, b) for a, b in es if a in keep and b in keep}
+        if nes == es:
+            break
+        es = nes
+    deg = collections.Counter()
+    for a, b in es:
+        deg[a] += 1
+        deg[b] += 1
+    return dict(deg)
+
+
+@pytest.mark.property
+@given(edges=edge_lists, k=st.integers(1, 4), rounds=st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_k_core_matches_python_peel(spark, edges, k, rounds):
+    from gelly_streaming_spark.algos.kcore import k_core
+
+    got = {
+        r.id: r.degree
+        for r in k_core(GraphStream(_df(spark, edges)), k=k, rounds=rounds).collect()
+    }
+    assert got == _py_kcore(edges, k, rounds)
+
+
+def _py_weighted_lpa(edges, iters):
+    """Synchronous weighted LPA reference (exact integer weights)."""
+    agg = collections.Counter()
+    for a, b, w in edges:
+        if a != b:
+            agg[(a, b)] += w
+            agg[(b, a)] += w
+    adj = collections.defaultdict(list)
+    for (a, b), w in agg.items():
+        adj[a].append((b, w))
+    lbl = {v: v for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v, neigh in adj.items():
+            sc = collections.Counter()
+            for u, w in neigh:
+                sc[lbl[u]] += w
+            nxt[v] = min(sc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if nxt == lbl:
+            break
+        lbl = nxt
+    return lbl
+
+
+@pytest.mark.property
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14), st.integers(1, 9)),
+        min_size=1,
+        max_size=40,
+    ),
+    iters=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_weighted_lpa_matches_python(spark, edges, iters):
+    """Integer weights (exact as DECIMAL(18,2)) so the pure-Python
+    Counter sums compare exactly; covers parallel-edge summing, both
+    paths' tie-breaks, and early exit."""
+    from gelly_streaming_spark.algos.lpa import weighted_label_propagation
+
+    df = spark.createDataFrame(
+        [(int(a), int(b), float(w)) for a, b, w in edges],
+        "src long, dst long, val double",
+    )
+    ref = _py_weighted_lpa(edges, iters)
+    if not ref:
+        return  # all edges were self-loops: engine emits no rows either
+    for small in (100_000, 0):
+        got = {
+            r.id: r.lbl
+            for r in weighted_label_propagation(
+                GraphStream(df), iters=iters, small_input_rows=small
+            ).collect()
+        }
+        assert got == ref, (small, got, ref)
+
+
+@pytest.mark.property
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    window=st.integers(1, 6),
+    stride=st.integers(1, 6),
+)
+@settings(**_SETTINGS)
+def test_chunk_documents_coverage_and_reconstruction(spark, texts, window, stride):
+    stride = min(stride, window)  # stride > window raises by contract
+    """Invariants over arbitrary docs/window/stride: every token is
+    covered; non-overlapping reconstruction — concatenating each
+    chunk's FIRST min(stride, n_tokens) tokens in chunk order restores
+    the document when stride <= window; chunk token counts match the
+    closed-form count; token-free docs absent."""
+    from gelly_streaming_spark.ext.text import chunk_documents
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = chunk_documents(df, window=window, stride=stride).collect()
+    by_doc = collections.defaultdict(dict)
+    for r in rows:
+        by_doc[r.doc_id][r.chunk_id] = (r.chunk.split(" ") if r.chunk else [], r.n_tokens)
+    for i, text in enumerate(texts):
+        toks = [t for t in text.split() if t]
+        if not toks:
+            assert i not in by_doc
+            continue
+        chunks = by_doc[i]
+        n = len(toks)
+        want = 1 if n <= window else -(-(n - window) // stride) + 1
+        assert set(chunks) == set(range(want)), (toks, chunks)
+        for cid, (ctoks, ntok) in chunks.items():
+            start = cid * stride
+            assert ctoks == toks[start : start + window]
+            assert ntok == len(ctoks)
+        if stride <= window:
+            rebuilt = []
+            for cid in range(want):
+                ctoks = chunks[cid][0]
+                rebuilt.extend(ctoks if cid == want - 1 else ctoks[:stride])
+            # the last chunk contributes its whole window; earlier
+            # chunks contribute their first `stride` tokens
+            assert rebuilt[: len(toks)] == toks
+
+
+def _py_bpe(texts, rounds):
+    docs = [[t for t in s.split() if t] for s in texts]
+    out = []
+    for r in range(1, rounds + 1):
+        cnt = collections.Counter()
+        for d in docs:
+            for i in range(len(d) - 1):
+                cnt[(d[i], d[i + 1])] += 1
+        if not cnt:
+            break
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((r, a + " " + b, c))
+        nd = []
+        for d in docs:
+            acc = d[:1]
+            for x in d[1:]:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = a + " " + b
+                else:
+                    acc.append(x)
+            nd.append(acc)
+        docs = nd
+    return out
+
+
+@pytest.mark.property
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    ),
+    rounds=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_bpe_merges_matches_python(spark, texts, rounds):
+    """Greedy merge induction vs a pure-Python reference on arbitrary
+    token streams — covers overlapping runs (aaaa), recursion into
+    merged symbols, tie-breaks, and pair-free early stop."""
+    from gelly_streaming_spark.ext.text import bpe_merges
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r.round, r.sym, r.cnt) for r in bpe_merges(df, rounds=rounds).collect()
+    )
+    assert got == sorted(_py_bpe(texts, rounds))
