@@ -1814,18 +1814,34 @@ def main() -> None:
 
     names_in_order = [n for n, _ in ordered]
 
-    inline_oracle_names = oracle_names - set(duck_deferred)
-
     def _check_health() -> tuple[list[str], list[str], list[str], list[str]]:
+        # inline set recomputed per call: the retry loop can defer
+        # oracles mid-pass
         return _health(
             names_in_order, timings, all_runs, errors, eng_ref, reclaim_log,
-            duck, all_druns, duck_ref, inline_oracle_names, intended_single,
+            duck, all_druns, duck_ref, oracle_names - set(duck_deferred),
+            intended_single,
         )
+
+    def _missing_oracles() -> list[str]:
+        # Engine-timed queries whose INLINE oracle never ran at all —
+        # the main loop skips the oracle attempt outright once
+        # budget.remaining() <= 10, recording the name in NEITHER
+        # duck_deferred NOR any flag list, so the retry pass never saw
+        # them (r14 live storm: q63/q64/q65/q66s ended duck_skipped
+        # with four sub-second oracles unrun while 300 s of retry
+        # budget went unused). Deferred oracles are excluded — their
+        # fresh-process re-attempts have their own section.
+        inline = oracle_names - set(duck_deferred)
+        return [
+            n for n in timings
+            if n in inline and n not in duck and n not in errors
+        ]
 
     untimed0, flagged0, dflagged0, starved0 = _check_health()
     needs_retry = bool(
         partial["v"] or meta["load_degraded"] or untimed0 or flagged0
-        or dflagged0 or starved0
+        or dflagged0 or starved0 or _missing_oracles()
     )
     retry_ran = retry_on and retry_budget > 0 and needs_retry
     if retry_ran:
@@ -1976,6 +1992,39 @@ def main() -> None:
             if budget.remaining() < 60:
                 break
 
+        # Missing-oracle sweep (r14): time every never-run INLINE
+        # oracle — see _missing_oracles. Interrupted (slow) entries get
+        # one fresh-process cold run like any deferred oracle.
+        if duck_con is not None:
+            for name in _missing_oracles():
+                if budget.remaining() < 15:
+                    retry_log.setdefault(name, "oracle-sweep-no-budget")
+                    break
+                q = by_name[name]
+                elapsed, interrupted = _timed_duck_run(
+                    duck_con, duck_lock, q.sql, duck_slow_cap
+                )
+                if elapsed is not None:
+                    all_druns.setdefault(name, []).append(elapsed)
+                    duck[name] = round(elapsed, 3)
+                    duck_min[name] = duck[name]
+                    retry_log[name] = (
+                        retry_log.get(name, "") + f" duck-swept={elapsed:.2f}"
+                    ).strip()
+                elif interrupted and budget.remaining() > 10:
+                    cold, _, _err = _oracle_subprocess_run(
+                        q.sql, sf_dir, min(defer_est, budget.remaining() - 5)
+                    )
+                    if cold is not None:
+                        duck[name] = round(cold, 3)
+                        duck_min[name] = duck[name]
+                        duck_cold.append(name)
+                        retry_log[name] = (
+                            retry_log.get(name, "")
+                            + f" duck-swept-cold={cold:.2f}"
+                        ).strip()
+                emit()
+
         # Deferred oracles the reserve lost to the storm (r13 live
         # validation: a storm-inflated main loop consumed the 40 s/
         # oracle reserve, q22/q31 were cold-interrupted and q51 never
@@ -2095,7 +2144,10 @@ def main() -> None:
         untimed_f, flagged_f, dflagged_f, starved_f = _check_health()
         if not untimed_f:
             partial["v"] = False
-        if not untimed_f and not flagged_f and not dflagged_f and not starved_f:
+        if (
+            not untimed_f and not flagged_f and not dflagged_f
+            and not starved_f and not _missing_oracles()
+        ):
             meta["load_degraded"] = False
 
     emit()

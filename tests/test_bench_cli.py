@@ -597,3 +597,55 @@ def test_health_verdict_components():
         inline_oracle_names={"q1"}, intended_single=True,
     )
     assert (untimed4, flagged4, dflagged4) == ([], [], [])
+
+
+def test_retry_pass_sweeps_missing_inline_oracles(sf_dir):
+    """r14 live-storm gap: the main loop skips a query's inline oracle
+    outright once the budget is nearly gone, recording it in NEITHER
+    duck_deferred nor any flag list — four sub-second oracles ended
+    duck_skipped while 300 s of retry budget went unused. With the
+    storm-retry pass ON, a budget-truncated run must end with every
+    engine-timed query's oracle timed: duck_skipped empty and the
+    matched set covering the full comparable set."""
+    def run_bench(budget_sec: str, retry: str) -> subprocess.CompletedProcess:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR=sf_dir,
+            SPARK_GRAFT_CPUS="8",
+            BENCH_BUDGET_SEC=budget_sec,
+            BENCH_RUNS="1",
+            BENCH_DUCKDB="1",
+            BENCH_STORM_RETRY=retry,
+            # generous: the retry pass must be able to time EVERY
+            # truncated engine run + oracle even on a slow host — this
+            # test asserts coverage, not speed (first flake: 240 s died
+            # mid-retry in a hot window and partial stayed true)
+            BENCH_RETRY_BUDGET_SEC="420",
+        )
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, env=env, timeout=900, cwd=REPO,
+        )
+
+    detail_path = os.path.join(REPO, "bench_detail.json")
+    saved = None
+    if os.path.exists(detail_path):
+        with open(detail_path) as fh:
+            saved = fh.read()
+    try:
+        # probe this host's setup cost (zero-query flush contract)
+        probe = run_bench("1", "0")
+        assert probe.returncode == 0, probe.stderr[-500:]
+        setup = _tail_line(probe.stdout)["session_setup_sec"]
+        # enough budget to time SOME engines, not enough for the rest —
+        # guarantees missing inline oracles going into the retry pass
+        proc = run_bench(str(int(setup + 12)), "1")
+        assert proc.returncode == 0, proc.stderr[-500:]
+        d = _tail_line(proc.stdout)
+        assert d["partial"] is False, d  # retry timed the rest
+        assert d.get("duck_skipped", []) == [], d
+        assert d["matched_queries"] == d["comparable_queries"], d
+    finally:
+        if saved is not None:
+            with open(detail_path, "w") as fh:
+                fh.write(saved)
