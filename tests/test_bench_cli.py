@@ -599,6 +599,70 @@ def test_health_verdict_components():
     assert (untimed4, flagged4, dflagged4) == ([], [], [])
 
 
+def test_rewrite_starved_reclaims_executes_with_seeded_entry():
+    """VERDICT r14 item 1: the starved-ledger rewrite branch crashed the
+    official record with a NameError, while the CLI suite passed —
+    because no test ever produced a 'skipped-no-budget' reclaim entry,
+    the only state in which the branch executes. The branch is now a
+    module function, driven here with seeded starved entries covering
+    every leg: both-sides clean (rewritten, with and without an inline
+    oracle), engine-dirty (kept), duck-dirty (kept), errored (kept),
+    untimed (kept), non-starved (untouched)."""
+    sys.path.insert(0, REPO)
+    from bench import _rewrite_starved_reclaims
+
+    reclaim_log = {
+        # repaired: 2 clean engine runs, clean inline-oracle reading
+        "q_ok": "skipped-no-budget(single-run)",
+        # repaired: clean engine runs, NO oracle (non-SQL query)
+        "q_nosql": "skipped-no-budget(single-run)",
+        # NOT repaired: engine recording still >2.5x its own min
+        "q_eng_dirty": "skipped-no-budget(inflated)",
+        # NOT repaired: engine clean but inline oracle still single-run
+        "q_duck_dirty": "skipped-no-budget(single-run)",
+        # NOT repaired: errored after starvation
+        "q_err": "skipped-no-budget(single-run)",
+        # NOT repaired: never got a timing at all
+        "q_untimed": "skipped-no-budget(single-run)",
+        # untouched: not a starved entry
+        "q_done": "single-run: engine-rerun=1.00->rec=1.00",
+    }
+    timings = {
+        "q_ok": 1.0, "q_nosql": 1.0, "q_eng_dirty": 6.0,
+        "q_duck_dirty": 1.0, "q_err": 1.0, "q_done": 1.0,
+    }
+    all_runs = {
+        "q_ok": [1.2, 1.0], "q_nosql": [1.2, 1.0],
+        "q_eng_dirty": [2.0, 6.0, 6.5],  # rec 6.0 > 2.5x min 2.0
+        "q_duck_dirty": [1.2, 1.0], "q_err": [1.0], "q_done": [1.1, 1.0],
+    }
+    duck = {"q_ok": 0.5, "q_duck_dirty": 2.0}
+    all_druns = {"q_ok": [0.6, 0.5], "q_duck_dirty": [2.0]}  # single-run
+    inline = {"q_ok", "q_duck_dirty"}
+
+    rewritten = _rewrite_starved_reclaims(
+        reclaim_log, timings, all_runs, errors={"q_err": "boom"},
+        eng_ref={}, duck=duck, all_druns=all_druns, duck_ref={},
+        inline_oracle_names=inline, intended_single=False,
+    )
+    assert sorted(rewritten) == ["q_nosql", "q_ok"]
+    assert "reclaim-starved" in reclaim_log["q_ok"]
+    assert "repaired-by-retry-pass" in reclaim_log["q_ok"]
+    assert "duck-rec=0.50" in reclaim_log["q_ok"]
+    assert "duck-rec" not in reclaim_log["q_nosql"]  # no oracle leg
+    for kept in ("q_eng_dirty", "q_duck_dirty", "q_err", "q_untimed"):
+        assert "skipped-no-budget" in reclaim_log[kept], kept
+    assert reclaim_log["q_done"] == "single-run: engine-rerun=1.00->rec=1.00"
+
+    # _health's starved list agrees: repaired entries no longer starve
+    from bench import _health
+
+    _, _, _, starved = _health(
+        list(timings), timings, all_runs, {"q_err": "boom"}, {}, reclaim_log
+    )
+    assert set(starved) == {"q_eng_dirty", "q_duck_dirty", "q_err", "q_untimed"}
+
+
 def test_retry_pass_sweeps_missing_inline_oracles(sf_dir):
     """r14 live-storm gap: the main loop skips a query's inline oracle
     outright once the budget is nearly gone, recording it in NEITHER
