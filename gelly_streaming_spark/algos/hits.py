@@ -94,5 +94,7 @@ def hits(stream: GraphStream, iters: int = 2) -> DataFrame:
     finally:
         sess_conf.set("spark.sql.shuffle.partitions", old_parts)
         free_checkpoint(e)
-    free_checkpoint(verts)
+        # inside finally (ADVICE r14): an exception mid-loop otherwise
+        # leaks the |V|-row verts checkpoint until GC
+        free_checkpoint(verts)
     return out

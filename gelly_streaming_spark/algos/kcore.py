@@ -62,6 +62,11 @@ def k_core(
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        # distinct AFTER symmetrizing (the label_propagation convention):
+        # an input holding both (a,b) and (b,a) otherwise contributes the
+        # pair twice in each direction and double-counts both endpoints'
+        # degrees against the documented undirected-DISTINCT contract
+        .distinct()
         .observe(obs0, F.count(F.lit(1)).alias("m"))
         .localCheckpoint()
     )

@@ -100,13 +100,13 @@ def pagerank(
     loop_parts = max(1, min(int(old_parts), e.count() // 500_000 + 1))
     eo = None
     ranks = None
+    vt = verts
     try:
         sess_conf.set("spark.sql.shuffle.partitions", str(loop_parts))
         if loop_parts <= 4:
             sess_conf.set("spark.sql.adaptive.enabled", "false")
         od = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
         eo = e.join(od, "src").localCheckpoint()  # loop-invariant
-        vt = verts
         if sources is not None:
             s = (
                 sources.select(F.col(sources.columns[0]).alias("id"))
@@ -167,12 +167,15 @@ def pagerank(
         free_checkpoint(e)
         if eo is not None:
             free_checkpoint(eo)
-    # verts (and the personalized teleport table) stay referenced by
-    # nothing downstream; the returned plan reads only the final ranks
-    # checkpoint
-    free_checkpoint(verts)
-    if sources is not None:
-        free_checkpoint(vt)
+        # verts (and the personalized teleport table) stay referenced by
+        # nothing downstream; the returned plan reads only the final
+        # ranks checkpoint. Inside finally (ADVICE r14): an exception
+        # mid-loop otherwise leaks both |V|-row checkpoints until GC.
+        # vt is verts until the personalized table lands, so the guard
+        # also covers an exception before that checkpoint exists.
+        free_checkpoint(verts)
+        if vt is not verts:
+            free_checkpoint(vt)
     # Double-round (9dp then 6dp), matched verbatim in the oracles: a
     # concentrated teleport produces near-dyadic ranks landing EXACTLY
     # on 6dp boundaries (0.0053125 at q68/sf0.001), where a ~1-ulp

@@ -899,19 +899,70 @@ def _merge_adjacent(arr: Column, a: str, b: str) -> Column:
     symbol consumed by a merge cannot start another, because the
     accumulator's last element is then ``"a b"``, which no longer
     equals ``a`` (standard BPE semantics; the oracle replays the
-    identical fold via DuckDB list_reduce)."""
+    identical fold via DuckDB list_reduce).
+
+    The fold starts from an EMPTY accumulator so ``arr`` appears exactly
+    ONCE in the expression (r15): the previous first-element-init form
+    referenced ``arr`` five times (guard + both slices + fallthrough),
+    so K composed folds — bpe_encode's apply path — inlined the base
+    5^K times and a 6-rule table OOM'd Catalyst before execution.
+    Same output by construction: the pair sequence both forms examine
+    is (l[i], l[i+1]) for i = 1.. — only the bookkeeping of where l[1]
+    enters the accumulator differs. DuckDB's list_reduce has no empty
+    init, so the oracle keeps the first-element-init replay; the
+    equivalence rides the same argument."""
     merged = a + " " + b
-    folded = F.aggregate(
-        F.slice(arr, 2, F.size(arr) - 1),
-        F.slice(arr, 1, 1),
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
         lambda acc, x: F.when(
-            (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
             F.concat(
                 F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
-    return F.when(F.size(arr) < 2, arr).otherwise(folded)
+
+
+def _bpe_tokenize(text: Column) -> Column:
+    """BPE-path tokenization: whitespace tokens, empties dropped, and
+    tokens containing U+001F dropped on BOTH engines (ADVICE r14): the
+    DuckDB oracle replays the merge fold through a chr(31)-joined string
+    accumulator, so a literal 0x1F byte inside a token would corrupt the
+    oracle's fold while the engine's array fold handled it — a latent
+    cross-engine divergence. Filtering it out of the symbol alphabet up
+    front (mirrored in the oracle's t0) makes the contract hold for any
+    input, not just the 0x1F-free fixture."""
+    return F.filter(
+        F.split(text, r"\s+"),
+        lambda t: (t != "") & ~t.contains("\x1f"),
+    )
+
+
+def _pick_disjoint(
+    pool: list[tuple[str, str, int]], batch_k: int
+) -> list[tuple[str, str, int]]:
+    """Greedy symbol-disjoint rule selection from a (cnt DESC, a, b)
+    ordered candidate pool: walk the pool in order, select a candidate
+    iff neither of its symbols appears in any already-selected rule,
+    stop at ``batch_k``. Symbol-disjoint rules commute under the merge
+    fold — applying one cannot create, destroy, or overlap an adjacency
+    of another (a merge replaces two adjacent symbols with one, touching
+    only pairs that share an endpoint with it) — so every selected
+    rule's selection-time count stays exact and the batch applies in a
+    single corpus pass."""
+    selected: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for a, b, c in pool:
+        if a in used or b in used:
+            continue
+        selected.append((a, b, c))
+        used.update((a, b))
+        if len(selected) >= batch_k:
+            break
+    return selected
 
 
 def bpe_merges(
@@ -919,6 +970,7 @@ def bpe_merges(
     rounds: int = 4,
     text_col: str = "text",
     doc_id_col: str = "doc_id",
+    batch_k: int = 1,
 ) -> DataFrame:
     """BPE-style merge-rule induction over the token stream (VERDICT
     r13 item 7 — pairs the q33/q53/q59 token stack): ``rounds`` greedy
@@ -927,8 +979,24 @@ def bpe_merges(
     non-overlapping left-to-right in every document. Symbols start as
     whitespace tokens; a learned merge is the space-joined pair, so
     later rounds can merge merged symbols (true BPE recursion).
-    Returns ``(round, sym, cnt)`` — one row per learned rule with its
-    selection-time count. Stops early if no pair remains.
+    Returns ``(round, rank, sym, cnt)`` — one row per learned rule with
+    its selection-time count and selection order within the round.
+    Stops early if no pair remains.
+
+    ``batch_k`` (VERDICT r14 item 3 — BPE at production merge counts):
+    with ``batch_k > 1`` each round selects up to ``batch_k`` mutually
+    SYMBOL-DISJOINT rules from the round's top-``4*batch_k`` candidate
+    pool (greedy in (cnt DESC, a, b) order — ``_pick_disjoint``) and
+    applies them all in ONE composed map pass, so R corpus passes learn
+    up to ``R*batch_k`` rules instead of R. Symbol disjointness keeps
+    every selected count exact (proof sketch in ``_pick_disjoint``);
+    what batching approximates is only the rule SEQUENCE — a round
+    cannot see pairs involving its own freshly merged symbols, which
+    single-rule BPE would consider one rule later. The bounded pool is
+    part of the certified contract (the oracle replays the identical
+    pool cut). Measured at sf0.1 (local[32], steady): 8 rules via
+    batch_k=4 × 2 rounds vs 8 single-rule rounds — see BASELINE.md q74
+    row for the pinned seconds/rule gain.
 
     All-integer + string semantics — no float margins; round N's count
     certifies round N-1's merge application transitively (a single
@@ -936,57 +1004,185 @@ def bpe_merges(
 
     100 TB shape: per round, ONE (a, b)-keyed partial-agg count shuffle
     over row-locally formed pairs (the q59 arrays_zip kernel — no HOF
-    re-inlining, no positional self-join), a 1-row bounded driver take
-    for the winner (the loop-observation doctrine), and one shuffle-free
-    map pass applying the merge as an array fold; the symbol table
-    checkpoints per round so plan depth stays O(1). The no-checkpoint
-    alternative (nested aggregate lambdas) was measured and REJECTED:
-    round N's count re-executes every prior merge fold from the scan,
-    29 s vs 4.4 s steady for 4 rounds at sf0.1 — a 6.6x cliff that
-    worsens combinatorially with rounds. R rounds = R corpus passes —
-    production BPE runs thousands of merges, so at scale batch several
-    DISJOINT winners per pass (count shuffle amortized); the per-round
-    certified kernel is the same either way."""
+    re-inlining, no positional self-join), a bounded ≤4*batch_k-row
+    driver take for the winner pool (the loop-observation doctrine),
+    and one shuffle-free map pass applying the round's merges as
+    composed array folds; the symbol table checkpoints per round so
+    plan depth stays O(1). The no-checkpoint alternative (nested
+    aggregate lambdas) was measured and REJECTED: round N's count
+    re-executes every prior merge fold from the scan, 29 s vs 4.4 s
+    steady for 4 rounds at sf0.1 — a 6.6x cliff that worsens
+    combinatorially with rounds."""
     if rounds < 1:
         raise ValueError(f"bpe_merges: rounds must be >= 1, got {rounds}")
+    if batch_k < 1:
+        raise ValueError(f"bpe_merges: batch_k must be >= 1, got {batch_k}")
     from gelly_streaming_spark.plans.memory import free_checkpoint
 
     spark = docs.sparkSession
     cur = docs.select(
-        F.col(doc_id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("l")
+        F.col(doc_id_col).alias("doc_id"),
+        _bpe_tokenize(F.col(text_col)).alias("l"),
     ).localCheckpoint()
     prev_ckpt = cur
-    out: list[tuple[int, str, int]] = []
+    out: list[tuple[int, int, str, int]] = []
     try:
         for r in range(1, rounds + 1):
-            win = (
-                cur.where(F.size("l") >= 2)
-                .select(
-                    F.explode(
-                        F.arrays_zip(
-                            F.slice("l", 1, F.size("l") - 1),
-                            F.slice("l", 2, F.size("l") - 1),
-                        )
-                    ).alias("bg")
+            pool = [
+                (row["a"], row["b"], int(row["c"]))
+                for row in (
+                    cur.where(F.size("l") >= 2)
+                    .select(
+                        F.explode(
+                            F.arrays_zip(
+                                F.slice("l", 1, F.size("l") - 1),
+                                F.slice("l", 2, F.size("l") - 1),
+                            )
+                        ).alias("bg")
+                    )
+                    .select(
+                        F.col("bg")["0"].alias("a"), F.col("bg")["1"].alias("b")
+                    )
+                    .groupBy("a", "b")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+                    .limit(4 * batch_k)
+                    .collect()
                 )
-                .select(F.col("bg")["0"].alias("a"), F.col("bg")["1"].alias("b"))
-                .groupBy("a", "b")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-                .limit(1)
-                .collect()
-            )
-            if not win:
+            ]
+            rules = _pick_disjoint(pool, batch_k)
+            if not rules:
                 break  # no adjacent pair left anywhere
-            a, b, c = win[0]["a"], win[0]["b"], int(win[0]["c"])
-            out.append((r, a + " " + b, c))
+            out.extend(
+                (r, j, a + " " + b, c) for j, (a, b, c) in enumerate(rules, 1)
+            )
             if r < rounds:
-                nxt = cur.select(
-                    "doc_id", _merge_adjacent(F.col("l"), a, b).alias("l")
-                ).localCheckpoint()
+                merged = F.col("l")
+                for a, b, _c in rules:
+                    merged = _merge_adjacent(merged, a, b)
+                nxt = cur.select("doc_id", merged.alias("l")).localCheckpoint()
                 free_checkpoint(prev_ckpt)
                 prev_ckpt = nxt
                 cur = nxt
     finally:
         free_checkpoint(prev_ckpt)
-    return spark.createDataFrame(out, "round int, sym string, cnt long")
+    return spark.createDataFrame(
+        out, "round int, rank int, sym string, cnt long"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    checkpoint_every: int = 8,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Apply-side BPE tokenization (VERDICT r14 item 4): encode the
+    corpus with an already-learned merge table — the operation a
+    pretraining pipeline runs far more often than training. ``merges``
+    is the ORDERED rule table (``["a b", ...]`` or ``[("a", "b"), ...]``
+    — the ``sym`` column ``bpe_merges`` returns; the string form is
+    unambiguous only for space-free symbols, so rules whose LEFT symbol
+    is itself a merged symbol must be passed as tuples); each rule
+    applies as the greedy left-to-right non-overlapping merge fold, in
+    table order, so later rules see earlier rules' merged symbols
+    (standard BPE apply semantics). Returns ``(doc_id, toks)`` with the
+    encoded symbol array.
+
+    100 TB shape: ZERO shuffles either way — the encode is one narrow
+    per-row pass over the document scan, with the rule table a
+    broadcast-size plan constant. ``impl`` picks the kernel, both
+    certified against the same DuckDB list_reduce oracle (q75):
+
+    - ``"arrow"`` (default): ONE ``mapInPandas`` pass applying the
+      whole table per row in Python. Measured at sf0.1 (5k docs, 6
+      rules, local[32], calm): ~1.2 s steady vs ~4.1 s for the fold
+      path — Spark's higher-order functions are interpreted (never
+      codegen'd), paying ~0.6 s/rule at this shape, while the in-batch
+      Python loop is amortized by Arrow batching; the gap widens with
+      rule count (production tables run thousands of rules).
+    - ``"fold"``: pure-JVM composed ``_merge_adjacent`` array folds
+      (no Python workers in the plan). Each row executes once
+      regardless of rule count; ``checkpoint_every`` cuts the composed
+      expression every N rules purely to bound expression-tree depth —
+      each cut materializes the corpus (localCheckpoint), so production
+      tables should raise the interval or use reliable checkpoints."""
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"bpe_encode: checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    if impl not in ("arrow", "fold"):
+        raise ValueError(f"bpe_encode: unknown impl {impl!r}")
+    from gelly_streaming_spark.plans.memory import free_checkpoint
+
+    rules: list[tuple[str, str]] = []
+    for m in merges:
+        if isinstance(m, str):
+            a, sep, b = m.partition(" ")
+            if not sep or not a or not b:
+                raise ValueError(
+                    f"bpe_encode: malformed merge rule {m!r} (need 'a b')"
+                )
+            rules.append((a, b))
+        else:
+            rules.append((m[0], m[1]))
+
+    if impl == "arrow":
+        import re as _re
+
+        import pandas as _pd
+
+        src = docs.select(
+            F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        id_type = src.schema["doc_id"].dataType.simpleString()
+        frozen = list(rules)
+
+        def _encode_batches(batches):
+            # re.ASCII pins \s to the same ASCII class Java regex and
+            # RE2 use — str.split() would split Unicode whitespace the
+            # JVM/DuckDB tokenizers keep inside tokens
+            ws = _re.compile(r"\s+", _re.ASCII)
+            for pdf in batches:
+                out = []
+                for s in pdf["text"]:
+                    d = [
+                        t
+                        for t in ws.split(s if s is not None else "")
+                        if t and "\x1f" not in t
+                    ]
+                    for a, b in frozen:
+                        ab = a + " " + b
+                        acc: list[str] = []
+                        for x in d:
+                            if acc and acc[-1] == a and x == b:
+                                acc[-1] = ab
+                            else:
+                                acc.append(x)
+                        d = acc
+                    out.append(d)
+                yield _pd.DataFrame({"doc_id": pdf["doc_id"], "toks": out})
+
+        return src.mapInPandas(
+            _encode_batches, f"doc_id {id_type}, toks array<string>"
+        )
+
+    cur = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        _bpe_tokenize(F.col(text_col)).alias("toks"),
+    )
+    prev_ckpt = None
+    for i in range(0, len(rules), checkpoint_every):
+        folded = F.col("toks")
+        for a, b in rules[i : i + checkpoint_every]:
+            folded = _merge_adjacent(folded, a, b)
+        cur = cur.select("doc_id", folded.alias("toks"))
+        if i + checkpoint_every < len(rules):
+            cur = cur.localCheckpoint()
+            if prev_ckpt is not None:
+                # the fresh checkpoint no longer reads the old one
+                free_checkpoint(prev_ckpt)
+            prev_ckpt = cur
+    return cur

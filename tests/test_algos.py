@@ -404,6 +404,17 @@ def test_k_core_hand_fixture_and_convergence(spark):
     # everything below k: peels to empty (and the loop terminates)
     path = GraphStream(spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"))
     assert k_core(path, k=2, rounds=5).count() == 0
+    # ADVICE r14 regression: an input holding BOTH (a,b) and (b,a) is
+    # ONE undirected edge — before the post-symmetrize distinct, the
+    # pair double-counted both endpoints' degrees ({1: 2, 2: 2} at k=2
+    # instead of peeling both vertices)
+    recip = GraphStream(
+        spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    )
+    assert k_core(recip, k=2, rounds=3).count() == 0
+    assert {
+        r.id: r.degree for r in k_core(recip, k=1, rounds=1).collect()
+    } == {1: 1, 2: 1}
 
 
 def test_bfs_khop_hand_fixture(spark):

@@ -374,6 +374,88 @@ def test_bpe_merges_greedy_and_recursive(spark):
     assert bpe_merges(single, rounds=2).count() == 0
 
 
+def test_bpe_batched_disjoint_selection(spark):
+    """Batched BPE (VERDICT r14 item 3): a round selects up to batch_k
+    mutually symbol-disjoint rules from the top-4k pool in (cnt DESC,
+    a, b) order — a candidate sharing a symbol with an earlier pick is
+    skipped, not merged twice; counts stay the selection-time exact
+    counts; the next round sees all of the round's merges applied."""
+    from gelly_streaming_spark.ext.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [
+            # (a,b) x3, (b,c) x2 share b -> (b,c) skipped; (c,d) x2 and
+            # (e,f) x1 are disjoint -> selected at ranks 2,3
+            (1, "a b a b a b"),
+            (2, "b c b c"),
+            (3, "c d c d"),
+            (4, "e f"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bpe_merges(docs, rounds=2, batch_k=3).collect()
+    got = {(r.round, r.rank): (r.sym, r.cnt) for r in rows}
+    assert got[(1, 1)] == ("a b", 3)
+    assert got[(1, 2)] == ("c d", 2)  # (b,c) cnt 2 skipped: shares b
+    assert got[(1, 3)] == ("e f", 1)
+    # round 2 on the merged corpus: doc1 = 3x'a b' -> ('a b','a b') x2;
+    # doc2 untouched pairs (b,c)x2 + (c,b)x1 -> ('a b','a b') and (b,c)
+    # tie at 2, 'a b' < 'b' lexicographically -> rank 1
+    assert got[(2, 1)] == ("a b a b", 2)
+    # batch_k=1 degrades to the single-rule q70 path with rank 1
+    one = bpe_merges(docs, rounds=1, batch_k=1).collect()
+    assert [(r.round, r.rank, r.sym, r.cnt) for r in one] == [(1, 1, "a b", 3)]
+
+
+def test_bpe_encode_apply_semantics(spark):
+    """Apply-side BPE: ordered rule table, later rules see earlier
+    merges (recursion), greedy non-overlapping self-pairs, tuple rules
+    for symbols containing spaces, malformed string rules rejected,
+    and the >checkpoint_every chunked path yields the same encoding."""
+    import pytest as _pytest
+
+    from gelly_streaming_spark.ext.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "t h e t h e"), (2, "a a a"), (3, "x")],
+        "doc_id long, text string",
+    )
+    rules = [("t", "h"), ("t h", "e"), ("a", "a")]
+    out = {r.doc_id: r.toks for r in bpe_encode(docs, rules).collect()}
+    assert out[1] == ["t h e", "t h e"]  # recursion through rule 2
+    assert out[2] == ["a a", "a"]  # greedy non-overlapping
+    assert out[3] == ["x"]
+    # the pure-JVM fold impl is semantically identical to the default
+    # arrow kernel
+    fold_out = {
+        r.doc_id: r.toks
+        for r in bpe_encode(docs, rules, impl="fold").collect()
+    }
+    assert fold_out == out
+    with _pytest.raises(ValueError, match="unknown impl"):
+        bpe_encode(docs, rules, impl="rdd")
+    # string rules parse 'a b' (space-free symbols only)
+    s_out = {
+        r.doc_id: r.toks
+        for r in bpe_encode(docs, ["t h", "a a"]).collect()
+    }
+    assert s_out[1] == ["t h", "e", "t h", "e"]
+    assert s_out[2] == ["a a", "a"]
+    with _pytest.raises(ValueError, match="malformed merge rule"):
+        bpe_encode(docs, ["nospace"])
+    with _pytest.raises(ValueError, match="checkpoint_every"):
+        bpe_encode(docs, rules, checkpoint_every=0)
+    # fold impl: the chunked path (checkpoint_every < len(rules)) is
+    # semantically identical to the single-chunk plan
+    chunked = {
+        r.doc_id: r.toks
+        for r in bpe_encode(
+            docs, rules, checkpoint_every=1, impl="fold"
+        ).collect()
+    }
+    assert chunked == out
+
+
 def test_kmeans_refine_distributed_converges_and_handles_empty(spark):
     """Distributed Lloyd's refinement (VERDICT r13 item 3): on a fixture
     with two tight, well-separated direction clusters, one iteration

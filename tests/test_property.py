@@ -603,3 +603,113 @@ def test_bpe_merges_matches_python(spark, texts, rounds):
         (r.round, r.sym, r.cnt) for r in bpe_merges(df, rounds=rounds).collect()
     )
     assert got == sorted(_py_bpe(texts, rounds))
+
+
+def _py_fold(d, a, b):
+    acc = []
+    for x in d:
+        if acc and acc[-1] == a and x == b:
+            acc[-1] = a + " " + b
+        else:
+            acc.append(x)
+    return acc
+
+
+def _py_bpe_batched(texts, rounds, batch_k):
+    """Pure-Python reference of the batched path: per round, exact pair
+    counts, top-4k pool by (cnt DESC, a, b), greedy symbol-disjoint
+    selection, all selected rules folded in selection order."""
+    docs = [[t for t in s.split() if t] for s in texts]
+    out = []
+    for r in range(1, rounds + 1):
+        cnt = collections.Counter()
+        for d in docs:
+            for i in range(len(d) - 1):
+                cnt[(d[i], d[i + 1])] += 1
+        pool = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: 4 * batch_k]
+        used, rules = set(), []
+        for (a, b), c in pool:
+            if a in used or b in used:
+                continue
+            rules.append((a, b, c))
+            used.update((a, b))
+            if len(rules) >= batch_k:
+                break
+        if not rules:
+            break
+        out.extend((r, j, a + " " + b, c) for j, (a, b, c) in enumerate(rules, 1))
+        docs = [
+            [t for t in d] for d in docs
+        ]
+        for a, b, _c in rules:
+            docs = [_py_fold(d, a, b) for d in docs]
+    return out
+
+
+@pytest.mark.property
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    ),
+    rounds=st.integers(1, 2),
+    batch_k=st.integers(2, 3),
+)
+@settings(**_SETTINGS)
+def test_bpe_batched_matches_python(spark, texts, rounds, batch_k):
+    """Batched disjoint-winner selection + one-pass application vs a
+    pure-Python reference — covers pool cuts, symbol-conflict skips,
+    and cross-round interaction of batch-applied merges. Also pins the
+    disjointness equivalence: applying the round's rules sequentially
+    (the reference) equals the engine's composed one-pass fold."""
+    from gelly_streaming_spark.ext.text import bpe_merges
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r.round, r.rank, r.sym, r.cnt)
+        for r in bpe_merges(df, rounds=rounds, batch_k=batch_k).collect()
+    )
+    assert got == sorted(_py_bpe_batched(texts, rounds, batch_k))
+
+
+@pytest.mark.property
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=1,
+        max_size=5,
+    ),
+    rule_ids=st.lists(st.integers(0, 5), min_size=1, max_size=4),
+    chunk=st.integers(1, 3),
+    impl=st.sampled_from(["arrow", "fold"]),
+)
+@settings(**_SETTINGS)
+def test_bpe_encode_matches_python(spark, texts, rule_ids, chunk, impl):
+    """Apply-side encode vs the pure-Python sequential fold for
+    arbitrary (possibly repeating, possibly recursive) rule tables,
+    over BOTH kernels (arrow mapInPandas and pure-JVM fold at every
+    checkpoint interval)."""
+    from gelly_streaming_spark.ext.text import bpe_encode
+
+    table = [
+        ("a", "b"), ("b", "a"), ("a", "a"), ("b", "b"),
+        ("a b", "a"), ("b", "a b"),
+    ]
+    rules = [table[i] for i in rule_ids]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.toks
+        for r in bpe_encode(
+            df, rules, checkpoint_every=chunk, impl=impl
+        ).collect()
+    }
+    for i, s in enumerate(texts):
+        d = [t for t in s.split() if t]
+        for a, b in rules:
+            d = _py_fold(d, a, b)
+        assert got[i] == d, (s, rules, got[i], d)
