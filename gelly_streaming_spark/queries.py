@@ -3405,12 +3405,15 @@ SELECT u AS id, COUNT(*) AS degree FROM e3 GROUP BY u
 
 @_q("q72_k_core", _Q72_SQL,
     "k-core peeling, k=2 x 3 synchronous steps (extension — graph-side "
-    "curation: spam farms and orphan pages peel away): per step ONE "
-    "vertex-keyed partial-agg degree count and two AQE-splittable "
-    "semi-join endpoint restrictions, edge list checkpointed per step "
-    "with the surviving-edge count riding the checkpoint Observation "
-    "(free early exit) — all-integer, hash-certified against a DuckDB "
-    "unrolled-peel replica")
+    "curation: spam farms and orphan pages peel away): bounded "
+    "snapshots peel via the driver-local fast path (the q57/q60 "
+    "bounded-collect doctrine — 1.6 s of distributed per-round job "
+    "floors avoided, measured r15); at scale, per step ONE vertex-"
+    "keyed partial-agg degree count and two AQE-splittable semi-join "
+    "endpoint restrictions, edge list checkpointed per step with the "
+    "surviving-edge count riding the checkpoint Observation (free "
+    "early exit) — all-integer, hash-certified against a DuckDB "
+    "unrolled-peel replica on BOTH paths (distributed forced in tests)")
 def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gelly_streaming_spark.algos.kcore import k_core
 
@@ -3465,11 +3468,15 @@ FROM h2 JOIN a2 ON a2.id = h2.id
 
 @_q("q73_hits", _Q73_SQL,
     "HITS hubs & authorities, 2 unnormalized rounds (extension — the "
-    "query-dependent link-analysis signal next to PageRank): per round "
-    "two keyed shuffles (edge join vs the |V|-row score table + "
-    "partial-agg sum, then the mirror) — UNNORMALIZED by contract so "
-    "every score is an exact integer and the hash needs no float "
-    "margins; hash-certified against a DuckDB unrolled replica")
+    "query-dependent link-analysis signal next to PageRank): bounded "
+    "snapshots run the driver-local fast path (bounded-collect "
+    "doctrine, exact integers so bit-safe by construction — 2.9 -> "
+    "0.45 s measured r15); at scale, per round two keyed shuffles "
+    "(edge join vs the |V|-row score table + partial-agg sum, then "
+    "the mirror) — UNNORMALIZED by contract so every score is an "
+    "exact integer and the hash needs no float margins; "
+    "hash-certified against a DuckDB unrolled replica on BOTH paths "
+    "(distributed forced in tests)")
 def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gelly_streaming_spark.algos.hits import hits
 

@@ -377,8 +377,12 @@ def test_hits_hand_fixture(spark):
             [(1, 3), (2, 3), (3, 4), (1, 3), (4, 4)], "src long, dst long"
         )
     )
-    out = {r.id: (r.hub, r.auth) for r in hits(gs, iters=2).collect()}
-    assert out == {1: (4, 0), 2: (4, 0), 3: (1, 4), 4: (0, 1)}, out
+    for small in (100_000, 0):  # driver fast path AND distributed loop
+        out = {
+            r.id: (r.hub, r.auth)
+            for r in hits(gs, iters=2, small_input_rows=small).collect()
+        }
+        assert out == {1: (4, 0), 2: (4, 0), 3: (1, 4), 4: (0, 1)}, (small, out)
 
 
 def test_k_core_hand_fixture_and_convergence(spark):
@@ -401,6 +405,18 @@ def test_k_core_hand_fixture_and_convergence(spark):
     assert two == {1: 2, 2: 2, 3: 2}, two
     conv = {r.id: r.degree for r in k_core(gs, k=2, rounds=1, converged=True).collect()}
     assert conv == two
+    # the distributed loop (fast path disabled — the q15d convention)
+    # returns identical rows on every variant above
+    for kw, want in (
+        (dict(rounds=1), one),
+        (dict(rounds=2), two),
+        (dict(rounds=1, converged=True), two),
+    ):
+        dist = {
+            r.id: r.degree
+            for r in k_core(gs, k=2, small_input_rows=0, **kw).collect()
+        }
+        assert dist == want, (kw, dist)
     # everything below k: peels to empty (and the loop terminates)
     path = GraphStream(spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"))
     assert k_core(path, k=2, rounds=5).count() == 0
@@ -411,10 +427,12 @@ def test_k_core_hand_fixture_and_convergence(spark):
     recip = GraphStream(
         spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
     )
-    assert k_core(recip, k=2, rounds=3).count() == 0
-    assert {
-        r.id: r.degree for r in k_core(recip, k=1, rounds=1).collect()
-    } == {1: 1, 2: 1}
+    for sir in (100_000, 0):  # fast path AND distributed loop
+        assert k_core(recip, k=2, rounds=3, small_input_rows=sir).count() == 0
+        assert {
+            r.id: r.degree
+            for r in k_core(recip, k=1, rounds=1, small_input_rows=sir).collect()
+        } == {1: 1, 2: 1}
 
 
 def test_bfs_khop_hand_fixture(spark):

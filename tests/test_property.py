@@ -436,14 +436,24 @@ def _py_kcore(edges, k, rounds):
 
 
 @pytest.mark.property
-@given(edges=edge_lists, k=st.integers(1, 4), rounds=st.integers(1, 3))
+@given(
+    edges=edge_lists,
+    k=st.integers(1, 4),
+    rounds=st.integers(1, 3),
+    small=st.sampled_from([100_000, 0]),
+)
 @settings(**_SETTINGS)
-def test_k_core_matches_python_peel(spark, edges, k, rounds):
+def test_k_core_matches_python_peel(spark, edges, k, rounds, small):
+    """Both paths: the driver fast peel (default) and the distributed
+    loop (small_input_rows=0)."""
     from gelly_streaming_spark.algos.kcore import k_core
 
     got = {
         r.id: r.degree
-        for r in k_core(GraphStream(_df(spark, edges)), k=k, rounds=rounds).collect()
+        for r in k_core(
+            GraphStream(_df(spark, edges)), k=k, rounds=rounds,
+            small_input_rows=small,
+        ).collect()
     }
     assert got == _py_kcore(edges, k, rounds)
 
