@@ -865,7 +865,12 @@ def compact_line(result: dict) -> str:
         )
         if k in result
     }
-    compact["queries"] = _short_queries(compact.get("queries", {}))
+    # headline values at 2dp unconditionally (r15: the 87-query registry
+    # pushed the 3dp line to 1705 chars, past the 1700 headroom mandate;
+    # full 3dp precision stays in bench_detail.json)
+    compact["queries"] = {
+        k: round(v, 2) for k, v in _short_queries(compact.get("queries", {})).items()
+    }
     for names_key in ("duck_skipped", "duckdb_cold_single_run"):
         if names_key in compact:
             compact[names_key] = sorted(
