@@ -891,6 +891,61 @@ def chunk_documents(
     )
 
 
+def quality_fraction_filter(
+    docs: DataFrame,
+    keep_frac: float = 0.7,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of the corpus by ``quality_score`` —
+    the corpus-level curation step that turns the per-doc heuristic into
+    a budgeted filter ('keep the best 70%', the Gopher/FineWeb recipe)
+    without hand-tuning an absolute threshold per corpus. Rows
+    ``(doc_id, quality)``; ties AT the cutoff are all kept, so the
+    output has ≥ ceil(keep_frac·n) rows (order-statistic semantics — no
+    interpolation, the cutoff is an actual data value, which is what
+    makes the cross-engine hash exact).
+
+    100 TB shape — exact without a global corpus sort: quality is
+    rounded to 6dp in [0, 1], so its value DOMAIN is bounded at 10^6+1
+    regardless of corpus size. ONE (quality)-keyed partial-agg count
+    shuffle collapses the corpus to that bounded table; the cutoff (the
+    largest quality whose descending cumulative count reaches
+    k = ceil(keep_frac·n)) comes from a window over the bounded table
+    plus a 1-value driver take (bounded-collect doctrine; n itself is a
+    1-value count). The corpus is then filtered by the broadcast scalar
+    — never globally sorted, never ranked row-by-row. Cutoff
+    comparisons are bit-exact: both engines' quality doubles are
+    bit-identical (the q42 certified contract) and the cutoff is one of
+    them."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(
+            f"quality_fraction_filter: keep_frac must be in (0, 1], got {keep_frac}"
+        )
+    import math
+
+    q = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    n = q.count()  # bounded 1-value probe
+    if n == 0:
+        return q
+    k = math.ceil(keep_frac * n)
+    qv = q.groupBy("quality").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.orderBy(F.desc("quality"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = qv.withColumn("cc", F.sum("c").over(w))
+    cutoff = (
+        cum.where(F.col("cc") >= k)
+        .agg(F.max("quality").alias("cut"))
+        .collect()[0]["cut"]
+    )  # bounded 1-value take over the ≤1e6-row value table
+    return q.where(F.col("quality") >= F.lit(cutoff))
+
+
 def _merge_adjacent(arr: Column, a: str, b: str) -> Column:
     """Greedy left-to-right non-overlapping merge of every adjacent
     symbol pair (``a``, ``b``) into the single symbol ``"a b"`` — the
@@ -1078,6 +1133,7 @@ def bpe_encode(
     doc_id_col: str = "doc_id",
     checkpoint_every: int = 8,
     impl: str = "arrow",
+    with_raw_count: bool = False,
 ) -> DataFrame:
     """Apply-side BPE tokenization (VERDICT r14 item 4): encode the
     corpus with an already-learned merge table — the operation a
@@ -1108,7 +1164,11 @@ def bpe_encode(
       regardless of rule count; ``checkpoint_every`` cuts the composed
       expression every N rules purely to bound expression-tree depth —
       each cut materializes the corpus (localCheckpoint), so production
-      tables should raise the interval or use reliable checkpoints."""
+      tables should raise the interval or use reliable checkpoints.
+
+    ``with_raw_count`` adds an ``n_raw`` column (the PRE-merge token
+    count) at zero extra passes — the tokenizer-evaluation stat every
+    vocabulary run needs (tokens-per-doc before/after, q76)."""
     if checkpoint_every < 1:
         raise ValueError(
             f"bpe_encode: checkpoint_every must be >= 1, got {checkpoint_every}"
@@ -1139,6 +1199,7 @@ def bpe_encode(
         )
         id_type = src.schema["doc_id"].dataType.simpleString()
         frozen = list(rules)
+        raw = with_raw_count
 
         def _encode_batches(batches):
             # re.ASCII pins \s to the same ASCII class Java regex and
@@ -1147,12 +1208,14 @@ def bpe_encode(
             ws = _re.compile(r"\s+", _re.ASCII)
             for pdf in batches:
                 out = []
+                nraw = []
                 for s in pdf["text"]:
                     d = [
                         t
                         for t in ws.split(s if s is not None else "")
                         if t and "\x1f" not in t
                     ]
+                    nraw.append(len(d))
                     for a, b in frozen:
                         ab = a + " " + b
                         acc: list[str] = []
@@ -1163,26 +1226,37 @@ def bpe_encode(
                                 acc.append(x)
                         d = acc
                     out.append(d)
-                yield _pd.DataFrame({"doc_id": pdf["doc_id"], "toks": out})
+                cols = {"doc_id": pdf["doc_id"], "toks": out}
+                if raw:
+                    cols["n_raw"] = nraw
+                yield _pd.DataFrame(cols)
 
-        return src.mapInPandas(
-            _encode_batches, f"doc_id {id_type}, toks array<string>"
-        )
+        schema = f"doc_id {id_type}, toks array<string>"
+        if raw:
+            schema += ", n_raw long"
+        return src.mapInPandas(_encode_batches, schema)
 
     cur = docs.select(
         F.col(doc_id_col).alias("doc_id"),
         _bpe_tokenize(F.col(text_col)).alias("toks"),
     )
+    carry = ["doc_id"]
+    if with_raw_count:
+        cur = cur.withColumn("n_raw", F.size("toks").cast("long"))
+        carry = ["doc_id", "n_raw"]
     prev_ckpt = None
     for i in range(0, len(rules), checkpoint_every):
         folded = F.col("toks")
         for a, b in rules[i : i + checkpoint_every]:
             folded = _merge_adjacent(folded, a, b)
-        cur = cur.select("doc_id", folded.alias("toks"))
+        cur = cur.select(*carry, folded.alias("toks"))
         if i + checkpoint_every < len(rules):
             cur = cur.localCheckpoint()
             if prev_ckpt is not None:
                 # the fresh checkpoint no longer reads the old one
                 free_checkpoint(prev_ckpt)
             prev_ckpt = cur
+    if with_raw_count:
+        # column order parity with the arrow kernel (doc_id, toks, n_raw)
+        cur = cur.select("doc_id", "toks", "n_raw")
     return cur

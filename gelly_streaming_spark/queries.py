@@ -3648,6 +3648,120 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "sym")
 
 
+# Tokenizer evaluation: tokens-per-doc before/after applying the q75
+# merge table. n_raw rides the encode pass at zero extra cost
+# (with_raw_count); ratio = one IEEE division of exact BIGINTs — both
+# engines divide the identical operands, so the 6dp round is applied to
+# bit-identical doubles (the q63 exact-division argument; no measured
+# margin needed). Token-free docs are excluded on both sides (0/0).
+def _q76_sql() -> str:
+    fold = (
+        "CASE WHEN len(l) < 2 THEN l ELSE string_split(list_reduce(l, "
+        "(acc, x) -> CASE WHEN list_last(string_split(acc, chr(31))) = "
+        "'{a}' AND x = '{b}' "
+        "THEN left(acc, len(acc) - len(list_last(string_split(acc, chr(31))))) "
+        "|| '{a} {b}' "
+        "ELSE acc || chr(31) || x END), chr(31)) END"
+    )
+    parts = [
+        "WITH t0 AS (SELECT doc_id, "
+        "list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x <> '' AND NOT contains(x, chr(31))) AS l "
+        "FROM documents)"
+    ]
+    for i, (a, b) in enumerate(_Q75_RULES, 1):
+        parts.append(
+            f", t{i} AS (SELECT doc_id, "
+            + fold.format(a=a, b=b)
+            + f" AS l FROM t{i - 1})"
+        )
+    last = len(_Q75_RULES)
+    parts.append(
+        f" SELECT t0.doc_id, CAST(len(t0.l) AS BIGINT) AS n_raw, "
+        f"CAST(len(t{last}.l) AS BIGINT) AS n_enc, "
+        f"ROUND(CAST(len(t0.l) AS BIGINT) / CAST(len(t{last}.l) AS BIGINT), 6) "
+        f"AS ratio "
+        f"FROM t0 JOIN t{last} ON t0.doc_id = t{last}.doc_id "
+        f"WHERE len(t{last}.l) > 0"
+    )
+    return "".join(parts)
+
+
+@_q("q76_bpe_compression", _q76_sql(),
+    "tokenizer evaluation — per-doc compression of the q75 merge table "
+    "(tokens before/after, ratio): n_raw rides the single zero-shuffle "
+    "encode pass at no extra cost (bpe_encode with_raw_count); ratio is "
+    "one IEEE division of exact integers, so the hash needs no float "
+    "margins; hash-certified against the q75 DuckDB fold replay "
+    "extended with the t0 length join", memo_plan=True)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.text import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, _Q75_RULES, with_raw_count=True)
+    return (
+        enc.select(
+            "doc_id",
+            "n_raw",
+            F.size("toks").cast("long").alias("n_enc"),
+        )
+        .where(F.col("n_enc") > 0)
+        .withColumn("ratio", F.round(F.col("n_raw") / F.col("n_enc"), 6))
+    )
+
+
+# Exact top-fraction quality filter. The quality expression is the q42
+# certified replica verbatim (bit-identical doubles cross-engine); the
+# cutoff is an ACTUAL 6dp data value (order-statistic, no
+# interpolation), found on both engines as the largest quality whose
+# descending cumulative count reaches k = CEIL(0.7::DOUBLE * n) — the
+# 0.7 multiplication is forced to the SAME IEEE double product on both
+# sides (Python float * int vs DOUBLE * BIGINT), so k can never differ
+# even when 0.7*n sits at an integer boundary. Ties at the cutoff are
+# kept on both sides.
+_Q77_SQL = r"""
+WITH qx AS (SELECT doc_id, length(text) AS n_chars,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+                   length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha
+            FROM documents),
+q2 AS (SELECT doc_id,
+              ROUND((
+                (CASE WHEN n_chars >= 20 AND n_chars <= 100000
+                      THEN 1.0 ELSE 0.3 END)
+                + (1.0 - LEAST(punct / GREATEST(n_chars, 1) * 4, 1.0))
+                + (alpha / GREATEST(n_chars, 1))
+                + (len(list_distinct(toks)) / GREATEST(len(toks), 1))
+              ) / 4, 6) AS quality
+       FROM qx),
+kv AS (SELECT CAST(CEIL(CAST(0.7 AS DOUBLE) * COUNT(*)) AS BIGINT) AS k FROM q2),
+qv AS (SELECT quality, COUNT(*) AS c FROM q2 GROUP BY 1),
+cum AS (SELECT quality, SUM(c) OVER (ORDER BY quality DESC) AS cc FROM qv),
+cut AS (SELECT MAX(quality) AS cutoff FROM cum, kv WHERE cc >= kv.k)
+SELECT q2.doc_id, q2.quality FROM q2, cut WHERE q2.quality >= cut.cutoff
+"""
+
+
+@_q("q77_quality_fraction", _Q77_SQL,
+    "budgeted quality curation — keep the top 70% of the corpus by "
+    "quality_score (the Gopher/FineWeb 'keep the best X%' recipe, no "
+    "hand-tuned absolute threshold): EXACT without a global corpus "
+    "sort — round-6 quality has a <=1e6+1 value domain regardless of "
+    "corpus size, so ONE quality-keyed partial-agg count shuffle "
+    "collapses the corpus to a bounded table, the order-statistic "
+    "cutoff comes from a window over that bounded table + a 1-value "
+    "take, and the corpus is filtered by the broadcast scalar; ties "
+    "kept, k parity via an IEEE-identical ceil product — "
+    "hash-certified vs a DuckDB replica of the identical cumsum")
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.ext.text import quality_fraction_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_fraction_filter(docs, keep_frac=0.7).select(
+        "doc_id", "quality"
+    )
+
+
 # Driver-certification export order. The correctness harness records the
 # FIRST 50 entries of queries() in iteration order (CORRECTNESS_r08: 62
 # registered, exactly the first 50 got rows). Since r10 the ordering is
@@ -3699,8 +3813,10 @@ _CERT_ORDER: list[str] = [
     "q66s_streaming_late_drop", "q67s_streaming_late_drop_update",
     "q68_personalized_pagerank", "q69_weighted_lpa", "q70_bpe_merges",
     "q71_chunk_documents", "q72_k_core", "q73_hits",
-    # -- r15: batched BPE induction + apply-side tokenization --
-    "q74_bpe_batched", "q75_bpe_encode",
+    # -- r15: batched BPE induction + apply-side tokenization +
+    #    tokenizer evaluation + budgeted quality curation --
+    "q74_bpe_batched", "q75_bpe_encode", "q76_bpe_compression",
+    "q77_quality_fraction",
 ]
 
 

@@ -456,6 +456,71 @@ def test_bpe_encode_apply_semantics(spark):
     assert chunked == out
 
 
+def test_bpe_encode_with_raw_count(spark):
+    """with_raw_count rides the encode pass: n_raw = pre-merge token
+    count, identical across both kernels, zero extra passes."""
+    from gelly_streaming_spark.ext.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    for impl in ("arrow", "fold"):
+        rows = {
+            r.doc_id: (r.n_raw, len(r.toks))
+            for r in bpe_encode(
+                docs, [("a", "b")], impl=impl, with_raw_count=True
+            ).collect()
+        }
+        assert rows == {1: (5, 3), 2: (0, 0), 3: (1, 1)}, (impl, rows)
+
+
+def test_quality_fraction_filter(spark):
+    """Budgeted quality filter: keeps ceil(frac*n) docs by quality with
+    ties AT the cutoff all kept (order-statistic semantics), cutoff an
+    actual data value; frac=1 keeps everything; bad frac raises; empty
+    corpus returns empty."""
+    import pytest as _pytest
+
+    from gelly_streaming_spark.ext.text import (
+        quality_fraction_filter,
+        quality_score,
+    )
+
+    # 10 docs with distinct quality (varying repetition/length); verify
+    # against the independently computed quality ordering
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(2, 2 + 4 * i)) + " zz" * i)
+         for i in range(1, 11)],
+        "doc_id long, text string",
+    )
+    q = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id", quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    got = {
+        r.doc_id: r.quality
+        for r in quality_fraction_filter(docs, keep_frac=0.5).collect()
+    }
+    want_ids = sorted(q, key=lambda d: (-q[d], d))[:5]
+    # no ties in this fixture -> exactly ceil(0.5*10) survive, the top 5
+    assert sorted(got) == sorted(want_ids), (got, q)
+    assert all(abs(got[d] - q[d]) < 1e-12 for d in got)
+    # ties at the cutoff are ALL kept: 4 identical docs, frac .5 -> 4 rows
+    tied = spark.createDataFrame(
+        [(i, "same text for every doc here ok") for i in range(4)],
+        "doc_id long, text string",
+    )
+    assert quality_fraction_filter(tied, keep_frac=0.5).count() == 4
+    # frac=1 keeps all; empty input returns empty; bad frac raises
+    assert quality_fraction_filter(docs, keep_frac=1.0).count() == 10
+    empty = docs.where(F.lit(False))
+    assert quality_fraction_filter(empty, keep_frac=0.5).count() == 0
+    with _pytest.raises(ValueError, match="keep_frac"):
+        quality_fraction_filter(docs, keep_frac=0.0)
+
+
 def test_kmeans_refine_distributed_converges_and_handles_empty(spark):
     """Distributed Lloyd's refinement (VERDICT r13 item 3): on a fixture
     with two tight, well-separated direction clusters, one iteration

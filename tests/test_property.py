@@ -615,6 +615,49 @@ def test_bpe_merges_matches_python(spark, texts, rounds):
     assert got == sorted(_py_bpe(texts, rounds))
 
 
+@pytest.mark.property
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc !.", min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+    ),
+    frac_pct=st.integers(1, 100),
+)
+@settings(**_SETTINGS)
+def test_quality_fraction_filter_order_statistic(spark, texts, frac_pct):
+    """Selection semantics vs the definition: keep exactly the docs
+    whose quality ties-or-beats the k-th largest value (k =
+    ceil(frac*n), ties included), for arbitrary corpora including
+    all-tied and single-doc ones."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gelly_streaming_spark.ext.text import (
+        quality_fraction_filter,
+        quality_score,
+    )
+
+    frac = frac_pct / 100.0
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    q = {
+        r.doc_id: r.q
+        for r in df.select(
+            "doc_id", quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    got = sorted(
+        r.doc_id for r in quality_fraction_filter(df, keep_frac=frac).collect()
+    )
+    k = math.ceil(frac * len(texts))
+    cutoff = sorted(q.values(), reverse=True)[k - 1]
+    want = sorted(d for d, v in q.items() if v >= cutoff)
+    assert got == want, (frac, q, got, want)
+
+
 def _py_fold(d, a, b):
     acc = []
     for x in d:
