@@ -360,18 +360,22 @@ def test_bpe_merges_greedy_and_recursive(spark):
         ],
         "doc_id long, text string",
     )
-    out = {r.round: (r.sym, r.cnt) for r in bpe_merges(docs, rounds=3).collect()}
-    # round 1: (a,a) count 5 (3 in doc1 overlapping, 1 each in 2/3)
-    assert out[1] == ("a a", 5)
-    # after greedy merge: doc1 = [aa, aa, b], doc2/3 = [aa, b, c]
-    # round 2 pairs: (aa,aa):1, (aa,b):3, (b,c):2 -> winner ('a a', b)
-    assert out[2] == ("a a b", 3)
-    # doc1 = [aa, 'aa b'], doc2/3 = ['aa b', c]
-    # round 3: ('aa','aa b'):1, ('aa b',c):2 -> winner ('a a b', 'c')
-    assert out[3] == ("a a b c", 2)
-    # early stop: a corpus with no adjacent pairs emits no rows
-    single = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
-    assert bpe_merges(single, rounds=2).count() == 0
+    for sir in (100_000, 0):  # driver fast path AND distributed loop
+        out = {
+            r.round: (r.sym, r.cnt)
+            for r in bpe_merges(docs, rounds=3, small_input_rows=sir).collect()
+        }
+        # round 1: (a,a) count 5 (3 in doc1 overlapping, 1 each in 2/3)
+        assert out[1] == ("a a", 5), (sir, out)
+        # after greedy merge: doc1 = [aa, aa, b], doc2/3 = [aa, b, c]
+        # round 2 pairs: (aa,aa):1, (aa,b):3, (b,c):2 -> winner ('a a', b)
+        assert out[2] == ("a a b", 3), (sir, out)
+        # doc1 = [aa, 'aa b'], doc2/3 = ['aa b', c]
+        # round 3: ('aa','aa b'):1, ('aa b',c):2 -> winner ('a a b', 'c')
+        assert out[3] == ("a a b c", 2), (sir, out)
+        # early stop: a corpus with no adjacent pairs emits no rows
+        single = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+        assert bpe_merges(single, rounds=2, small_input_rows=sir).count() == 0
 
 
 def test_bpe_batched_disjoint_selection(spark):
@@ -393,18 +397,21 @@ def test_bpe_batched_disjoint_selection(spark):
         ],
         "doc_id long, text string",
     )
-    rows = bpe_merges(docs, rounds=2, batch_k=3).collect()
-    got = {(r.round, r.rank): (r.sym, r.cnt) for r in rows}
-    assert got[(1, 1)] == ("a b", 3)
-    assert got[(1, 2)] == ("c d", 2)  # (b,c) cnt 2 skipped: shares b
-    assert got[(1, 3)] == ("e f", 1)
-    # round 2 on the merged corpus: doc1 = 3x'a b' -> ('a b','a b') x2;
-    # doc2 untouched pairs (b,c)x2 + (c,b)x1 -> ('a b','a b') and (b,c)
-    # tie at 2, 'a b' < 'b' lexicographically -> rank 1
-    assert got[(2, 1)] == ("a b a b", 2)
-    # batch_k=1 degrades to the single-rule q70 path with rank 1
-    one = bpe_merges(docs, rounds=1, batch_k=1).collect()
-    assert [(r.round, r.rank, r.sym, r.cnt) for r in one] == [(1, 1, "a b", 3)]
+    for sir in (100_000, 0):  # driver fast path AND distributed loop
+        rows = bpe_merges(docs, rounds=2, batch_k=3, small_input_rows=sir).collect()
+        got = {(r.round, r.rank): (r.sym, r.cnt) for r in rows}
+        assert got[(1, 1)] == ("a b", 3), (sir, got)
+        assert got[(1, 2)] == ("c d", 2), (sir, got)  # (b,c) skipped: shares b
+        assert got[(1, 3)] == ("e f", 1), (sir, got)
+        # round 2 on the merged corpus: doc1 = 3x'a b' -> ('a b','a b') x2;
+        # doc2 untouched pairs (b,c)x2 + (c,b)x1 -> ('a b','a b') and (b,c)
+        # tie at 2, 'a b' < 'b' lexicographically -> rank 1
+        assert got[(2, 1)] == ("a b a b", 2), (sir, got)
+        # batch_k=1 degrades to the single-rule q70 path with rank 1
+        one = bpe_merges(docs, rounds=1, batch_k=1, small_input_rows=sir).collect()
+        assert [(r.round, r.rank, r.sym, r.cnt) for r in one] == [
+            (1, 1, "a b", 3)
+        ], sir
 
 
 def test_bpe_encode_apply_semantics(spark):

@@ -598,19 +598,22 @@ def _py_bpe(texts, rounds):
         max_size=6,
     ),
     rounds=st.integers(1, 3),
+    small=st.sampled_from([100_000, 0]),
 )
 @settings(**_SETTINGS)
-def test_bpe_merges_matches_python(spark, texts, rounds):
+def test_bpe_merges_matches_python(spark, texts, rounds, small):
     """Greedy merge induction vs a pure-Python reference on arbitrary
     token streams — covers overlapping runs (aaaa), recursion into
-    merged symbols, tie-breaks, and pair-free early stop."""
+    merged symbols, tie-breaks, and pair-free early stop; both the
+    driver fast path (default) and the distributed loop (small=0)."""
     from gelly_streaming_spark.ext.text import bpe_merges
 
     df = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"
     )
     got = sorted(
-        (r.round, r.sym, r.cnt) for r in bpe_merges(df, rounds=rounds).collect()
+        (r.round, r.sym, r.cnt)
+        for r in bpe_merges(df, rounds=rounds, small_input_rows=small).collect()
     )
     assert got == sorted(_py_bpe(texts, rounds))
 
@@ -708,12 +711,14 @@ def _py_bpe_batched(texts, rounds, batch_k):
     ),
     rounds=st.integers(1, 2),
     batch_k=st.integers(2, 3),
+    small=st.sampled_from([100_000, 0]),
 )
 @settings(**_SETTINGS)
-def test_bpe_batched_matches_python(spark, texts, rounds, batch_k):
+def test_bpe_batched_matches_python(spark, texts, rounds, batch_k, small):
     """Batched disjoint-winner selection + one-pass application vs a
     pure-Python reference — covers pool cuts, symbol-conflict skips,
-    and cross-round interaction of batch-applied merges. Also pins the
+    and cross-round interaction of batch-applied merges, on both the
+    driver fast path and the distributed loop. Also pins the
     disjointness equivalence: applying the round's rules sequentially
     (the reference) equals the engine's composed one-pass fold."""
     from gelly_streaming_spark.ext.text import bpe_merges
@@ -723,7 +728,9 @@ def test_bpe_batched_matches_python(spark, texts, rounds, batch_k):
     )
     got = sorted(
         (r.round, r.rank, r.sym, r.cnt)
-        for r in bpe_merges(df, rounds=rounds, batch_k=batch_k).collect()
+        for r in bpe_merges(
+            df, rounds=rounds, batch_k=batch_k, small_input_rows=small
+        ).collect()
     )
     assert got == sorted(_py_bpe_batched(texts, rounds, batch_k))
 
