@@ -320,6 +320,29 @@ def test_personalized_pagerank_hand_fixture(spark):
     assert uni == {1: 0.05, 2: 0.333333, 3: 0.333333}
 
 
+def test_pagerank_both_paths_agree(spark):
+    """r16 fast path (exact-rational driver loop) vs forced-distributed
+    loop must return IDENTICAL (id, pr) rows — uniform and personalized,
+    including a dangling-mass graph and a teleport-boundary-prone
+    concentrated source set (the q15d both-paths convention)."""
+    from gelly_streaming_spark.algos.pagerank import pagerank
+
+    rows = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (5, 1), (2, 1)]
+    gs = GraphStream(spark.createDataFrame(rows, "src long, dst long"))
+    src = spark.createDataFrame([(1,), (5,)], "id long")
+    for kwargs in ({}, {"sources": src}):
+        fast = sorted(
+            (r.id, r.pr) for r in pagerank(gs, iters=3, **kwargs).collect()
+        )
+        dist = sorted(
+            (r.id, r.pr)
+            for r in pagerank(
+                gs, iters=3, small_input_rows=0, **kwargs
+            ).collect()
+        )
+        assert fast == dist, (kwargs, fast, dist)
+
+
 def test_weighted_lpa_weight_beats_count(spark):
     """Weighted LPA must disagree with unweighted exactly where weight
     says so: star 2-1-3 plus heavy edge (1,4,w=10) — v1's neighbor
