@@ -908,41 +908,53 @@ def quality_fraction_filter(
 
     100 TB shape — exact without a global corpus sort: quality is
     rounded to 6dp in [0, 1], so its value DOMAIN is bounded at 10^6+1
-    regardless of corpus size. ONE (quality)-keyed partial-agg count
-    shuffle collapses the corpus to that bounded table; the cutoff (the
-    largest quality whose descending cumulative count reaches
-    k = ceil(keep_frac·n)) comes from a window over the bounded table
-    plus a 1-value driver take (bounded-collect doctrine; n itself is a
-    1-value count). The corpus is then filtered by the broadcast scalar
+    regardless of corpus size. The regex-heavy ``(doc_id, quality)``
+    projection is computed in ONE corpus pass and localCheckpoint'd
+    (ADVICE r15: the uncheckpointed plan re-ran the scoring scan for
+    the cutoff aggregation AND evaluated it twice more in the final
+    Filter+Project — three regex evaluations per surviving row where
+    the narrative counted one; the checkpoint is a narrow ~16 B/row
+    intermediate). ONE (quality)-keyed partial-agg count shuffle then
+    collapses the checkpoint to the bounded value table; the cutoff
+    (the largest quality whose descending cumulative count reaches
+    k = ceil(keep_frac·n)) comes from a window over that table plus a
+    1-value driver take, with n itself folded into the same bounded
+    table as a whole-frame window sum (r16: the separate count() probe
+    job is gone). The corpus is then filtered by the broadcast scalar
     — never globally sorted, never ranked row-by-row. Cutoff
     comparisons are bit-exact: both engines' quality doubles are
     bit-identical (the q42 certified contract) and the cutoff is one of
-    them."""
+    them; k parity holds because CEIL(lit(keep_frac) * n) is the same
+    IEEE double product the oracle's CEIL(0.7::DOUBLE * COUNT(*))
+    evaluates."""
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(
             f"quality_fraction_filter: keep_frac must be in (0, 1], got {keep_frac}"
         )
-    import math
-
     q = docs.select(
         F.col(doc_id_col).alias("doc_id"),
         quality_score(F.col(text_col)).alias("quality"),
-    )
-    n = q.count()  # bounded 1-value probe
-    if n == 0:
-        return q
-    k = math.ceil(keep_frac * n)
+    ).localCheckpoint()
     qv = q.groupBy("quality").agg(F.count(F.lit(1)).alias("c"))
     w = (
         Window.orderBy(F.desc("quality"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = qv.withColumn("cc", F.sum("c").over(w))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = qv.select(
+        "quality",
+        F.sum("c").over(w).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
     cutoff = (
-        cum.where(F.col("cc") >= k)
+        cum.where(F.col("cc") >= F.ceil(F.lit(keep_frac) * F.col("n")))
         .agg(F.max("quality").alias("cut"))
         .collect()[0]["cut"]
     )  # bounded 1-value take over the ≤1e6-row value table
+    if cutoff is None:
+        return q.where(F.lit(False))  # empty corpus — same empty frame
     return q.where(F.col("quality") >= F.lit(cutoff))
 
 
@@ -1042,12 +1054,22 @@ def _try_small_bpe(
 
     from gelly_streaming_spark.plans.probe import bounded_take
 
+    # Probe BOTH bounds with one cheap partial-agg job BEFORE collecting
+    # anything (ADVICE r15: the row limit alone let a sub-100k-doc corpus
+    # of book-length documents ship many GB of tokens to the driver just
+    # to be rejected by the post-collect token cap — a driver-OOM risk on
+    # the DEFAULT path). The probe is a JVM-only tokenize + count pass,
+    # no Python boundary; the path-selection predicate is unchanged.
+    probe = tok_plan.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size("l")), F.lit(0)).alias("t"),
+    ).collect()[0]
+    if probe["n"] > small_input_rows or probe["t"] > 2_000_000:
+        return None
     tbl = bounded_take(tok_plan.select("l"), small_input_rows, as_arrow=True)
     if tbl.num_rows > small_input_rows:
         return None
     docs = tbl.column("l").to_pylist()
-    if sum(len(d) for d in docs) > 2_000_000:
-        return None
     out: list[tuple[int, int, str, int]] = []
     for r in range(1, rounds + 1):
         cnt: collections.Counter = collections.Counter()
@@ -1258,6 +1280,15 @@ def bpe_encode(
             if not sep or not a or not b:
                 raise ValueError(
                     f"bpe_encode: malformed merge rule {m!r} (need 'a b')"
+                )
+            if " " in b:
+                # ADVICE r15: 'x y z' is inherently ambiguous in string
+                # form (('x','y z') vs ('x y','z') encode differently);
+                # silently picking the left split produced silently
+                # wrong encodings — require the tuple form instead
+                raise ValueError(
+                    f"bpe_encode: ambiguous string rule {m!r} (more than "
+                    "one space) — pass merged-symbol rules as (a, b) tuples"
                 )
             rules.append((a, b))
         else:

@@ -3299,7 +3299,10 @@ def _q70_sql(rounds: int = 4) -> str:
     )
     parts = [
         "WITH t0 AS (SELECT doc_id, "
-        "list_filter(string_split_regex(text, '\\s+'), "
+        # explicit class == Java/Python-ASCII \s (incl. \x0B, which RE2
+        # \s lacks — ADVICE r15: a vertical-tab document tokenized
+        # differently in the oracle than in BOTH engine kernels)
+        "list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), "
         "x -> x <> '' AND NOT contains(x, chr(31))) AS l "
         "FROM documents)"
     ]
@@ -3512,7 +3515,10 @@ def _q74_sql(rounds: int = 2, batch_k: int = 4) -> str:
     # sf0.001 with a 20k fd limit)
     parts = [
         "WITH t0 AS MATERIALIZED (SELECT doc_id, "
-        "list_filter(string_split_regex(text, '\\s+'), "
+        # explicit class == Java/Python-ASCII \s (incl. \x0B, which RE2
+        # \s lacks — ADVICE r15: a vertical-tab document tokenized
+        # differently in the oracle than in BOTH engine kernels)
+        "list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), "
         "x -> x <> '' AND NOT contains(x, chr(31))) AS l "
         "FROM documents)"
     ]
@@ -3612,7 +3618,10 @@ def _q75_sql() -> str:
     )
     parts = [
         "WITH t0 AS (SELECT doc_id, "
-        "list_filter(string_split_regex(text, '\\s+'), "
+        # explicit class == Java/Python-ASCII \s (incl. \x0B, which RE2
+        # \s lacks — ADVICE r15: a vertical-tab document tokenized
+        # differently in the oracle than in BOTH engine kernels)
+        "list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), "
         "x -> x <> '' AND NOT contains(x, chr(31))) AS l "
         "FROM documents)"
     ]
@@ -3665,7 +3674,10 @@ def _q76_sql() -> str:
     )
     parts = [
         "WITH t0 AS (SELECT doc_id, "
-        "list_filter(string_split_regex(text, '\\s+'), "
+        # explicit class == Java/Python-ASCII \s (incl. \x0B, which RE2
+        # \s lacks — ADVICE r15: a vertical-tab document tokenized
+        # differently in the oracle than in BOTH engine kernels)
+        "list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), "
         "x -> x <> '' AND NOT contains(x, chr(31))) AS l "
         "FROM documents)"
     ]

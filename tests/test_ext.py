@@ -450,6 +450,10 @@ def test_bpe_encode_apply_semantics(spark):
     assert s_out[2] == ["a a", "a"]
     with _pytest.raises(ValueError, match="malformed merge rule"):
         bpe_encode(docs, ["nospace"])
+    # ADVICE r15: multi-space string rules are ambiguous — hard error,
+    # never a silent left-split parse
+    with _pytest.raises(ValueError, match="ambiguous string rule"):
+        bpe_encode(docs, ["t h e"])
     with _pytest.raises(ValueError, match="checkpoint_every"):
         bpe_encode(docs, rules, checkpoint_every=0)
     # fold impl: the chunked path (checkpoint_every < len(rules)) is
