@@ -747,10 +747,15 @@ def _reclaim_candidates(
     intended_single: bool = False,
 ) -> list[tuple[str, list[str], list[str]]]:
     """Work list for the reclaim pass: ``(name, engine_reasons,
-    duck_reasons)`` tuples, ordered by recorded engine time DESCENDING
-    so a tight post-loop budget re-measures the entries that dominate
-    the gate ratio first (a storm window can flag a dozen queries; the
-    1-2 biggest carry most of the inflation). A storm flag applies to
+    duck_reasons)`` tuples, ordered by recorded EXCESS over the
+    committed reference DESCENDING (recorded seconds when no reference
+    exists) so a tight post-loop budget re-measures the entries that
+    carry the most inflation first — ordering by absolute recorded time
+    (pre-r16) spent the budget on queries that are big by design (the
+    certification runs) while 3-5x ref-inflated mid-size recordings
+    rode into the books (VERDICT r15 wrong-item 3: q17/q23b/q43/q19b
+    at 3.4-5.2x their floors, all skipped-no-budget). A storm flag
+    applies to
     BOTH sides symmetrically — the engine and inline-oracle runs are
     interleaved inside the same window, so re-running only the engine
     side would bias the ratio. Deferred oracles are excluded (their
@@ -775,7 +780,10 @@ def _reclaim_candidates(
             )
         if e or d:
             out.append((name, e, d))
-    out.sort(key=lambda c: timings[c[0]], reverse=True)
+    out.sort(
+        key=lambda c: timings[c[0]] - (eng_ref.get(c[0]) or 0.0),
+        reverse=True,
+    )
     return out
 
 
@@ -1419,6 +1427,19 @@ def main() -> None:
     # the reference eye's window: recorded/committed-reference ratios
     # for queries that have a committed baseline (see _ref_storm_mode)
     eng_ref, duck_ref = _load_reference()
+
+    def _oracle_est(name: str) -> float:
+        # History-sized per-oracle wall-clock (VERDICT r15 item 2): the
+        # flat defer_est cap interrupted q22 three times in the r15
+        # official window (40/15.5/40 s caps vs a ~28-45 s storm-window
+        # quadratic oracle) and left the round's only denominator hole.
+        # The committed reference records the oracle's own measured
+        # seconds (min-of-runs, typically the warm/calm value); x4
+        # covers the documented cold+storm inflation band (r12/r13
+        # evidence: 13.9 s recorded vs 28.5-44 s storm-window cold).
+        # No history -> the old flat estimate.
+        hist = duck_ref.get(name)
+        return max(defer_est, 4.0 * hist) if hist else defer_est
     recent_ref: list[float] = []
     storm = False
     base_runs = runs_per_query
@@ -1435,7 +1456,9 @@ def main() -> None:
         # from tail-query extra runs to the oracle reserve — the
         # funded reclaim pass repairs the extra single-run tail
         # queries at ~2 s each.
-        reserve = defer_est * len(duck_deferred) + _RECLAIM_RESERVE_SEC
+        reserve = (
+            sum(_oracle_est(n) for n in duck_deferred) + _RECLAIM_RESERVE_SEC
+        )
         # projection needs a stable sample: the first queries carry
         # one-time session builds that overestimate the steady rate
         est = (
@@ -1755,10 +1778,13 @@ def main() -> None:
         if rem <= 0:
             deferred_log[name] = f"no-budget(rem={rem:.1f})"
             continue
-        # capped at remaining budget too (ADVICE r11): the defer_est
+        # capped at remaining budget too (ADVICE r11): the estimate
         # floor could otherwise start a ~25 s run with near-zero budget
-        # left and overshoot the driver's own clock by itself
-        cap = min(max(defer_est, rem / (len(pending) - i)), rem)
+        # left and overshoot the driver's own clock by itself. The
+        # floor is HISTORY-SIZED per oracle (VERDICT r15 item 2), not
+        # an even share: one 30-45 s quadratic oracle must get a cap
+        # its own measured history says it needs.
+        cap = min(max(_oracle_est(name), rem / (len(pending) - i)), rem)
         # fresh single-purpose process, NOT the JVM-resident in-process
         # connection: residency overhead ran the quadratic oracles at
         # up to 2.5x with 4-60 s variance (see _oracle_subprocess_run),
@@ -1774,6 +1800,41 @@ def main() -> None:
             continue
         deferred_log[name] = f"cold={cold:.2f}"
         deferred_cold[name] = cold
+        duck[name] = round(cold, 3)
+        duck_min[name] = duck[name]
+        duck_cold.append(name)
+        emit()
+
+    # Pass 1.5 — retry pass-1 interrupts on surviving budget. Runs
+    # BEFORE the opportunistic warm runs (VERDICT r15 item 2): one
+    # history-sized cold run for a never-timed oracle pre-empts
+    # steady-state second runs of the cheap ones — a missing
+    # denominator entry costs the matched set far more than a
+    # cold-vs-warm delta. The fair-share division protects the other
+    # retries for the same reason as pass 1, but the share is floored
+    # at the oracle's own history-sized estimate when budget allows.
+    for j, name in enumerate(deferred_retry):
+        rem = budget.remaining() - 5
+        share = rem / (len(deferred_retry) - j) if rem > 0 else 0.0
+        cap_r = min(max(_oracle_est(name), share), rem)
+        if cap_r < 5.0:
+            # below child startup + any real SQL time: running would be
+            # a guaranteed-futile kill that still burns the remaining
+            # retries' budget
+            deferred_log[name] += f" retry-no-budget(share={share:.1f})"
+            continue
+        cold, interrupted, err = _oracle_subprocess_run(
+            duck_deferred[name], sf_dir, cap_r
+        )
+        if cold is None:
+            # keep the interrupted-at-cap evidence AND say which way
+            # the retry died: budget-killed vs genuine SQL failure
+            deferred_log[name] += (
+                f" retry-interrupted(cap={cap_r:.1f})" if interrupted
+                else f" retry-failed({err})"
+            )
+            continue
+        deferred_log[name] += f" retry-cold={cold:.2f}"
         duck[name] = round(cold, 3)
         duck_min[name] = duck[name]
         duck_cold.append(name)
@@ -1803,38 +1864,6 @@ def main() -> None:
         duck_min[name] = duck[name]
         duck_cold.remove(name)
         deferred_log[name] += f" warm={warm:.2f}"
-        emit()
-
-    # Pass 1.5 — retry pass-1 interrupts on surviving budget: the
-    # fair-share cap exists to protect the OTHER oracles' only runs,
-    # not to punish the slow one — whatever wall-clock is left now
-    # belongs to the retry list, split fairly for the same reason as
-    # pass 1 (two interrupted oracles must not re-create the
-    # starvation inside the retry pass itself).
-    for j, name in enumerate(deferred_retry):
-        rem = budget.remaining() - 5
-        share = rem / (len(deferred_retry) - j) if rem > 0 else 0.0
-        if share < 5.0:
-            # below child startup + any real SQL time: running would be
-            # a guaranteed-futile kill that still burns the remaining
-            # retries' budget
-            deferred_log[name] += f" retry-no-budget(share={share:.1f})"
-            continue
-        cold, interrupted, err = _oracle_subprocess_run(
-            duck_deferred[name], sf_dir, share
-        )
-        if cold is None:
-            # keep the interrupted-at-cap evidence AND say which way
-            # the retry died: budget-killed vs genuine SQL failure
-            deferred_log[name] += (
-                f" retry-interrupted(cap={share:.1f})" if interrupted
-                else f" retry-failed({err})"
-            )
-            continue
-        deferred_log[name] += f" retry-cold={cold:.2f}"
-        duck[name] = round(cold, 3)
-        duck_min[name] = duck[name]
-        duck_cold.append(name)
         emit()
 
     # Pass 3 — the ROUND-LEVEL STORM RETRY (VERDICT r12 item 1, the
@@ -1908,11 +1937,12 @@ def main() -> None:
 
     def _deferred_floor() -> float:
         # Wall-clock reserved to give every still-untimed deferred
-        # oracle one defer_est-capped fresh-process run — subtracted
+        # oracle one history-sized fresh-process run — subtracted
         # from what the retry pass's ENGINE re-runs may spend, so the
         # denominator's floor is funded by construction instead of by
-        # leftovers (VERDICT r14 item 1c).
-        return defer_est * len(_untimed_deferred())
+        # leftovers (VERDICT r14 item 1c; history-sized r16 per
+        # VERDICT r15 item 2).
+        return sum(_oracle_est(n) for n in _untimed_deferred())
 
     untimed0, flagged0, dflagged0, starved0 = _check_health()
     needs_retry = bool(
@@ -1924,6 +1954,16 @@ def main() -> None:
         budget.total += retry_budget
         for attempt in range(_RETRY_ATTEMPTS):
             untimed_now, flagged_now, dflagged_now, _ = _check_health()
+            # most-inflated first (the reclaim pass's r16 excess rule):
+            # untimed queries keep absolute priority — coverage beats
+            # steadiness — then flagged recordings by excess-over-
+            # reference descending so a budget-squeezed attempt repairs
+            # the entries that actually distort the gate ratio
+            flagged_now = sorted(
+                flagged_now,
+                key=lambda n: timings.get(n, 0.0) - (eng_ref.get(n) or 0.0),
+                reverse=True,
+            )
             work = untimed_now + flagged_now
             if not work and not dflagged_now:
                 break
@@ -2017,7 +2057,7 @@ def main() -> None:
                     elif interrupted and budget.remaining() > 10:
                         cold, _, _err = _oracle_subprocess_run(
                             q.sql, sf_dir,
-                            min(defer_est, budget.remaining() - 5),
+                            min(_oracle_est(name), budget.remaining() - 5),
                         )
                         if cold is not None:
                             duck[name] = round(cold, 3)
@@ -2092,7 +2132,8 @@ def main() -> None:
                     ).strip()
                 elif interrupted and budget.remaining() > 10:
                     cold, _, _err = _oracle_subprocess_run(
-                        q.sql, sf_dir, min(defer_est, budget.remaining() - 5)
+                        q.sql, sf_dir,
+                        min(_oracle_est(name), budget.remaining() - 5),
                     )
                     if cold is not None:
                         duck[name] = round(cold, 3)
@@ -2116,16 +2157,19 @@ def main() -> None:
         for name, sql in duck_deferred.items():
             if name in duck or name in errors:
                 continue
-            # The cap never drops below defer_est: a NEVER-timed oracle
-            # runs here even at zero remaining budget (bounded overshoot
-            # of defer_est per oracle). The engine re-runs above reserved
-            # this floor via _deferred_floor(); if the reserve was still
-            # overrun (a watchdog-missed hang), a bounded clock overshoot
-            # beats shipping a record whose denominator is missing the
+            # The cap never drops below the oracle's history-sized
+            # estimate: a NEVER-timed oracle runs here even at zero
+            # remaining budget (bounded overshoot per oracle). The
+            # engine re-runs above reserved this floor via
+            # _deferred_floor(); if the reserve was still overrun (a
+            # watchdog-missed hang), a bounded clock overshoot beats
+            # shipping a record whose denominator is missing the
             # queries where the engine wins 10-20x — the r14 official
             # ratio (3.83 over a 26 s denominator vs r13's 122 s) was
-            # exactly that failure.
-            cap = min(90.0, max(defer_est, budget.remaining() - 15))
+            # exactly that failure, and the r15 official record lost
+            # q22 to three flat-capped interrupts (VERDICT r15 item 2).
+            est = _oracle_est(name)
+            cap = min(max(90.0, est), max(est, budget.remaining() - 15))
             cold, interrupted, err = _oracle_subprocess_run(sql, sf_dir, cap)
             if cold is None:
                 deferred_log[name] += (

@@ -222,8 +222,14 @@ def test_bench_budget_stop_emits_parseable_tail(sf_dir):
         assert setup_sec > 0
 
         # Real run: enough budget for setup (as measured on THIS host
-        # under THIS load) plus a margin for copart + a few queries.
-        budget = setup_sec * 1.5 + 45
+        # under THIS load) plus margin for copart, the 20%-of-budget
+        # warm-up cap, the 35 s reclaim reserve AND at least one query.
+        # The r15/r16 flake: setup*1.5+45 left the first query's
+        # runs_allowed at 0 whenever run-2 setup drifted past the probe
+        # (warm-up + reclaim reserve alone consume ~60 s of a 120 s
+        # budget) — the margin must clear the harness's own fixed
+        # reserves, not just copart.
+        budget = setup_sec * 2 + 90
         proc = run_bench(str(int(budget)))
         assert proc.returncode == 0, proc.stderr[-500:]
         d = _tail_line(proc.stdout)
@@ -377,9 +383,10 @@ def test_reclaim_flags_inflated_storm_and_single_run():
 
 
 def test_reclaim_candidates_order_symmetry_and_exclusions():
-    """Candidate assembly: gate-dominant (biggest engine recording)
-    first, a storm flags BOTH sides symmetrically (engine and inline
-    oracle shared the flagged window), and errored / clean / deferred /
+    """Candidate assembly: most-inflated first (excess over committed
+    reference when one exists, recorded seconds otherwise — r16), a
+    storm flags BOTH sides symmetrically (engine and inline oracle
+    shared the flagged window), and errored / clean / deferred /
     oracle-less entries stay out."""
     sys.path.insert(0, REPO)
     from bench import _reclaim_candidates
@@ -405,6 +412,17 @@ def test_reclaim_candidates_order_symmetry_and_exclusions():
     assert d_reasons[0].startswith("storm")  # symmetric re-run
     name, e_reasons, d_reasons = cands[1]
     assert e_reasons == ["single-run"] and d_reasons == ["single-run"]
+    # r16 excess rule: with a committed reference, a mid-size recording
+    # 5x its reference outranks a big recording near its reference —
+    # the designed-shape certification queries stop eating the budget
+    cands_ref = _reclaim_candidates(
+        ["qa", "qb", "qc", "qd", "qe"], timings, duck, all_runs,
+        all_druns, {"qd": "boom"}, {}, {"qa", "qb", "qc"},
+        {"qa": 8.0, "qb": 0.2, "qc": 0.3},
+        eng_ref={"qa": 6.4, "qb": 0.25},  # qa excess 0.1, qb excess 0.95
+        duck_ref={},
+    )
+    assert [c[0] for c in cands_ref] == ["qb", "qa"]
 
 
 def test_storm_mode_hysteresis():
@@ -671,7 +689,10 @@ def test_retry_pass_sweeps_missing_inline_oracles(sf_dir):
     storm-retry pass ON, a budget-truncated run must end with every
     engine-timed query's oracle timed: duck_skipped empty and the
     matched set covering the full comparable set."""
-    def run_bench(budget_sec: str, retry: str) -> subprocess.CompletedProcess:
+    def run_bench(
+        budget_sec: str, retry: str, retry_budget_sec: str = "420",
+        timeout_sec: int = 900,
+    ) -> subprocess.CompletedProcess:
         env = dict(
             os.environ,
             SPARK_GRAFT_SF_DIR=sf_dir,
@@ -680,15 +701,12 @@ def test_retry_pass_sweeps_missing_inline_oracles(sf_dir):
             BENCH_RUNS="1",
             BENCH_DUCKDB="1",
             BENCH_STORM_RETRY=retry,
-            # generous: the retry pass must be able to time EVERY
-            # truncated engine run + oracle even on a slow host — this
-            # test asserts coverage, not speed (first flake: 240 s died
-            # mid-retry in a hot window and partial stayed true)
-            BENCH_RETRY_BUDGET_SEC="420",
+            BENCH_RETRY_BUDGET_SEC=retry_budget_sec,
         )
         return subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
-            capture_output=True, text=True, env=env, timeout=900, cwd=REPO,
+            capture_output=True, text=True, env=env,
+            timeout=timeout_sec, cwd=REPO,
         )
 
     detail_path = os.path.join(REPO, "bench_detail.json")
@@ -702,8 +720,19 @@ def test_retry_pass_sweeps_missing_inline_oracles(sf_dir):
         assert probe.returncode == 0, probe.stderr[-500:]
         setup = _tail_line(probe.stdout)["session_setup_sec"]
         # enough budget to time SOME engines, not enough for the rest —
-        # guarantees missing inline oracles going into the retry pass
-        proc = run_bench(str(int(setup + 12)), "1")
+        # guarantees missing inline oracles going into the retry pass.
+        # The retry budget SCALES with the probed setup cost (VERDICT
+        # r15 item 3: the fixed 420 s died mid-retry on hot hosts —
+        # 2-of-3 failures — turning a coverage contract into a
+        # host-speed race); the sweep must time ~90 engine runs +
+        # oracles, which costs ~8-10x setup on any host profile, so
+        # 12x leaves margin without masking a genuinely broken sweep.
+        retry_budget = max(420, int(setup * 12))
+        proc = run_bench(
+            str(int(setup + 12)), "1",
+            retry_budget_sec=str(retry_budget),
+            timeout_sec=int(setup * 4) + retry_budget + 300,
+        )
         assert proc.returncode == 0, proc.stderr[-500:]
         d = _tail_line(proc.stdout)
         assert d["partial"] is False, d  # retry timed the rest
