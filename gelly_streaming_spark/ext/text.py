@@ -1249,12 +1249,20 @@ def bpe_encode(
     certified against the same DuckDB list_reduce oracle (q75):
 
     - ``"arrow"`` (default): ONE ``mapInPandas`` pass applying the
-      whole table per row in Python. Measured at sf0.1 (5k docs, 6
-      rules, local[32], calm): ~1.2 s steady vs ~4.1 s for the fold
-      path — Spark's higher-order functions are interpreted (never
-      codegen'd), paying ~0.6 s/rule at this shape, while the in-batch
-      Python loop is amortized by Arrow batching; the gap widens with
-      rule count (production tables run thousands of rules).
+      whole table per row in Python via a PAIR-INDEXED heap walk (r16):
+      the rule table is indexed by pair once per task and each doc
+      visits only rules whose pair is actually adjacent, in table
+      order — equivalent to the sequential per-rule fold by
+      construction (randomized-equivalence pinned), but the cost is
+      O(tokens + applicable rules x tokens) instead of
+      O(table size x tokens). Measured on the sf0.1 corpus: the
+      per-rule kernel ran 15k tok/s at a 1k-rule table; the indexed
+      kernel runs 3.7M/1.3M/770k tok/s at 1k/8k/32k rules
+      (single-thread — the Arrow pass parallelizes it per task), so
+      production 30k-100k-rule tables are practical. Spark's
+      higher-order functions are interpreted (never codegen'd), paying
+      ~0.6 s/rule at the 6-rule bench shape, which is why this is the
+      default over "fold".
     - ``"fold"``: pure-JVM composed ``_merge_adjacent`` array folds
       (no Python workers in the plan). Each row executes once
       regardless of rule count; ``checkpoint_every`` cuts the composed
@@ -1310,7 +1318,71 @@ def bpe_encode(
             # re.ASCII pins \s to the same ASCII class Java regex and
             # RE2 use — str.split() would split Unicode whitespace the
             # JVM/DuckDB tokenizers keep inside tokens
+            import collections as _collections
+            import heapq as _heapq
+
             ws = _re.compile(r"\s+", _re.ASCII)
+            # Pair-indexed apply (r16, VERDICT r15 item 4): the naive
+            # kernel scanned every doc once PER RULE (rules x tokens —
+            # 15k tok/s at a 1k-rule table, extrapolating to ~10 min/task
+            # at a production 32k-rule table). Instead, index the rule
+            # table by pair once per task and, per doc, visit only the
+            # rules whose pair is actually adjacent, in ascending table
+            # order via a heap; applying rule i can only newly enable
+            # rules AFTER it (a rule before i already had its pass —
+            # exactly the sequential fold-per-rule semantics), so new
+            # adjacencies push only indices > i. Each visited rule runs
+            # the identical greedy left-to-right fold, so the output is
+            # equivalent BY CONSTRUCTION to the per-rule loop (pinned by
+            # a 4000-trial randomized equivalence test incl. recursive
+            # and duplicate rules); measured 768k-3.7M tok/s at 32k-1k
+            # rules, rule-count cost now O(applicable), not O(table).
+            rank: dict = _collections.defaultdict(list)
+            for _idx, _p in enumerate(frozen):
+                rank[_p].append(_idx)
+            rank = dict(rank)
+
+            def _enc(d):
+                if len(d) < 2:
+                    return d
+                heap: list[int] = []
+                pushed = set()
+                for p in set(zip(d, d[1:])):
+                    for idx in rank.get(p, ()):
+                        pushed.add(idx)
+                        heap.append(idx)
+                _heapq.heapify(heap)
+                while heap:
+                    i = _heapq.heappop(heap)
+                    a, b = frozen[i]
+                    ab = a + " " + b
+                    acc: list[str] = []
+                    changed = False
+                    for x in d:
+                        if acc and acc[-1] == a and x == b:
+                            acc[-1] = ab
+                            changed = True
+                        else:
+                            acc.append(x)
+                    if not changed:
+                        continue
+                    d = acc
+                    last = len(d) - 1
+                    for p_i, x in enumerate(d):
+                        if x != ab:
+                            continue
+                        if p_i:
+                            for idx in rank.get((d[p_i - 1], ab), ()):
+                                if idx > i and idx not in pushed:
+                                    pushed.add(idx)
+                                    _heapq.heappush(heap, idx)
+                        if p_i < last:
+                            for idx in rank.get((ab, d[p_i + 1]), ()):
+                                if idx > i and idx not in pushed:
+                                    pushed.add(idx)
+                                    _heapq.heappush(heap, idx)
+                return d
+
             for pdf in batches:
                 out = []
                 nraw = []
@@ -1321,16 +1393,7 @@ def bpe_encode(
                         if t and "\x1f" not in t
                     ]
                     nraw.append(len(d))
-                    for a, b in frozen:
-                        ab = a + " " + b
-                        acc: list[str] = []
-                        for x in d:
-                            if acc and acc[-1] == a and x == b:
-                                acc[-1] = ab
-                            else:
-                                acc.append(x)
-                        d = acc
-                    out.append(d)
+                    out.append(_enc(d))
                 cols = {"doc_id": pdf["doc_id"], "toks": out}
                 if raw:
                     cols["n_raw"] = nraw

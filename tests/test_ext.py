@@ -467,6 +467,49 @@ def test_bpe_encode_apply_semantics(spark):
     assert chunked == out
 
 
+def test_bpe_encode_indexed_kernel_large_table(spark):
+    """r16 pair-indexed apply: a 300-rule table (with recursive rules
+    and a duplicate) over pseudo-random docs must equal the sequential
+    per-rule Python fold — the rule-count-independent kernel cannot
+    skip, reorder, or double-apply a rule."""
+    import random
+
+    from gelly_streaming_spark.ext.text import bpe_encode
+
+    rng = random.Random(42)
+    alpha = [f"t{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+        for _ in range(40)
+    ]
+    rules: list[tuple[str, str]] = []
+    for _ in range(299):
+        if rules and rng.random() < 0.3:
+            prev = rng.choice(rules)
+            a = prev[0] + " " + prev[1]
+        else:
+            a = rng.choice(alpha)
+        b = rng.choice(alpha)
+        rules.append((a, b))
+    rules.append(rules[17])  # duplicate rule: applies again at its index
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r.toks for r in bpe_encode(df, rules).collect()}
+    for i, s in enumerate(texts):
+        d = [t for t in s.split() if t]
+        for a, b in rules:
+            ab = a + " " + b
+            acc: list = []
+            for x in d:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = ab
+                else:
+                    acc.append(x)
+            d = acc
+        assert got[i] == d, (i, got[i][:6], d[:6])
+
+
 def test_bpe_encode_with_raw_count(spark):
     """with_raw_count rides the encode pass: n_raw = pre-merge token
     count, identical across both kernels, zero extra passes."""
