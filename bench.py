@@ -420,7 +420,10 @@ _RECLAIM_RESERVE_SEC = 35.0
 # within the round (same-round convention); only untimed queries get
 # fresh oracle runs.
 _RETRY_ATTEMPTS = 3
-_RETRY_SLEEP_SEC = 45.0
+# Sleep between retry attempts decorrelates stormy windows; 0 is valid
+# (the CLI coverage tests care about sweep completeness, not window
+# decorrelation, and the two 45 s sleeps were ~20% of their budget)
+_RETRY_SLEEP_SEC = float(os.environ.get("BENCH_RETRY_SLEEP_SEC", "45"))
 _RETRY_HOT_ABORT = 3  # consecutive still-inflated fresh runs -> window hot
 
 
