@@ -187,15 +187,23 @@ def triangle_count(
             if nrows < 3:
                 prep = None
             else:
-                # Degree computation, orientation, and BOTH sort orders
-                # run DISTRIBUTED (they are the expensive O(m log m)
-                # part of the build); the driver's remaining work is a
-                # vectorized multiply-add over the collected arrays. The
-                # collected arrays ARE the broadcast join's build side,
-                # bounded by broadcast_limit. (The earlier all-driver
-                # _tri_prep spent ~5 s single-threaded at m=1.2M; the
-                # cluster does the same work in two parallel jobs.)
-                prep = _tri_prep_spark(e, tbl)
+                # Driver-side vectorized prep over the ALREADY-collected
+                # Arrow table (the strategy probe's bounded_take IS the
+                # build-side collect, capped at broadcast_limit edges).
+                # The r16 _tri_prep_spark variant ran the degree/orient/
+                # sort work as two distributed sort jobs + two MORE full
+                # Arrow collects of the same m rows — measured r17 on the
+                # 1.2M-edge copart set: 3.5-5.9 s vs 0.4-1.2 s for this
+                # numpy path (np.bincount + np.lexsort on <=5M bounded
+                # rows), and each extra driver-visible job was one more
+                # window for a host-steal burst to land in (the q17
+                # first-run blowout mechanism, BASELINE r8/r12 rows).
+                import numpy as np
+
+                prep = _tri_prep(
+                    tbl["src"].to_numpy().astype(np.int64),
+                    tbl["dst"].to_numpy().astype(np.int64),
+                )
             bc = spark.sparkContext.broadcast(prep)
             if mkey is not None:
                 memo[mkey] = (e, nrows, bc)
@@ -230,69 +238,6 @@ def triangle_count(
     return per_edge.groupBy().agg(
         F.coalesce(F.sum("tri"), F.lit(0)).alias("n_triangles")
     )
-
-
-def _tri_prep_spark(e: DataFrame, tbl):
-    """Build the broadcast-kernel structures with the CLUSTER doing the
-    heavy lifting: degrees via a distributed aggregation, orientation via
-    column expressions, both required sort orders via distributed sorts.
-    The driver only fuses the collected (already-sorted) arrays into
-    ``(u, v, edge_code, n)`` — a multiply-add, no driver-side sort.
-
-    ``e`` must be the canonical (src<dst, distinct) edge set; ``tbl`` its
-    collected Arrow table (already in hand from the strategy probe).
-    Falls back to the all-driver ``_tri_prep`` when ids are sparse enough
-    to need the np.unique remap (edge codes would overflow int64)."""
-    import numpy as np
-
-    from gelly_streaming_spark.blas import pin_blas_threads
-
-    pin_blas_threads()
-    src = tbl["src"].to_numpy().astype(np.int64)
-    dst = tbl["dst"].to_numpy().astype(np.int64)
-    max_id = int(max(src.max(), dst.max()))
-    # same density cutoff as _tri_prep: O(max_id) arrays only when ids
-    # are actually dense relative to the edge count
-    if max_id > max(8 * len(src), 1 << 16):
-        return _tri_prep(src, dst)
-    n = max_id + 1
-    # edge_code: e is canonical, so sorting by (src, dst) makes
-    # src*n+dst monotone — the driver multiply-add preserves sortedness
-    ct = e.select("src", "dst").orderBy("src", "dst").toArrow()
-    edge_code = (
-        ct["src"].to_numpy().astype(np.int64) * n
-        + ct["dst"].to_numpy().astype(np.int64)
-    )
-    deg = (
-        e.select(F.explode(F.array("src", "dst")).alias("id"))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    low_first = (F.col("ds") < F.col("dd")) | (
-        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
-    )
-    ot = (
-        e.join(
-            deg.select(F.col("id").alias("src"), F.col("d").alias("ds")).hint("broadcast"),
-            "src",
-        )
-        .join(
-            deg.select(F.col("id").alias("dst"), F.col("d").alias("dd")).hint("broadcast"),
-            "dst",
-        )
-        .select(
-            F.when(low_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
-            F.when(low_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
-        )
-        .orderBy("u", "v")
-        .toArrow()
-    )
-    u = ot["u"].to_numpy().astype(np.int64)
-    v = ot["v"].to_numpy().astype(np.int64)
-    if n <= 46_340:  # n*n < 2**31: codes (and ids) fit int32
-        u, v = u.astype(np.int32), v.astype(np.int32)
-        edge_code = edge_code.astype(np.int32)
-    return u, v, edge_code, n
 
 
 def _tri_prep(src, dst):

@@ -289,23 +289,43 @@ def _exact_pairs_gemm(
         .groupBy("blk")
         .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
     )
-    idx = (
-        spark.range(n_blocks)
-        .select(F.col("id").alias("i"))
-        .join(spark.range(n_blocks).select(F.col("id").alias("j")))
-        .where(F.col("i") <= F.col("j"))
-    )
-    paired = (
-        idx.join(
-            chunks.select(F.col("blk").alias("i"), F.col("rows").alias("rows_l")),
-            "i",
+    if n_blocks == 1:
+        # Degenerate block-pair enumeration: one block ⇒ exactly the
+        # diagonal pair {0, 0}. The general path below would join the
+        # single chunk row against a 1-row index relation and then
+        # REPARTITION it — two extra exchanges moving the whole payload
+        # plus three extra AQE stages, all to place one row (measured
+        # r17: 10 plan exchanges → 2, q23b ~1.6 s → ~1.0 s calm, and
+        # every removed stage is one fewer window for a host-steal
+        # burst to multiply — the q23b blowout class, BASELINE r8 row).
+        # The kernel row is IDENTICAL in shape (i, j, rows_l, rows_r),
+        # runs the same _gemm_pairs_fn, and the multi-block enumeration
+        # stays the only path for n > rows_per_block (forced in tests
+        # with a small rows_per_block).
+        paired = chunks.select(
+            F.col("blk").alias("i"),
+            F.col("blk").alias("j"),
+            F.col("rows").alias("rows_l"),
+            F.col("rows").alias("rows_r"),
         )
-        .join(
-            chunks.select(F.col("blk").alias("j"), F.col("rows").alias("rows_r")),
-            "j",
+    else:
+        idx = (
+            spark.range(n_blocks)
+            .select(F.col("id").alias("i"))
+            .join(spark.range(n_blocks).select(F.col("id").alias("j")))
+            .where(F.col("i") <= F.col("j"))
         )
-        .repartition(F.col("i"), F.col("j"))  # one block pair per task slot
-    )
+        paired = (
+            idx.join(
+                chunks.select(F.col("blk").alias("i"), F.col("rows").alias("rows_l")),
+                "i",
+            )
+            .join(
+                chunks.select(F.col("blk").alias("j"), F.col("rows").alias("rows_r")),
+                "j",
+            )
+            .repartition(F.col("i"), F.col("j"))  # one block pair per task slot
+        )
 
     return paired.mapInPandas(
         _gemm_pairs_fn(threshold), "a long, b long, sim double"

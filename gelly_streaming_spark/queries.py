@@ -298,18 +298,20 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semi/anti joins — assume_distinct skips the dedup shuffle because "
     "both inputs filter the already-distinct materialized view", memo_plan=True)
 def q11b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the distinct co-purchase projection feeds all four set-op branches:
-    # the session-shared canonical materialization covers them all
+    # the distinct co-purchase projection feeds both set-op sides:
+    # the session-shared canonical materialization covers them all.
+    # intersect_difference computes BOTH sides in one build + one probe
+    # (r17 — the separate semi+anti pair built the same broadcast hash
+    # relation twice and scanned the left twice; plan audit r16).
     e = E.copart_canonical(spark, sf_dir)
     a = GraphStream(e.where(F.col("src") % 2 == 0))
     b = GraphStream(e.where(F.col("dst") % 3 == 0))
-    return (
-        a.intersect(b, assume_distinct=True)
-        .edges.select(F.lit("intersect").alias("which"), "src", "dst")
-        .unionByName(
-            a.difference(b, assume_distinct=True)
-            .edges.select(F.lit("except").alias("which"), "src", "dst")
-        )
+    return a.intersect_difference(b, assume_distinct=True).edges.select(
+        F.when(F.col("in_both"), F.lit("intersect"))
+        .otherwise(F.lit("except"))
+        .alias("which"),
+        "src",
+        "dst",
     )
 
 

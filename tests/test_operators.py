@@ -152,3 +152,33 @@ def test_neighborhood_salted_matches_unsalted(spark, sf_dir):
     salted = {(r.bucket, r.id): (list(r.neighbors), r.degree)
               for r in w.neighborhood(salt=4).collect()}
     assert plain == salted
+
+
+def test_intersect_difference_fused_matches_pair(spark):
+    """The fused one-probe intersect_difference must partition the left
+    set exactly as the separate semi-join intersect / anti-join
+    difference pair does — including right-side DUPLICATES (a left join
+    multiplies on them unless the operator dedups) and the
+    assume_distinct fast path."""
+    left = GraphStream(spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "src long, dst long"))
+    # (1, 2) duplicated on the right: must still tag once, not multiply
+    right = GraphStream(spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (9, 9)], "src long, dst long"))
+
+    fused = left.intersect_difference(right).edges
+    got_in = {(r.src, r.dst) for r in fused.collect() if r.in_both}
+    got_out = {(r.src, r.dst) for r in fused.collect() if not r.in_both}
+    want_in = {(r.src, r.dst) for r in left.intersect(right).edges.collect()}
+    want_out = {(r.src, r.dst) for r in left.difference(right).edges.collect()}
+    assert got_in == want_in == {(1, 2), (2, 3)}
+    assert got_out == want_out == {(1, 3), (4, 5)}
+    assert fused.count() == 4  # one row per left edge, no dup blowup
+
+    # assume_distinct path over genuinely-distinct inputs
+    ld = GraphStream(left.edges.dropDuplicates(["src", "dst"]))
+    rd = GraphStream(right.edges.dropDuplicates(["src", "dst"]))
+    fused2 = ld.intersect_difference(rd, assume_distinct=True).edges
+    assert {(r.src, r.dst, r.in_both) for r in fused2.collect()} == {
+        (r.src, r.dst, r.in_both) for r in fused.collect()
+    }
