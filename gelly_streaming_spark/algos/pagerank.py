@@ -137,7 +137,19 @@ def _try_small_pagerank(
     pdf = pd.DataFrame(
         [(v, _round_pr_exact(r[v])) for v in verts], columns=["id", "pr"]
     )
-    return e_plan.sparkSession.createDataFrame(pdf, "id long, pr double")
+    # Schema derived from the input (VERDICT r16 #3): the distributed
+    # loop's `id` inherits the edge src/dst type, so a hard-coded
+    # `id long` would return a DIFFERENT schema on the fast path for a
+    # non-long-id graph (string ids, int32 ids) than the scale path.
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", e_plan.schema["src"].dataType, True),
+            StructField("pr", DoubleType(), True),
+        ]
+    )
+    return e_plan.sparkSession.createDataFrame(pdf, schema)
 
 
 def pagerank(
@@ -147,6 +159,7 @@ def pagerank(
     checkpoint_every: int = 4,
     sources: DataFrame | None = None,
     small_input_rows: int = 100_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Rows (id, pr) — damped PageRank after ``iters`` power-iteration
     steps over the distinct directed edge set, pr rounded to 6dp (the
@@ -189,6 +202,12 @@ def pagerank(
     small = _try_small_pagerank(
         e_plan, iters, damping, sources, small_input_rows
     )
+    # ``stats``, if given, receives {"fast_path": bool} — the q56d
+    # distributed-path certification asserts on it (the q15d convention:
+    # the cert query must FAIL LOUDLY if a future change lets the fast
+    # path swallow small_input_rows=0).
+    if stats is not None:
+        stats["fast_path"] = small is not None
     if small is not None:
         return small
     e = e_plan.localCheckpoint()

@@ -1054,17 +1054,25 @@ def _try_small_bpe(
 
     from gelly_streaming_spark.plans.probe import bounded_take
 
-    # Probe BOTH bounds with one cheap partial-agg job BEFORE collecting
-    # anything (ADVICE r15: the row limit alone let a sub-100k-doc corpus
-    # of book-length documents ship many GB of tokens to the driver just
-    # to be rejected by the post-collect token cap — a driver-OOM risk on
-    # the DEFAULT path). The probe is a JVM-only tokenize + count pass,
-    # no Python boundary; the path-selection predicate is unchanged.
+    # Probe the ROW bound first with an early-bailing limit (ADVICE r16
+    # medium): ``tok_plan`` is a pure projection, so limit+count prunes
+    # the tokenize expression entirely and a large corpus rejects the
+    # fast path after scanning ~small_input_rows rows — the r16 version
+    # ran the count+token-sum aggregate UNconditionally, which tokenized
+    # EVERY row of a huge corpus just to learn it must take the
+    # distributed path (which then tokenizes again): a full wasted
+    # regex-tokenize scan on the DEFAULT path at scale. Only when the
+    # row count fits does the token-sum aggregate run — now bounded to
+    # <= small_input_rows rows — preserving the r15 driver-OOM guard
+    # (book-length docs can blow the 2M-token cap at any row count).
+    # Path-selection predicate unchanged: None iff
+    # n > small_input_rows OR t > 2_000_000.
+    if tok_plan.limit(small_input_rows + 1).count() > small_input_rows:
+        return None
     probe = tok_plan.select(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.size("l")), F.lit(0)).alias("t"),
+        F.coalesce(F.sum(F.size("l")), F.lit(0)).alias("t")
     ).collect()[0]
-    if probe["n"] > small_input_rows or probe["t"] > 2_000_000:
+    if probe["t"] > 2_000_000:
         return None
     tbl = bounded_take(tok_plan.select("l"), small_input_rows, as_arrow=True)
     if tbl.num_rows > small_input_rows:

@@ -2477,6 +2477,27 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_q15_edges(spark, sf_dir), iters=3).select("id", "pr")
 
 
+@_q("q56d_pagerank_distributed", _Q56_SQL,
+    "PageRank distributed-path certification (VERDICT r16 #2): the q56 "
+    "Pregel loop with the driver fast path DISABLED "
+    "(small_input_rows=0), so the bench TIMES — and the DuckDB hash "
+    "gate covers — the three-keyed-shuffles-per-round plan a 100 TB "
+    "run would execute; the q56/q68 rows certify the adaptive "
+    "exact-rational driver fallback (the q15d convention)")
+def q56d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gelly_streaming_spark.algos.pagerank import pagerank
+
+    stats: dict = {}
+    out = pagerank(
+        _q15_edges(spark, sf_dir), iters=3, small_input_rows=0, stats=stats
+    ).select("id", "pr")
+    # explicit raise, not assert (q15d convention): python -O strips
+    # asserts, which would silently void the certification this query IS
+    if stats["fast_path"]:
+        raise RuntimeError("fast path taken despite small_input_rows=0")
+    return out
+
+
 # The oracle enumerates every walk of length <= 6 from the source set
 # over the symmetrized distinct q15 edges (the q15 walk-CTE pattern,
 # depth-bounded so cycles terminate: UNION dedups (id, d) pairs and
@@ -3831,6 +3852,9 @@ _CERT_ORDER: list[str] = [
     #    tokenizer evaluation + budgeted quality curation --
     "q74_bpe_batched", "q75_bpe_encode", "q76_bpe_compression",
     "q77_quality_fraction",
+    # -- r17: forced-distributed bench lane for the driver-fast-path
+    #    loop family (VERDICT r16 #2) --
+    "q56d_pagerank_distributed",
 ]
 
 

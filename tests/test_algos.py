@@ -343,6 +343,22 @@ def test_pagerank_both_paths_agree(spark):
         assert fast == dist, (kwargs, fast, dist)
 
 
+def test_pagerank_fast_path_schema_follows_input(spark):
+    """VERDICT r16 #3: the fast path must return the SAME schema as the
+    distributed loop for non-long vertex ids — the id field type is
+    derived from the edge plan, not hard-coded long."""
+    from gelly_streaming_spark.algos.pagerank import pagerank
+
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")]
+    gs = GraphStream(spark.createDataFrame(rows, "src string, dst string"))
+    fast_df = pagerank(gs, iters=2)
+    dist_df = pagerank(gs, iters=2, small_input_rows=0)
+    assert fast_df.schema == dist_df.schema, (fast_df.schema, dist_df.schema)
+    fast = sorted((r.id, r.pr) for r in fast_df.collect())
+    dist = sorted((r.id, r.pr) for r in dist_df.collect())
+    assert fast == dist and fast[0][0] == "a"
+
+
 def test_weighted_lpa_weight_beats_count(spark):
     """Weighted LPA must disagree with unweighted exactly where weight
     says so: star 2-1-3 plus heavy edge (1,4,w=10) — v1's neighbor
