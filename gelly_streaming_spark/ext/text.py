@@ -926,7 +926,13 @@ def quality_fraction_filter(
     bit-identical (the q42 certified contract) and the cutoff is one of
     them; k parity holds because CEIL(lit(keep_frac) * n) is the same
     IEEE double product the oracle's CEIL(0.7::DOUBLE * COUNT(*))
-    evaluates."""
+    evaluates.
+
+    Storage lifetime (ADVICE r16): the returned plan references the
+    localCheckpoint, so the caller holds its O(corpus-rows) ~16 B/row
+    executor blocks until the returned DataFrame is garbage-collected —
+    intentional per the checkpoint doctrine (the blocks ARE the single
+    scoring pass's result); release by dropping the reference."""
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(
             f"quality_fraction_filter: keep_frac must be in (0, 1], got {keep_frac}"
