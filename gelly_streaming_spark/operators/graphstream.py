@@ -153,40 +153,6 @@ class GraphStream:
             left.join(other.edges.select("src", "dst"), ["src", "dst"], "left_anti")
         )
 
-    def intersect_difference(
-        self,
-        other: "GraphStream",
-        assume_distinct: bool = False,
-        marker: str = "in_both",
-    ) -> "GraphStream":
-        """Fused INTERSECT + EXCEPT in ONE probe: every left edge comes
-        back exactly once, tagged ``marker=True`` (it is also in
-        ``other`` — the intersect side) or ``False`` (the except side).
-
-        A caller needing BOTH sides otherwise runs :meth:`intersect` and
-        :meth:`difference` over the same pair — two joins that scan the
-        left twice and build the SAME hash relation on ``other`` twice
-        (the q11b plan audit showed two BroadcastExchange builds of one
-        filtered view). One left join computes both memberships in a
-        single build + single probe: half the join work, and at 100 TB
-        half the shuffles when the join is too big to broadcast.
-
-        Same distinctness/null contract as :meth:`intersect`, with one
-        addition: a LEFT join (unlike a semi-join) multiplies rows on
-        right-side duplicates, so the right side is also deduplicated
-        unless ``assume_distinct`` declares both sides sets already."""
-        left = self.edges.select("src", "dst")
-        right = other.edges.select("src", "dst")
-        if not assume_distinct:
-            left = left.dropDuplicates(["src", "dst"])
-            right = right.dropDuplicates(["src", "dst"])
-        marked = left.join(
-            right.withColumn("_m", F.lit(True)), ["src", "dst"], "left"
-        ).select(
-            "src", "dst", F.coalesce(F.col("_m"), F.lit(False)).alias(marker)
-        )
-        return GraphStream(marked)
-
     # ------------------------------------------------------------------
     # vertex / property streams (reference A1–A4)
     # ------------------------------------------------------------------

@@ -303,10 +303,12 @@ def q11b(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersect_difference computes BOTH sides in one build + one probe
     # (r17 — the separate semi+anti pair built the same broadcast hash
     # relation twice and scanned the left twice; plan audit r16).
+    from gelly_streaming_spark.operators.setops import intersect_difference
+
     e = E.copart_canonical(spark, sf_dir)
     a = GraphStream(e.where(F.col("src") % 2 == 0))
     b = GraphStream(e.where(F.col("dst") % 3 == 0))
-    return a.intersect_difference(b, assume_distinct=True).edges.select(
+    return intersect_difference(a, b, assume_distinct=True).edges.select(
         F.when(F.col("in_both"), F.lit("intersect"))
         .otherwise(F.lit("except"))
         .alias("which"),

@@ -166,7 +166,9 @@ def test_intersect_difference_fused_matches_pair(spark):
     right = GraphStream(spark.createDataFrame(
         [(1, 2), (1, 2), (2, 3), (9, 9)], "src long, dst long"))
 
-    fused = left.intersect_difference(right).edges
+    from gelly_streaming_spark.operators.setops import intersect_difference
+
+    fused = intersect_difference(left, right).edges
     got_in = {(r.src, r.dst) for r in fused.collect() if r.in_both}
     got_out = {(r.src, r.dst) for r in fused.collect() if not r.in_both}
     want_in = {(r.src, r.dst) for r in left.intersect(right).edges.collect()}
@@ -178,7 +180,7 @@ def test_intersect_difference_fused_matches_pair(spark):
     # assume_distinct path over genuinely-distinct inputs
     ld = GraphStream(left.edges.dropDuplicates(["src", "dst"]))
     rd = GraphStream(right.edges.dropDuplicates(["src", "dst"]))
-    fused2 = ld.intersect_difference(rd, assume_distinct=True).edges
+    fused2 = intersect_difference(ld, rd, assume_distinct=True).edges
     assert {(r.src, r.dst, r.in_both) for r in fused2.collect()} == {
         (r.src, r.dst, r.in_both) for r in fused.collect()
     }
