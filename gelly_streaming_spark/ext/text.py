@@ -1061,18 +1061,27 @@ def _try_small_bpe(
     from gelly_streaming_spark.plans.probe import bounded_take
 
     # Probe the ROW bound first with an early-bailing limit (ADVICE r16
-    # medium): ``tok_plan`` is a pure projection, so limit+count prunes
-    # the tokenize expression entirely and a large corpus rejects the
-    # fast path after scanning ~small_input_rows rows — the r16 version
-    # ran the count+token-sum aggregate UNconditionally, which tokenized
-    # EVERY row of a huge corpus just to learn it must take the
-    # distributed path (which then tokenizes again): a full wasted
-    # regex-tokenize scan on the DEFAULT path at scale. Only when the
-    # row count fits does the token-sum aggregate run — now bounded to
-    # <= small_input_rows rows — preserving the r15 driver-OOM guard
-    # (book-length docs can blow the 2M-token cap at any row count).
-    # Path-selection predicate unchanged: None iff
-    # n > small_input_rows OR t > 2_000_000.
+    # medium): ``tok_plan`` is a pure projection, so limit+count PRUNES
+    # the tokenize expression entirely (verified: the optimized count
+    # plan is Aggregate→GlobalLimit→empty Project→scan) and a large
+    # corpus rejects the fast path for the price of a truncated scan —
+    # the r16 version ran the count+token-sum aggregate over the
+    # UNlimited plan, which tokenized EVERY row of a huge corpus just to
+    # learn it must take the distributed path (which then tokenizes
+    # again): a full wasted regex-tokenize scan on the DEFAULT path at
+    # scale. Only when the row count fits does the token-sum aggregate
+    # run — then bounded to <= small_input_rows rows — preserving the
+    # r15 driver-OOM guard (book-length docs can blow the 2M-token cap
+    # at any row count) BEFORE any collect. Path-selection predicate
+    # unchanged: None iff n > small_input_rows OR t > 2_000_000. Cost
+    # accounting: the fast path pays one extra sub-0.15 s job (visible
+    # as q70/q74 +0.1-0.3 s at sf0.1 — declared); the reject path drops
+    # from a full-corpus tokenize to a tokenize-free truncated count.
+    # A one-job fold (count+sum over the LIMITED plan) was considered
+    # and rejected: it tokenizes up to small_input_rows+1 rows PER
+    # PARTITION on the reject path, which at 10k partitions is ~10^9
+    # tokenized rows — the two-job form's reject probe reads no token
+    # column at all.
     if tok_plan.limit(small_input_rows + 1).count() > small_input_rows:
         return None
     probe = tok_plan.select(
